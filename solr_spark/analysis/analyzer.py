@@ -1,0 +1,80 @@
+"""The analysis chain — one definition, three executable forms.
+
+Reimplements (from public behavior, not code) the reference's default
+code-friendly text analysis: Solr's `text_general` index chain
+(standard tokenize -> lowercase; empty stopword set in the `_default`
+configset) plus the word-delimiter-graph splitting rules its
+`text_en_splitting` type turns on (`splitOnCaseChange=1,
+generateWordParts=1, generateNumberParts=1`; ref
+solr/server/solr/configsets/_default/conf/managed-schema.xml:295-311,390-423,
+solr/core/src/java/org/apache/solr/analysis/TokenizerChain.java).
+
+The chain, applied identically at index and query time (Solr allows
+index/query analyzers to differ — FieldTypePluginLoader.java:82-128 — we
+deliberately keep them identical):
+
+1. split at acronym boundary:   "HTTPServer"  -> "HTTP Server"
+2. split at case change:        "camelCase"   -> "camel Case"
+3. split at letter->digit:      "utf8"        -> "utf 8"
+4. split at digit->letter:      "2x"          -> "2 x"
+5. lowercase
+6. tokenize on runs of [^a-z0-9], dropping empties
+
+Rules 1-6 are pure regex, so the SAME chain runs as:
+- a JVM-side Spark Column expression (`tokens_col`) — no Python in the
+  hot path, stays inside whole-stage codegen;
+- a plain Python function (`tokenize_py`) — used by the NumPy oracle;
+- a DuckDB SQL expression (`tokens_sql`) — used by the driver's
+  correctness oracle.
+Parity of the three forms is asserted by tests/test_analyzer.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, java_replacement, re_replacement) — patterns are engine-portable
+# (no lookarounds, no unicode classes); replacement syntax differs per engine.
+_SPLIT_RULES: list[tuple[str, str, str]] = [
+    (r"([A-Z]+)([A-Z][a-z])", r"$1 $2", r"\1 \2"),
+    (r"([a-z0-9])([A-Z])", r"$1 $2", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", r"$1 $2", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"$1 $2", r"\1 \2"),
+]
+_TOKEN_SEP = r"[^a-z0-9]+"
+
+_PY_RULES = [(re.compile(p), r) for p, _, r in _SPLIT_RULES]
+_PY_SEP = re.compile(_TOKEN_SEP)
+
+
+def tokens_col(col: Column | str) -> Column:
+    """Analysis chain as a Spark Column -> array<string> (JVM-side only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, java_repl, _ in _SPLIT_RULES:
+        c = F.regexp_replace(c, pat, java_repl)
+    return F.filter(F.split(F.lower(c), _TOKEN_SEP), lambda x: x != "")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Same chain in pure Python (oracle / query-side driver use)."""
+    s = text
+    for pat, repl in _PY_RULES:
+        s = pat.sub(repl, s)
+    return [t for t in _PY_SEP.split(s.lower()) if t]
+
+
+def tokens_sql(col_expr: str) -> str:
+    """Same chain as a DuckDB SQL expression producing VARCHAR[].
+
+    `col_expr` is any SQL expression of type VARCHAR.
+    """
+    e = col_expr
+    for pat, _, re_repl in _SPLIT_RULES:
+        e = f"regexp_replace({e}, '{pat}', '{re_repl}', 'g')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({e}), '{_TOKEN_SEP}'),"
+        f" _tok -> _tok <> '')"
+    )

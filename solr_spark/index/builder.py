@@ -1,0 +1,358 @@
+"""Inverted-index builder: corpus -> docs / postings / blocks / term_stats.
+
+Spark-first re-expression of the reference's indexing path
+(solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java:233
+DirectUpdateHandler2.addDoc -> analyzer -> IndexWriter inversion):
+
+    corpus --tokenize (JVM regexp)--> docs(docid, doclen, dl_q, sha256)
+           --explode + groupBy------> postings(term, docid, tf, dl_q)
+           --groupBy(term)----------> term_stats(term, df, cttf)
+           --sort + mapInPandas-----> blocks (delta+varint, block-max)
+
+Scale design points:
+- docid assignment = global sort rank over the unique key
+  (repo, path, commit), computed with a range-partitioned sort + partition
+  offset scan (no single-partition window, no driver collect of data).
+- postings are hash-bucketed by crc32(term) % num_buckets and written
+  partitioned by bucket -> query-time partition pruning (the analogue of
+  the reference's hash doc routing,
+  solrj/src/java/org/apache/solr/common/cloud/CompositeIdRouter.java:89).
+- head terms (df > salt_threshold) are salted into num_salts sub-lists
+  (salt = docid % num_salts) so no single task encodes/scans a whole
+  head-term posting list (precedent: the "big terms" special case in
+  solr/core/src/java/org/apache/solr/search/facet/UnInvertedField.java:109).
+- resumable: with num_chunks > 1 the tokenize+invert phase runs per
+  chunk, each committing a staged parquet + a JSON manifest; a restart
+  skips finished chunks (analogue of tlog replay,
+  solr/core/src/java/org/apache/solr/update/UpdateLog.java:374; the final
+  atomic publish mirrors the hard commit,
+  solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java:103-158).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.analyzer import tokens_col
+from solr_spark.functions.smallfloat import quantize_col
+from solr_spark.index.blocks import BLOCKS_SCHEMA, make_block_encoder
+
+DOC_KEY = ("repo", "path", "commit")
+
+
+def bucket_of_col(term: Column | str, num_buckets: int) -> Column:
+    """crc32-based term bucket — same value computable from Python
+    (zlib.crc32) for driver-side partition pruning at query time."""
+    c = F.col(term) if isinstance(term, str) else term
+    return F.pmod(F.crc32(F.encode(c, "UTF-8")), F.lit(num_buckets)).cast("int")
+
+
+def bucket_of_py(term: str, num_buckets: int) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+def assign_docids(df: DataFrame, keys: tuple[str, ...] = DOC_KEY) -> DataFrame:
+    """Add a deterministic dense `docid` = global sort rank over `keys`.
+
+    Two-phase: range-partition + sort (global order), persist so both the
+    counting job and the id job see identical partition boundaries, scan
+    per-partition counts (tiny collect: one long per partition), then add
+    offset + local index via an Arrow-batched mapInPandas. O(n log n)
+    shuffle, no single-partition bottleneck — survives a 1000-executor
+    scale-up. Keys must be unique (enforced upstream) so the rank is
+    run-independent even though range boundaries are sampled.
+    """
+    import numpy as np  # noqa: F401  (imported for closure use below)
+
+    key_cols = [F.col(k) for k in keys]
+    sorted_df = (
+        df.repartitionByRange(*key_cols).sortWithinPartitions(*key_cols)
+    ).persist()
+    counts = (
+        sorted_df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    cnt = {r["pid"]: r["count"] for r in counts}
+    max_pid = max(cnt, default=-1)
+    offsets = {}
+    acc = 0
+    for pid in range(max_pid + 1):
+        offsets[pid] = acc
+        acc += cnt.get(pid, 0)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(sorted_df.schema.fields) + [StructField("docid", LongType(), False)]
+    )
+
+    def add_ids(batches):
+        import numpy as np
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["docid"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    result = sorted_df.mapInPandas(add_ids, schema=out_schema)
+    return result
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self):
+        return os.path.join(self.root, "docs")
+
+    @property
+    def postings(self):
+        return os.path.join(self.root, "postings")
+
+    @property
+    def blocks(self):
+        return os.path.join(self.root, "blocks")
+
+    @property
+    def term_stats(self):
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def meta(self):
+        return os.path.join(self.root, "meta.json")
+
+    @property
+    def stage(self):
+        return os.path.join(self.root, "stage")
+
+    @property
+    def checkpoints(self):
+        return os.path.join(self.root, "_checkpoints")
+
+
+@dataclass
+class Index:
+    """Handle over a built index directory."""
+
+    spark: SparkSession
+    paths: IndexPaths
+    meta: dict = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "Index":
+        paths = IndexPaths(root)
+        with open(paths.meta) as f:
+            meta = json.load(f)
+        return cls(spark, paths, meta)
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs)
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.blocks)
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.term_stats)
+
+    def buckets_for(self, terms: list[str]) -> list[int]:
+        b = self.meta["num_buckets"]
+        return sorted({bucket_of_py(t, b) for t in terms})
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Driver-side lookup {term: (df, cttf)} with bucket pruning."""
+        if not terms:
+            return {}
+        rows = (
+            self.term_stats()
+            .where(F.col("bucket").isin(self.buckets_for(terms)))
+            .where(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: (r["df"], r["cttf"]) for r in rows}
+
+
+def _analyze_docs(corpus: DataFrame) -> DataFrame:
+    """corpus (+docid) -> docs with tokens materialized once."""
+    toks = tokens_col("content")
+    return corpus.select(
+        "docid",
+        *[c for c in ("repo", "path", "commit", "lang") if c in corpus.columns],
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        toks.alias("_tokens"),
+    ).withColumn("doclen", F.size("_tokens")).withColumn(
+        "dl_q", quantize_col("doclen").cast("int")
+    )
+
+
+def _postings_from_docs(docs_tok: DataFrame) -> DataFrame:
+    """(docid, _tokens, dl_q) -> (term, docid, tf, dl_q).
+
+    explode -> groupBy(term, docid) with automatic partial (map-side)
+    aggregation; dl_q rides in the key (constant per docid) so scoring
+    needs no join back to docs.
+    """
+    return (
+        docs_tok.select("docid", "dl_q", F.explode("_tokens").alias("term"))
+        .groupBy("term", "docid", "dl_q")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    num_buckets: int = 8,
+    salt_threshold: int = 5000,
+    num_salts: int = 8,
+    num_chunks: int = 1,
+    resume: bool = False,
+    build_blocks: bool = True,
+    keep_stage: bool = False,
+) -> Index:
+    """Build (or resume building) the full index at `out_dir`.
+
+    If the corpus has no `docid` column one is assigned deterministically
+    (sort rank over (repo, path, commit)).
+    """
+    paths = IndexPaths(out_dir)
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(paths.checkpoints, exist_ok=True)
+
+    t0 = time.time()
+
+    # ---- phase 0: stage corpus with deterministic docids (resumable) ----
+    if "docid" not in corpus.columns:
+        ids_dir = os.path.join(paths.stage, "corpus_ids")
+        man0 = os.path.join(paths.checkpoints, "corpus_ids.json")
+        if not (resume and os.path.exists(man0)):
+            assign_docids(corpus).write.mode("overwrite").parquet(ids_dir)
+            with open(man0, "w") as f:
+                json.dump({"status": "done"}, f)
+        corpus = spark.read.parquet(ids_dir)
+
+    # ---- phase 1: per-chunk tokenize + invert (resumable) ----
+    for chunk in range(num_chunks):
+        manifest = os.path.join(paths.checkpoints, f"chunk_{chunk}.json")
+        if resume and os.path.exists(manifest):
+            continue
+        part = corpus
+        if num_chunks > 1:
+            part = corpus.where(F.pmod(F.col("docid"), F.lit(num_chunks)) == chunk)
+        tick = time.time()
+        docs_tok = _analyze_docs(part).persist()
+        docs_dir = os.path.join(paths.stage, f"docs_c{chunk}")
+        post_dir = os.path.join(paths.stage, f"post_c{chunk}")
+        docs_tok.drop("_tokens").write.mode("overwrite").parquet(docs_dir)
+        _postings_from_docs(docs_tok).withColumn(
+            "bucket", bucket_of_col("term", num_buckets)
+        ).write.mode("overwrite").parquet(post_dir)
+        docs_tok.unpersist()
+        dcount = spark.read.parquet(docs_dir).count()
+        pcount = spark.read.parquet(post_dir).count()
+        with open(manifest, "w") as f:
+            json.dump(
+                {
+                    "chunk": chunk,
+                    "docs_out": dcount,
+                    "postings_out": pcount,
+                    "elapsed_ms": int((time.time() - tick) * 1000),
+                    "status": "done",
+                },
+                f,
+            )
+
+    # ---- phase 2: finalize (global stats, bucketed layout, blocks) ----
+    docs = spark.read.parquet(os.path.join(paths.stage, "docs_c*"))
+    postings = spark.read.parquet(os.path.join(paths.stage, "post_c*"))
+
+    docs.write.mode("overwrite").parquet(paths.docs)
+    docs = spark.read.parquet(paths.docs)
+
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("total_len")
+    ).collect()[0]
+    n_docs = int(agg["n"])
+    avgdl = float(agg["total_len"]) / n_docs if n_docs else 0.0
+
+    term_stats = (
+        postings.groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cttf"))
+        .withColumn("is_head", F.col("df") > F.lit(salt_threshold))
+    )
+    (
+        term_stats.repartition(max(1, num_buckets // 2), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths.term_stats)
+    )
+    term_stats = spark.read.parquet(paths.term_stats)
+
+    # bucketed flat postings (the correctness/scoring path)
+    (
+        postings.repartition(num_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths.postings)
+    )
+
+    if build_blocks and n_docs:
+        head_terms = term_stats.where("is_head").select("term").withColumn(
+            "_is_head", F.lit(True)
+        )
+        salted = (
+            spark.read.parquet(paths.postings)
+            .join(F.broadcast(head_terms), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_is_head").isNotNull(),
+                    F.pmod(F.col("docid"), F.lit(num_salts)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_is_head")
+        )
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        blocks = (
+            salted.repartition(shuffle_parts, "term", "salt")
+            .sortWithinPartitions("term", "salt", "docid")
+            .mapInPandas(make_block_encoder(avgdl), schema=BLOCKS_SCHEMA)
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.blocks)
+
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "num_buckets": num_buckets,
+        "num_salts": num_salts,
+        "salt_threshold": salt_threshold,
+        "num_chunks": num_chunks,
+        "build_seconds": round(time.time() - t0, 3),
+        "has_blocks": build_blocks,
+    }
+    with open(paths.meta, "w") as f:
+        json.dump(meta, f, indent=2)
+    if not keep_stage:
+        shutil.rmtree(paths.stage, ignore_errors=True)
+    return Index(spark, paths, meta)

@@ -1,0 +1,114 @@
+"""BM25 top-k query execution over the flat bucketed postings.
+
+Mirrors the reference's two-phase distributed query
+(solr/core/src/java/org/apache/solr/handler/component/QueryComponent.java:555-651
+EXECUTE_QUERY then GET_FIELDS at :1213, shard-merge at :833):
+
+- phase 1 touches only postings + term stats: score, per-partition top-k
+  and a driver merge (Spark's TakeOrderedAndProject gives exactly the
+  per-shard-heap + coordinator-merge shape);
+- phase 2 joins stored fields (repo/path/lang/sha256) only for the k
+  winner docids — the `content`-sized payload never enters the shuffle.
+
+Global IDF comes from the index-wide term_stats table, the Spark
+analogue of the distributed stats exchange
+(solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:62,118-155):
+every partition scores with identical global df/N, so distributed
+results are identical to single-node results by construction.
+
+Query terms are analyzed with the SAME chain as indexing and broadcast
+as a tiny (term, qtf, idf) relation; a duplicated query term scores once
+per occurrence (BooleanQuery-with-repeated-clause semantics). Ties break
+by ascending docid (QueryComponent.java:866-868 merge tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.analyzer import tokenize_py
+from solr_spark.functions.bm25 import idf_py, tf_part_col
+from solr_spark.index.builder import Index
+
+
+def analyze_query(qtext: str) -> dict[str, int]:
+    """query text -> {term: qtf} via the shared analysis chain."""
+    counts: dict[str, int] = {}
+    for t in tokenize_py(qtext):
+        counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def _scored_postings(index: Index, qterms: dict[str, int]) -> tuple[DataFrame, int]:
+    """Postings of the query terms with per-(term,doc) contributions.
+
+    Returns (df with docid/contrib columns, n_distinct_terms_present).
+    """
+    spark = index.spark
+    stats = index.term_stats_for(list(qterms))
+    present = [t for t in qterms if t in stats]
+    n_docs = index.meta["n_docs"]
+    avgdl = index.meta["avgdl"]
+    if not present:
+        empty = spark.createDataFrame([], "docid long, contrib double, term string")
+        return empty, 0
+    qrel = spark.createDataFrame(
+        [(t, float(qterms[t]), idf_py(stats[t][0], n_docs)) for t in present],
+        "term string, qtf double, idf double",
+    )
+    buckets = index.buckets_for(present)
+    postings = (
+        index.postings()
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(present))
+    )
+    scored = postings.join(F.broadcast(qrel), "term").select(
+        "docid",
+        "term",
+        (
+            F.col("qtf")
+            * F.col("idf")
+            * tf_part_col(F.col("tf"), F.col("dl_q"), float(avgdl))
+        ).alias("contrib"),
+    )
+    return scored, len(present)
+
+
+def bm25_topk(
+    index: Index,
+    qtext: str,
+    k: int = 10,
+    mode: str = "OR",
+    with_payload: bool = False,
+) -> DataFrame:
+    """Top-k (docid, score) for an analyzed free-text query.
+
+    mode="AND" keeps only docs matching every distinct query term
+    (postings-intersection semantics: matched-term count == #terms);
+    an AND query with an absent term returns no rows.
+    """
+    qterms = analyze_query(qtext)
+    scored, n_present = _scored_postings(index, qterms)
+    if n_present == 0 or (mode == "AND" and n_present < len(qterms)):
+        result = index.spark.createDataFrame([], "docid long, score double")
+    else:
+        agg = scored.groupBy("docid").agg(
+            F.sum("contrib").alias("score"),
+            F.count(F.lit(1)).alias("_nmatched"),
+        )
+        if mode == "AND":
+            agg = agg.where(F.col("_nmatched") == n_present)
+        result = (
+            agg.select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+    if with_payload:
+        payload_cols = [c for c in index.docs().columns if c not in ("docid",)]
+        result = (
+            result.join(index.docs(), "docid", "left")
+            .select("docid", "score", *payload_cols)
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )
+    return result

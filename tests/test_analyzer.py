@@ -1,0 +1,67 @@
+"""Three-way parity of the analysis chain: Spark Column / Python / DuckDB.
+
+Mirrors the reference's per-analyzer unit tests (e.g. analysis factories
+exercised across solr/core/src/test/org/apache/solr/analysis/) plus its
+differential-oracle pattern (TestRandomDVFaceting-style: same input,
+independent implementations, identical output).
+"""
+
+import random
+import string
+
+import duckdb
+import pytest
+
+from solr_spark.analysis.analyzer import tokenize_py, tokens_col, tokens_sql
+
+SAMPLES = [
+    "utf8Parser2 foo_barBaz HTTPServer  x",
+    "def snake_case(a1b): return A2",
+    "",
+    "ALLCAPS mixedUPPERlower a",
+    "x.y.z(1,2,3) == [a][b]{c}",
+    "parseHTTPResponse readXMLFile2Buffer",
+    "a1b2c3 AB2cd _leading __trailing__",
+    "newline\nand\ttabs   spaces",
+    "UPPER lower 0123 m1xEd",
+]
+
+
+def _rand_strings(n=60, seed=7):
+    rng = random.Random(seed)
+    alphabet = string.ascii_letters + string.digits + " _().,;:\n\t-+=[]"
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))) for _ in range(n)]
+
+
+ALL = SAMPLES + _rand_strings()
+
+
+def test_python_vs_duckdb():
+    con = duckdb.connect()
+    got = con.execute(
+        f"select {tokens_sql('s')} from (select unnest(?::varchar[]) as s)", [ALL]
+    ).fetchall()
+    for s, (toks,) in zip(ALL, got):
+        assert toks == tokenize_py(s), repr(s)
+
+
+def test_python_vs_spark(spark):
+    df = spark.createDataFrame([(s,) for s in ALL], "s string")
+    got = df.select(tokens_col("s").alias("t")).collect()
+    for s, row in zip(ALL, got):
+        assert row.t == tokenize_py(s), repr(s)
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("utf8Parser2", ["utf", "8", "parser", "2"]),
+        ("utf8_parser_2", ["utf", "8", "parser", "2"]),  # delimiter variant, same tokens
+        ("HTTPServer", ["http", "server"]),
+        ("camelCase", ["camel", "case"]),
+        ("", []),
+        ("   \n\t ", []),
+    ],
+)
+def test_known_tokens(text, expected):
+    assert tokenize_py(text) == expected

@@ -1,0 +1,124 @@
+"""Index build correctness: determinism, invariants, resume ≡ fresh."""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.builder import Index, assign_docids, build_index
+from solr_spark.sources.corpus import synthesize_corpus
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthesize_corpus(spark, N_DOCS, seed=42, partitions=4).persist()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    return build_index(
+        spark, corpus, out, num_buckets=4, salt_threshold=100, num_salts=4
+    )
+
+
+def test_corpus_deterministic(spark, corpus):
+    again = synthesize_corpus(spark, N_DOCS, seed=42, partitions=2)
+    a = sorted(corpus.collect())
+    b = sorted(again.collect())
+    assert a == b
+    # unique doc key
+    assert corpus.select("repo", "path", "commit").distinct().count() == N_DOCS
+
+
+def test_docids_dense_and_deterministic(spark, corpus):
+    d1 = assign_docids(corpus)
+    ids = [r.docid for r in d1.select("docid").collect()]
+    assert sorted(ids) == list(range(N_DOCS))
+    # docid == sort rank over the key, independent of partitioning
+    rows = d1.select("repo", "path", "commit", "docid").collect()
+    by_key = sorted(rows, key=lambda r: (r.repo, r.path, r.commit))
+    assert [r.docid for r in by_key] == list(range(N_DOCS))
+
+
+def test_sha256_invariant_vs_source(spark, corpus, index):
+    src = corpus.select("repo", "path", "commit", F.sha2("content", 256).alias("h"))
+    joined = index.docs().join(src, ["repo", "path", "commit"])
+    assert joined.count() == N_DOCS
+    assert joined.where(F.col("sha256") != F.col("h")).count() == 0
+
+
+def test_term_stats_consistency(index):
+    # sum(df) over terms == number of distinct (term, docid) pairs == |postings|
+    n_postings = index.postings().count()
+    sum_df = index.term_stats().agg(F.sum("df")).collect()[0][0]
+    assert sum_df == n_postings
+    # cttf == sum of tfs; total cttf == sum of doclens
+    sum_cttf = index.term_stats().agg(F.sum("cttf")).collect()[0][0]
+    sum_tf = index.postings().agg(F.sum("tf")).collect()[0][0]
+    total_len = index.docs().agg(F.sum("doclen")).collect()[0][0]
+    assert sum_cttf == sum_tf == total_len
+    assert index.meta["n_docs"] == N_DOCS
+    assert abs(index.meta["avgdl"] - total_len / N_DOCS) < 1e-9
+
+
+def test_bucket_pruning_layout(index):
+    # postings dir is partitioned by bucket -> directory names carry values
+    parts = glob.glob(os.path.join(index.paths.postings, "bucket=*"))
+    assert len(parts) == index.meta["num_buckets"]
+    # bucket value matches crc32 of the term
+    from solr_spark.index.builder import bucket_of_py
+
+    sample = index.postings().select("term", "bucket").limit(200).collect()
+    for r in sample:
+        assert r.bucket == bucket_of_py(r.term, index.meta["num_buckets"])
+
+
+def test_blocks_cover_postings(index):
+    n_postings = index.postings().count()
+    n_in_blocks = index.blocks().agg(F.sum("n_docs")).collect()[0][0]
+    assert n_in_blocks == n_postings
+    # salted head terms: every head term's list is split across salts
+    heads = [r.term for r in index.term_stats().where("is_head").collect()]
+    if heads:
+        salts = (
+            index.blocks()
+            .where(F.col("term").isin(heads))
+            .groupBy("term")
+            .agg(F.countDistinct("salt").alias("ns"))
+            .collect()
+        )
+        assert all(r.ns > 1 for r in salts)
+
+
+def test_resume_equals_fresh(spark, corpus, tmp_path):
+    fresh = build_index(
+        spark, corpus, str(tmp_path / "fresh"), num_buckets=4, num_chunks=3
+    )
+    # simulate a crash: full build keeping stage, then wipe phase-2 output
+    # and one chunk's manifest, and resume
+    out2 = str(tmp_path / "resumed")
+    build_index(spark, corpus, out2, num_buckets=4, num_chunks=3, keep_stage=True)
+    # wipe phase-2 outputs + one chunk manifest, then resume
+    import shutil
+
+    shutil.rmtree(os.path.join(out2, "docs"))
+    os.remove(os.path.join(out2, "_checkpoints", "chunk_2.json"))
+    resumed = build_index(
+        spark, corpus, out2, num_buckets=4, num_chunks=3, resume=True
+    )
+    a = sorted(fresh.postings().select("term", "docid", "tf").collect())
+    b = sorted(resumed.postings().select("term", "docid", "tf").collect())
+    assert a == b
+    assert fresh.meta["n_docs"] == resumed.meta["n_docs"]
+
+
+def test_checkpoint_manifests(index):
+    mans = glob.glob(os.path.join(index.paths.checkpoints, "chunk_*.json"))
+    assert mans
+    m = json.load(open(mans[0]))
+    assert m["status"] == "done" and m["docs_out"] > 0
