@@ -1,0 +1,108 @@
+"""Round benchmark: index-build throughput + query latencies.
+
+Runs on local[$SPARK_GRAFT_CPUS] over $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus a synthesized north-rule corpus, and prints
+ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ..., ...}
+
+Env knobs:
+  SPARK_GRAFT_CPUS        parallelism (default 32)
+  SPARK_GRAFT_SF_DIR      harness table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_BENCH_DOCS  synthesized corpus size (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from solr_spark.index.builder import build_index  # noqa: E402
+from solr_spark.operators.dedup import lsh_candidate_pairs  # noqa: E402
+from solr_spark.operators.facets import terms_facet  # noqa: E402
+from solr_spark.operators.similarity import cosine_topk  # noqa: E402
+from solr_spark.query.engine import bm25_topk  # noqa: E402
+from solr_spark.query.inline import doc_tokens  # noqa: E402
+from solr_spark.session import get_spark  # noqa: E402
+from solr_spark.sources.corpus import synthesize_corpus  # noqa: E402
+
+QUERY_SET = [
+    ("q_or_mixed", "jsonParser bufferSize return", 10, "OR"),
+    ("q_and_head", "return import", 10, "AND"),
+    ("q_head", "return", 10, "OR"),
+    ("q_tail", "parseShard7", 10, "OR"),
+    ("q_or4", "parse build read write", 100, "OR"),
+]
+
+
+def run(cores: int | None = None, out: dict | None = None) -> dict:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    spark = get_spark(f"bench_{cores}", cores=cores)
+    res: dict = out if out is not None else {}
+    queries: dict[str, float] = {}
+    idx_dir = f"/tmp/solr_spark_bench/index_{cores}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # --- index build throughput (north-rule corpus) ---
+    corpus = synthesize_corpus(spark, n_docs, seed=42).persist()
+    corpus.count()  # materialize generation outside the timed window
+    t0 = time.time()
+    index = build_index(
+        spark, corpus, idx_dir, num_buckets=16, salt_threshold=20000, num_salts=8
+    )
+    build_s = time.time() - t0
+    queries["index_build"] = round(build_s, 3)
+    res["docs_per_sec"] = round(n_docs / build_s, 1)
+
+    # --- BM25 query latency over the built index (median of 3) ---
+    for name, qtext, k, mode in QUERY_SET:
+        times = []
+        for _ in range(3):
+            t = time.time()
+            bm25_topk(index, qtext, k=k, mode=mode).collect()
+            times.append(time.time() - t)
+        queries[name] = round(sorted(times)[1], 3)
+
+    # --- operator suite over harness tables ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = time.time()
+    terms_facet(docs, "lang", limit=10).collect()
+    queries["facet_lang"] = round(time.time() - t, 3)
+    t = time.time()
+    lsh_candidate_pairs(
+        doc_tokens(docs, id_col="doc_id", text_col="text")
+    ).count()
+    queries["dedup_lsh"] = round(time.time() - t, 3)
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    t = time.time()
+    cosine_topk(emb, qv, k=10).collect()
+    queries["ann_cosine"] = round(time.time() - t, 3)
+
+    corpus.unpersist()
+    spark.stop()
+    res.update(
+        {
+            "metric": "index_build+query suite wall seconds (local[%d])" % cores,
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir.rstrip("/").split("sf")[-1],
+            "bench_docs": n_docs,
+            "cores": cores,
+        }
+    )
+    return res
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,57 @@
+"""Collapse / Expand / Grouping — group-head dedup and top-per-group.
+
+Reference surface:
+- collapse: solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java:127
+  (3.5k LoC of per-segment head selection) -> a window row_number() == 1
+- expand: solr/core/src/java/org/apache/solr/handler/component/ExpandComponent.java
+  (re-attach group members) -> join back on the group key with a per-group
+  limit
+- grouping: solr/core/src/java/org/apache/solr/search/Grouping.java:80
+  (two Lucene passes: top groups, then top docs per group) -> one window
+  pass; Spark's hash-partitioned window replaces the two-pass trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse(df: DataFrame, group: str, order: list[Column]) -> DataFrame:
+    """Keep one head row per group by the given sort (score desc etc.)."""
+    w = Window.partitionBy(group).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def expand(
+    collapsed: DataFrame, full: DataFrame, group: str, order: list[Column], per_group: int = 5
+) -> DataFrame:
+    """Re-attach up to `per_group` non-head members for collapsed groups."""
+    heads = collapsed.select(F.col(group).alias("_g"))
+    w = Window.partitionBy(group).orderBy(*order)
+    members = (
+        full.join(F.broadcast(heads), full[group] == F.col("_g"), "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .where(F.col("_rn") <= per_group + 1)
+        .drop("_rn")
+    )
+    return members
+
+
+def grouping(
+    df: DataFrame,
+    group: str,
+    order: list[Column],
+    group_limit: int = 2,
+) -> DataFrame:
+    """Top-N rows per group (grouped search results)."""
+    w = Window.partitionBy(group).orderBy(*order)
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w))
+        .where(F.col("grp_rank") <= group_limit)
+    )

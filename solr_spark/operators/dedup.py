@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Exact dedup re-expresses the reference's SignatureUpdateProcessorFactory
+(solr/core/src/java/org/apache/solr/update/processor/SignatureUpdateProcessorFactory.java;
+MD5/lookup3 content signatures) as a hash-groupBy. MinHash mirrors the
+MinHash LSH idea surfaced by the reference's
+solr/core/src/java/org/apache/solr/search/MinHashQParserPlugin.java:26.
+
+Portability contract: every hash is md5-hex (identical in Spark, Python
+and DuckDB) and min/ordering is lexicographic over hex strings, so the
+DuckDB oracle reproduces signatures bit-for-bit.
+
+Scale notes: signatures are one groupBy over exploded tokens (one
+shuffle); LSH candidate pairs join docs on (band_idx, band_hash) — the
+classic banding join that avoids the O(n^2) pair explosion; n-gram
+Jaccard joins docs on shared shingles with per-shingle df available to
+drop ultra-common shingles at 100TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16
+BAND_SIZE = 4  # 4 bands of 4 hashes
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical content: (sig, cnt, min_id), cnt >= 2."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("sig"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.col(id_col)).cast("long").alias("min_id"),
+        )
+        .where(F.col("cnt") >= 2)
+        .orderBy("sig")
+    )
+
+
+def minhash_signatures(tok_df: DataFrame) -> DataFrame:
+    """(docid, toks) -> (docid, h0..h15) minhash signature.
+
+    h_i = lexicographic min over DISTINCT tokens of md5('<i>:' + token).
+    One explode + one groupBy (map-side partial min) — a single shuffle.
+    """
+    exploded = tok_df.select(
+        "docid", F.explode(F.array_distinct("toks")).alias("t")
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("t")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return exploded.groupBy("docid").agg(*aggs)
+
+
+def minhash_bands(sig_df: DataFrame) -> DataFrame:
+    """Signature -> (docid, band_idx, band_hash) rows for the LSH join."""
+    bands = []
+    for bi in range(NUM_HASHES // BAND_SIZE):
+        cols = [F.col(f"h{bi * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        bands.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    return sig_df.select(
+        "docid", F.explode(F.array(*bands)).alias("b")
+    ).select("docid", "b.band_idx", "b.band_hash")
+
+
+def lsh_candidate_pairs(tok_df: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any minhash band."""
+    bands = minhash_bands(minhash_signatures(tok_df))
+    left = bands.select(
+        F.col("docid").alias("a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col("docid").alias("b"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+def ngram_jaccard_pairs(tok_df: DataFrame, n: int = 3, top: int = 20) -> DataFrame:
+    """Top pairs by n-gram (token shingle) Jaccard similarity.
+
+    Shingle sets are DISTINCT n-token windows; pairs meet via a join on
+    shared shingles (no cartesian product), jaccard = |∩|/(|A|+|B|-|∩|).
+    """
+    toks = tok_df.select("docid", "toks").where(F.size("toks") >= n)
+    sh = toks.select(
+        "docid",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j) for j in range(n)]
+                ),
+            )
+        ).alias("shingles"),
+    )
+    sizes = sh.select("docid", F.size("shingles").alias("nsh"))
+    ex = sh.select("docid", F.explode("shingles").alias("s"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .where(F.col("x.docid") < F.col("y.docid"))
+        .groupBy(
+            F.col("x.docid").alias("a"), F.col("y.docid").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("docid", "a").withColumnRenamed("nsh", "na"), "a")
+        .join(sizes.withColumnRenamed("docid", "b").withColumnRenamed("nsh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(top)
+    )
+
+
+def simhash64(tok_df: DataFrame) -> DataFrame:
+    """(docid, toks) -> 64-bit SimHash as a 16-hex-char string.
+
+    Each DISTINCT token votes with the first 64 bits of md5(token);
+    bit b of the result = 1 iff more tokens set bit b than clear it.
+    Portable: md5-hex nibbles -> bit votes, reproducible in SQL.
+    """
+    ex = tok_df.select("docid", F.explode(F.array_distinct("toks")).alias("t"))
+    h = F.md5(F.col("t")).substr(1, 16)
+    # per-nibble votes: value of hex digit at position p (1..16)
+    votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(h, p, 1), 16, 10)
+                .cast("int")
+                .bitwiseAND(F.lit(1 << b))
+                > 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{p}_{b}")
+        for p in range(1, 17)
+        for b in range(4)
+    ]
+    agg = ex.groupBy("docid").agg(*votes)
+    nibbles = []
+    for p in range(1, 17):
+        nib = None
+        for b in range(4):
+            bit = F.when(F.col(f"v_{p}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            nib = bit if nib is None else (nib + bit)
+        nibbles.append(F.lower(F.conv(nib.cast("string"), 10, 16)))
+    return agg.select("docid", F.concat(*nibbles).alias("simhash"))

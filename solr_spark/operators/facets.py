@@ -1,0 +1,110 @@
+"""Faceting & stats operators — the JSON Facet API family on DataFrames.
+
+Reference surface being re-expressed (not ported):
+- terms facet with sort/limit/mincount:
+  solr/core/src/java/org/apache/solr/search/facet/FacetField.java,
+  processors FacetFieldProcessorByArrayDV/ByHashDV (hash agg — Catalyst's
+  hash aggregate is the same physical strategy, chosen automatically)
+- range facet: solr/core/src/java/org/apache/solr/search/facet/FacetRangeProcessor.java:40-97
+- query facet: solr/core/src/java/org/apache/solr/search/facet/FacetQuery.java
+- stats component: solr/core/src/java/org/apache/solr/handler/component/StatsField.java:80-193
+- pivot facets: solr/core/src/java/org/apache/solr/handler/component/PivotFacetProcessor.java
+
+Two-phase facet refinement (FacetFieldProcessor.java:930-957) is
+unnecessary on Spark: partial+final hash aggregation computes exact
+counts in one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.functions.det import davg, dstddev, dsum
+
+
+def terms_facet(
+    df: DataFrame,
+    field: str,
+    limit: int = 10,
+    mincount: int = 1,
+    sort_by_count: bool = True,
+) -> DataFrame:
+    """Value -> count buckets, top-`limit` (count desc, value asc)."""
+    out = df.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if mincount > 1:
+        out = out.where(F.col("cnt") >= mincount)
+    order = (
+        [F.desc("cnt"), F.asc("value")] if sort_by_count else [F.asc("value")]
+    )
+    return out.orderBy(*order).limit(limit)
+
+
+def range_facet(
+    df: DataFrame, col: str, start: float, end: float, gap: float
+) -> DataFrame:
+    """Numeric buckets [start+i*gap, start+(i+1)*gap); values outside are
+    dropped (hardend semantics without the `other` buckets)."""
+    c = F.col(col)
+    bucket = F.floor((c - F.lit(start)) / F.lit(gap)).cast("long")
+    return (
+        df.where((c >= start) & (c < end))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            (F.lit(start) + F.col("bucket") * F.lit(gap)).alias("bucket_start"),
+            "cnt",
+        )
+        .orderBy("bucket_start")
+    )
+
+
+def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
+    """Named predicate buckets -> one row per name with its count."""
+    aggs = [
+        F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(name)
+        for name, p in preds.items()
+    ]
+    wide = df.agg(*aggs)
+    names = list(preds)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("name"), F.col(n).alias("cnt"))
+                    for n in names
+                ]
+            )
+        ).alias("x")
+    )
+    return stacked.select("x.name", "x.cnt").orderBy("name")
+
+
+def pivot_facet(df: DataFrame, fields: list[str], limit: int = 100) -> DataFrame:
+    """Multi-level value combination counts (pivot facet, flattened)."""
+    return (
+        df.groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), *[F.asc(f) for f in fields])
+        .limit(limit)
+    )
+
+
+def stats_facet(df: DataFrame, col: str) -> DataFrame:
+    """min/max/sum/count/mean/stddev of a numeric field (StatsValues).
+
+    Sum/mean/stddev go through exact decimal components so results are
+    order-independent (hash-comparable against a single-node oracle).
+    """
+    c = F.col(col)
+    return df.agg(
+        F.round(F.min(c).cast("double"), 4).alias("min_v"),
+        F.round(F.max(c).cast("double"), 4).alias("max_v"),
+        dsum(c, "sum_v"),
+        F.count(c).alias("count_v"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias("missing_v"),
+        davg(c, "mean_v"),
+        dstddev(c, "stddev_v"),
+    )

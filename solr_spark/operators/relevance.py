@@ -1,0 +1,102 @@
+"""Term-dictionary & relevance-feedback operators.
+
+- terms_component: term dictionary scan with docFreq ordering
+  (solr/core/src/java/org/apache/solr/handler/component/TermsComponent.java:77,237-293)
+- significant_terms: fg/bg over-representation scoring
+  (solr/core/src/java/org/apache/solr/search/SignificantTermsQParserPlugin.java:41,
+  streaming facade solrj/.../io/stream/SignificantTermsStream.java:59)
+- more_like_this: top tf-idf "interesting terms" of a doc turned into an
+  OR query (solr/core/src/java/org/apache/solr/handler/MoreLikeThisHandler.java,
+  handler/component/MoreLikeThisComponent.java:61)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.functions.bm25 import idf_py
+
+
+def doc_freq_postings(tok_df: DataFrame) -> DataFrame:
+    """(docid, toks) -> distinct (docid, term) pairs."""
+    return tok_df.select(
+        "docid", F.explode(F.array_distinct("toks")).alias("term")
+    )
+
+
+def terms_component(tok_df: DataFrame, limit: int = 20) -> DataFrame:
+    """Top terms of the dictionary by doc frequency (df desc, term asc)."""
+    return (
+        doc_freq_postings(tok_df)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+    )
+
+
+def significant_terms(
+    tok_df: DataFrame, fg_term: str, min_fg: int = 3, limit: int = 15
+) -> DataFrame:
+    """Terms over-represented in docs matching `fg_term` vs the corpus.
+
+    score = (fg_df / N_fg) / ((bg_df + 1) / N)  — rounded to 4.
+    """
+    post = doc_freq_postings(tok_df)
+    fg_docs = post.where(F.col("term") == fg_term).select("docid").distinct()
+    n_docs = float(tok_df.count())
+    n_fg = float(fg_docs.count())
+    bg = post.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("bg_df"))
+    fg = (
+        post.join(F.broadcast(fg_docs), "docid")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("fg_df"))
+    )
+    return (
+        fg.join(bg, "term")
+        .where(F.col("fg_df") >= min_fg)
+        .select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("bg_df").cast("long").alias("bg_df"),
+            F.round(
+                (F.col("fg_df") / F.lit(n_fg))
+                / ((F.col("bg_df") + F.lit(1.0)) / F.lit(n_docs)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(limit)
+    )
+
+
+def interesting_terms(
+    tok_df: DataFrame, docid: int, top_terms: int = 5
+) -> list[str]:
+    """The doc's top tf*idf terms (MoreLikeThis term selection)."""
+    n_docs = tok_df.count()
+    post = tok_df.select("docid", F.explode("toks").alias("term")).groupBy(
+        "docid", "term"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = {
+        r["term"]: r["df"]
+        for r in post.groupBy("term")
+        .agg(F.countDistinct("docid").alias("df"))
+        .join(
+            F.broadcast(
+                post.where(F.col("docid") == docid).select("term").distinct()
+            ),
+            "term",
+        )
+        .collect()
+    }
+    doc_tfs = {
+        r["term"]: r["tf"]
+        for r in post.where(F.col("docid") == docid).collect()
+    }
+    scored = sorted(
+        ((t, doc_tfs[t] * idf_py(dfreq[t], n_docs)) for t in doc_tfs),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return [t for t, _ in scored[:top_terms]]

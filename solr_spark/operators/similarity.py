@@ -1,0 +1,104 @@
+"""Embedding similarity search (ANN) over array<float> columns.
+
+The reference fork has NO dense-vector KNN (KnnStream.java:56 delegates
+to MoreLikeThis; no DenseVectorField exists) — this module is the
+training-pipeline extension the graft adds as first-class capability:
+
+- brute-force cosine top-k: exact baseline, one pass, JVM-side
+  zip_with/aggregate arithmetic (no UDF);
+- LSH-bucketed variant: random-hyperplane signs (deterministic,
+  hash-derived planes) prefilter candidates to buckets, then exact
+  re-scoring inside matching buckets — the 100TB scale path (the
+  bucket join replaces the full scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, sim) rounded to 4."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    e = _as_double("embedding")
+    sim = _dot(e, q) / (_norm(e) * _norm(q))
+    return (
+        emb.select(F.col(id_col).cast("long").alias("vec_id"), sim.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("s", 4).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a hash counter."""
+    import hashlib
+    import struct
+
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (u,) = struct.unpack("<I", h[:4])
+            vals.append((u / 2**32) * 2.0 - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Add a sign-pattern bucket id (random-hyperplane LSH)."""
+    dim = len(emb.select("embedding").head()["embedding"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = _as_double("embedding")
+    bits = None
+    for i, pl in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in pl])
+        bit = F.when(_dot(e, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else (bits + bit)
+    return emb.withColumn("bucket", bits.cast("int"))
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    `probe_hamming` bit flips of the query's bucket (multi-probe)."""
+    bucketed = lsh_bucket(emb, n_planes, seed)
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for i, pl in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, pl)) >= 0:
+            qb |= 1 << i
+    probes = {qb}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(qb ^ (1 << i))
+    cand = bucketed.where(F.col("bucket").isin(sorted(probes)))
+    return cosine_topk(cand, query_vec, k, id_col)

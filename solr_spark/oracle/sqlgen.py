@@ -1,0 +1,94 @@
+"""DuckDB oracle-SQL generators, mirroring the engine's operators.
+
+Each function returns ANSI-ish SQL runnable by DuckDB over the harness
+views (documents, lineitem, orders, ...). The SQL is generated from the
+SAME shared definitions as the Spark side (analyzer regexes, SmallFloat
+table, BM25 constants, wordlists), so Spark result == SQL result by
+construction, not by coincidence.
+"""
+
+from __future__ import annotations
+
+from solr_spark.analysis.analyzer import tokens_sql
+from solr_spark.functions.bm25 import idf_sql, tf_part_sql
+from solr_spark.functions.smallfloat import quantize_sql
+from solr_spark.query.engine import analyze_query
+
+DOC_TOKS = f"""
+toks AS (
+  SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents
+),
+doclens AS (
+  SELECT docid, len(toks) AS doclen, {quantize_sql('len(toks)')} AS dl_q FROM toks
+)"""
+
+
+def bm25_sql(qtext: str, k: int = 10, mode: str = "OR") -> str:
+    qterms = analyze_query(qtext)
+    if not qterms:
+        return "SELECT doc_id::BIGINT AS docid, 0.0::DOUBLE AS score FROM documents WHERE false"
+    terms_in = ",".join(f"'{t}'" for t in qterms)
+    qvals = ",".join(f"('{t}', {float(c)})" for t, c in qterms.items())
+    and_filter = f"WHERE nm = {len(qterms)}" if mode == "AND" else ""
+    return f"""
+WITH {DOC_TOKS},
+meta AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl
+  FROM doclens
+),
+post AS (
+  SELECT docid, unnest(toks) AS term FROM toks
+),
+tf AS (
+  SELECT docid, term, count(*)::DOUBLE AS tf FROM post
+  WHERE term IN ({terms_in}) GROUP BY docid, term
+),
+stats AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+q(term, qtf) AS (VALUES {qvals}),
+scored AS (
+  SELECT tf.docid,
+         sum(q.qtf * {idf_sql('stats.df', 'meta.n_docs')}
+             * {tf_part_sql('tf.tf', 'dl.dl_q', 'meta.avgdl')}) AS s,
+         count(*) AS nm
+  FROM tf
+  JOIN stats USING (term)
+  JOIN q USING (term)
+  JOIN doclens dl USING (docid)
+  CROSS JOIN meta
+  GROUP BY tf.docid
+)
+SELECT docid, round(s, 4) AS score
+FROM scored {and_filter}
+ORDER BY round(s, 4) DESC, docid LIMIT {k}
+"""
+
+
+def terms_top_df_sql(limit: int = 20) -> str:
+    """Term dictionary scan: top terms by doc freq (TermsComponent.java:237)."""
+    return f"""
+WITH {DOC_TOKS},
+post AS (SELECT DISTINCT docid, unnest(toks) AS term FROM toks)
+SELECT term, count(*)::BIGINT AS df FROM post
+GROUP BY term ORDER BY df DESC, term LIMIT {limit}
+"""
+
+
+def significant_terms_sql(fg_term: str, min_fg: int = 3, limit: int = 15) -> str:
+    return f"""
+WITH {DOC_TOKS},
+post AS (SELECT DISTINCT docid, unnest(toks) AS term FROM toks),
+fg_docs AS (SELECT DISTINCT docid FROM post WHERE term = '{fg_term}'),
+n AS (SELECT count(*)::DOUBLE AS n_docs, (SELECT count(*) FROM fg_docs)::DOUBLE AS n_fg FROM toks),
+bg AS (SELECT term, count(*)::DOUBLE AS bg_df FROM post GROUP BY term),
+fg AS (SELECT term, count(*)::DOUBLE AS fg_df FROM post
+       WHERE docid IN (SELECT docid FROM fg_docs) GROUP BY term)
+SELECT fg.term,
+       fg.fg_df::BIGINT AS fg_df,
+       bg.bg_df::BIGINT AS bg_df,
+       round((fg.fg_df / n.n_fg) / ((bg.bg_df + 1.0) / n.n_docs), 4) AS score
+FROM fg JOIN bg USING (term) CROSS JOIN n
+WHERE fg.fg_df >= {min_fg}
+ORDER BY score DESC, fg.term LIMIT {limit}
+"""

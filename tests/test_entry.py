@@ -1,0 +1,85 @@
+"""Mirror of the driver's correctness gate: every queries() entry vs its
+oracle_sql() twin on DuckDB, at sf0.01 — row count, schema width, and
+exact (order-insensitive) value equality."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(float)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, sdf, ddf):
+    s, d = _norm(sdf), _norm(ddf)
+    assert list(s.columns) == list(d.columns), f"{name}: columns {list(s.columns)} != {list(d.columns)}"
+    assert len(s) == len(d), f"{name}: rows {len(s)} != {len(d)}"
+    for c in s.columns:
+        a, b = s[c].tolist(), d[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            if isinstance(x, float) or isinstance(y, float):
+                ok = (math.isnan(x) and math.isnan(y)) or x == y
+            else:
+                ok = x == y
+            assert ok, f"{name}: col {c} row {i}: {x!r} != {y!r}"
+
+
+QUERIES = E.queries()
+ORACLES = E.oracle_sql()
+
+
+def test_oracle_coverage():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle_sql for unknown queries: {missing}"
+    # the intentionally oracle-less entries
+    no_oracle = set(QUERIES) - set(ORACLES)
+    assert no_oracle <= {"ann_cosine_lsh", "simhash64"}, no_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_vs_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    ddf = duck.execute(ORACLES[name]).fetchdf()
+    _compare(name, sdf, ddf)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_entries(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0 and len(df.columns) >= 1
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"docid", "score"} <= set(df.columns)
