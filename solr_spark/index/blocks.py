@@ -26,7 +26,7 @@ BLOCK_SIZE = 128
 BLOCKS_SCHEMA = (
     "term string, salt int, block_id int, n_docs int, first_docid long, "
     "max_docid long, max_tf int, max_tf_part double, "
-    "docids_bin binary, tfs_bin binary, bucket int"
+    "docids_bin binary, tfs_bin binary, dlqs_bin binary, bucket int"
 )
 
 
@@ -102,18 +102,26 @@ def encode_posting_list(
                 "max_tf_part": float(tf_part.max()),
                 "docids_bin": varint_encode(deltas),
                 "tfs_bin": varint_encode(t),
+                # per-posting quantized doc length: scoring a decoded block
+                # needs NO join back to the docs table (postings are
+                # self-contained, like Lucene norms riding with the index)
+                "dlqs_bin": varint_encode(q.astype(np.int64)),
                 "bucket": int(bucket),
             }
         )
     return rows
 
 
-def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one block row back to (docids, tfs)."""
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block row back to (docids, tfs, dlqs)."""
     n = int(row["n_docs"])
     deltas = varint_decode(row["docids_bin"], n)
     deltas[0] = row["first_docid"]
-    return np.cumsum(deltas), varint_decode(row["tfs_bin"], n)
+    return (
+        np.cumsum(deltas),
+        varint_decode(row["tfs_bin"], n),
+        varint_decode(row["dlqs_bin"], n),
+    )
 
 
 def make_block_encoder(avgdl: float):
@@ -149,7 +157,7 @@ def make_block_encoder(avgdl: float):
                 )
             cols = ["term", "salt", "block_id", "n_docs", "first_docid",
                     "max_docid", "max_tf", "max_tf_part", "docids_bin",
-                    "tfs_bin", "bucket"]
+                    "tfs_bin", "dlqs_bin", "bucket"]
             return pd.DataFrame(out, columns=cols)
 
         for pdf in batches:

@@ -64,22 +64,24 @@ def bucket_of_py(term: str, num_buckets: int) -> int:
 def assign_docids(df: DataFrame, keys: tuple[str, ...] = DOC_KEY) -> DataFrame:
     """Add a deterministic dense `docid` = global sort rank over `keys`.
 
-    Two-phase: range-partition + sort (global order), persist so both the
-    counting job and the id job see identical partition boundaries, scan
-    per-partition counts (tiny collect: one long per partition), then add
-    offset + local index via an Arrow-batched mapInPandas. O(n log n)
-    shuffle, no single-partition bottleneck — survives a 1000-executor
+    Scale-aware two-phase rank over the NARROW key projection only (the
+    wide `content` column never enters the rank shuffle or the Arrow
+    round-trip): range-partition + sort the keys, persist so the counting
+    job and the id job see identical partition boundaries, collect one
+    count per partition, add offset + local index via Arrow-batched
+    mapInPandas, then hash-join the ids back onto the full rows. No
+    single-partition bottleneck anywhere — survives a 1000-executor
     scale-up. Keys must be unique (enforced upstream) so the rank is
     run-independent even though range boundaries are sampled.
     """
-    import numpy as np  # noqa: F401  (imported for closure use below)
-
     key_cols = [F.col(k) for k in keys]
-    sorted_df = (
-        df.repartitionByRange(*key_cols).sortWithinPartitions(*key_cols)
+    sorted_keys = (
+        df.select(*keys)
+        .repartitionByRange(*key_cols)
+        .sortWithinPartitions(*key_cols)
     ).persist()
     counts = (
-        sorted_df.groupBy(F.spark_partition_id().alias("pid"))
+        sorted_keys.groupBy(F.spark_partition_id().alias("pid"))
         .count()
         .collect()
     )
@@ -94,7 +96,7 @@ def assign_docids(df: DataFrame, keys: tuple[str, ...] = DOC_KEY) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
-        list(sorted_df.schema.fields) + [StructField("docid", LongType(), False)]
+        list(sorted_keys.schema.fields) + [StructField("docid", LongType(), False)]
     )
 
     def add_ids(batches):
@@ -109,8 +111,8 @@ def assign_docids(df: DataFrame, keys: tuple[str, ...] = DOC_KEY) -> DataFrame:
             seen += len(pdf)
             yield pdf
 
-    result = sorted_df.mapInPandas(add_ids, schema=out_schema)
-    return result
+    ids = sorted_keys.mapInPandas(add_ids, schema=out_schema)
+    return df.join(ids, list(keys))
 
 
 @dataclass
@@ -253,6 +255,9 @@ def build_index(
         corpus = spark.read.parquet(ids_dir)
 
     # ---- phase 1: per-chunk tokenize + invert (resumable) ----
+    # single-chunk fast path: write docs and bucket-partitioned postings
+    # straight to their final layout (no stage copy, one shuffle less)
+    single = num_chunks == 1
     for chunk in range(num_chunks):
         manifest = os.path.join(paths.checkpoints, f"chunk_{chunk}.json")
         if resume and os.path.exists(manifest):
@@ -262,12 +267,22 @@ def build_index(
             part = corpus.where(F.pmod(F.col("docid"), F.lit(num_chunks)) == chunk)
         tick = time.time()
         docs_tok = _analyze_docs(part).persist()
-        docs_dir = os.path.join(paths.stage, f"docs_c{chunk}")
-        post_dir = os.path.join(paths.stage, f"post_c{chunk}")
+        docs_dir = paths.docs if single else os.path.join(paths.stage, f"docs_c{chunk}")
+        post_dir = paths.postings if single else os.path.join(paths.stage, f"post_c{chunk}")
         docs_tok.drop("_tokens").write.mode("overwrite").parquet(docs_dir)
-        _postings_from_docs(docs_tok).withColumn(
+        chunk_post = _postings_from_docs(docs_tok).withColumn(
             "bucket", bucket_of_col("term", num_buckets)
-        ).write.mode("overwrite").parquet(post_dir)
+        )
+        if single:
+            # repartition on (bucket, term): write parallelism stays at
+            # shuffle-partition width (not num_buckets) while keeping all
+            # rows of a term in one file within its bucket directory
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            chunk_post.repartition(nparts, "bucket", "term").write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(post_dir)
+        else:
+            chunk_post.write.mode("overwrite").parquet(post_dir)
         docs_tok.unpersist()
         dcount = spark.read.parquet(docs_dir).count()
         pcount = spark.read.parquet(post_dir).count()
@@ -284,11 +299,14 @@ def build_index(
             )
 
     # ---- phase 2: finalize (global stats, bucketed layout, blocks) ----
-    docs = spark.read.parquet(os.path.join(paths.stage, "docs_c*"))
-    postings = spark.read.parquet(os.path.join(paths.stage, "post_c*"))
-
-    docs.write.mode("overwrite").parquet(paths.docs)
-    docs = spark.read.parquet(paths.docs)
+    if single:
+        docs = spark.read.parquet(paths.docs)
+        postings = spark.read.parquet(paths.postings)
+    else:
+        docs = spark.read.parquet(os.path.join(paths.stage, "docs_c*"))
+        postings = spark.read.parquet(os.path.join(paths.stage, "post_c*"))
+        docs.write.mode("overwrite").parquet(paths.docs)
+        docs = spark.read.parquet(paths.docs)
 
     agg = docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("total_len")
@@ -310,12 +328,13 @@ def build_index(
     term_stats = spark.read.parquet(paths.term_stats)
 
     # bucketed flat postings (the correctness/scoring path)
-    (
-        postings.repartition(num_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(paths.postings)
-    )
+    if not single:
+        (
+            postings.repartition(num_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(paths.postings)
+        )
 
     if build_blocks and n_docs:
         head_terms = term_stats.where("is_head").select("term").withColumn(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from solr_spark.analysis.analyzer import tokenize_py
-from solr_spark.functions.bm25 import idf_py, tf_part_col
+from solr_spark.functions.bm25 import idf_col, tf_part_col
 from solr_spark.index.builder import Index
 
 
@@ -40,30 +40,32 @@ def analyze_query(qtext: str) -> dict[str, int]:
     return counts
 
 
-def _scored_postings(index: Index, qterms: dict[str, int]) -> tuple[DataFrame, int]:
+def _scored_postings(index: Index, qterms: dict[str, int]) -> DataFrame:
     """Postings of the query terms with per-(term,doc) contributions.
 
-    Returns (df with docid/contrib columns, n_distinct_terms_present).
+    Single declarative plan: per-term idf comes from a broadcast join
+    against the bucket-pruned term_stats table — no driver round-trip
+    (the Spark shape of the global-stats exchange,
+    solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:62).
     """
     spark = index.spark
-    stats = index.term_stats_for(list(qterms))
-    present = [t for t in qterms if t in stats]
     n_docs = index.meta["n_docs"]
     avgdl = index.meta["avgdl"]
-    if not present:
-        empty = spark.createDataFrame([], "docid long, contrib double, term string")
-        return empty, 0
     qrel = spark.createDataFrame(
-        [(t, float(qterms[t]), idf_py(stats[t][0], n_docs)) for t in present],
-        "term string, qtf double, idf double",
+        [(t, float(c)) for t, c in qterms.items()], "term string, qtf double"
     )
-    buckets = index.buckets_for(present)
-    postings = (
-        index.postings()
+    buckets = index.buckets_for(list(qterms))
+    qstats = (
+        index.term_stats()
         .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(present))
+        .where(F.col("term").isin(list(qterms)))
+        .join(F.broadcast(qrel), "term")
+        .select("term", "qtf", idf_col(F.col("df"), n_docs).alias("idf"))
     )
-    scored = postings.join(F.broadcast(qrel), "term").select(
+    postings = index.postings().where(F.col("bucket").isin(buckets)).where(
+        F.col("term").isin(list(qterms))
+    )
+    return postings.join(F.broadcast(qstats), "term").select(
         "docid",
         "term",
         (
@@ -72,7 +74,6 @@ def _scored_postings(index: Index, qterms: dict[str, int]) -> tuple[DataFrame, i
             * tf_part_col(F.col("tf"), F.col("dl_q"), float(avgdl))
         ).alias("contrib"),
     )
-    return scored, len(present)
 
 
 def bm25_topk(
@@ -86,19 +87,32 @@ def bm25_topk(
 
     mode="AND" keeps only docs matching every distinct query term
     (postings-intersection semantics: matched-term count == #terms);
-    an AND query with an absent term returns no rows.
+    an AND query with an absent term returns no rows. Runs as ONE Spark
+    job: per-partition heap + driver merge (TakeOrderedAndProject).
     """
     qterms = analyze_query(qtext)
-    scored, n_present = _scored_postings(index, qterms)
-    if n_present == 0 or (mode == "AND" and n_present < len(qterms)):
+    if not qterms:
         result = index.spark.createDataFrame([], "docid long, score double")
     else:
+        scored = _scored_postings(index, qterms)
         agg = scored.groupBy("docid").agg(
             F.sum("contrib").alias("score"),
             F.count(F.lit(1)).alias("_nmatched"),
         )
         if mode == "AND":
-            agg = agg.where(F.col("_nmatched") == n_present)
+            # every distinct query term must be present in the index AND
+            # matched by the doc; n_present (a tiny term_stats scan) is
+            # joined in as a broadcast scalar so the query stays one job.
+            n_present = (
+                index.term_stats()
+                .where(F.col("bucket").isin(index.buckets_for(list(qterms))))
+                .where(F.col("term").isin(list(qterms)))
+                .agg(F.count(F.lit(1)).alias("_npresent"))
+            )
+            agg = agg.crossJoin(F.broadcast(n_present)).where(
+                (F.col("_nmatched") == F.col("_npresent"))
+                & (F.col("_npresent") == len(qterms))
+            )
         result = (
             agg.select("docid", "score")
             .orderBy(F.desc("score"), F.asc("docid"))

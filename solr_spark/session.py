@@ -22,13 +22,14 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     cores: local parallelism (defaults to $SPARK_GRAFT_CPUS or 32).
-    shuffle_partitions: defaults to cores (local shuffles through one JVM;
-    on a real cluster this should be ~2-3x total cores).
+    shuffle_partitions: defaults to 3x cores — enough task granularity
+    that one straggler doesn't idle the rest (same sizing rule as a real
+    cluster: 2-3x total executor cores).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = cores
+        shuffle_partitions = cores * 3
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -37,7 +38,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -32,13 +32,15 @@ def test_block_roundtrip_and_bounds():
     dlqs = rng.integers(20, 500, size=1000).astype(np.float64)
     rows = encode_posting_list("t", 0, 3, docids, tfs, dlqs, avgdl=120.0)
     assert len(rows) == 8  # 1000 / 128 -> 8 blocks
-    got_d, got_t = [], []
+    got_d, got_t, got_q = [], [], []
     for r in rows:
-        d, t = decode_block(r)
+        d, t, q = decode_block(r)
         assert r["first_docid"] == d[0] and r["max_docid"] == d[-1]
         assert r["max_tf"] == t.max()
         assert 0.0 < r["max_tf_part"] <= 1.0
         got_d.append(d)
         got_t.append(t)
+        got_q.append(q)
     assert (np.concatenate(got_d) == docids).all()
     assert (np.concatenate(got_t) == tfs).all()
+    assert (np.concatenate(got_q) == dlqs.astype(np.int64)).all()

@@ -1,0 +1,59 @@
+"""Block-max pruned path ≡ flat path (exactness of the pruning).
+
+The reference's contract for its pruned collectors is that results match
+unpruned search (MaxScoreCollectorTest.java et al.); here: wand == flat
+== oracle on every query shape, plus evidence that pruning actually
+skips blocks on mixed head+tail queries.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.builder import build_index
+from solr_spark.query.engine import bm25_topk
+from solr_spark.query.wand import bm25_topk_wand
+from solr_spark.sources.corpus import synthesize_corpus
+
+N_DOCS = 500
+
+QUERIES = [
+    ("return", "OR", 10),
+    ("jsonParser", "OR", 10),
+    ("import buffer size", "OR", 10),
+    ("return import", "AND", 10),
+    ("parse build read write", "OR", 25),
+    ("httpClient userName", "AND", 10),
+    ("return zzzNotAThing", "OR", 10),
+    ("return zzzNotAThing", "AND", 10),
+    ("return parseShard1 bufferSize", "OR", 5),   # head+tail pruning stress
+    ("value data self import return", "OR", 50),
+    ("utf8Parser2", "OR", 100),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    corpus = synthesize_corpus(spark, N_DOCS, seed=42, partitions=4)
+    out = str(tmp_path_factory.mktemp("wand") / "index")
+    return build_index(spark, corpus, out, num_buckets=4, salt_threshold=200, num_salts=4)
+
+
+@pytest.mark.parametrize("qtext,mode,k", QUERIES)
+def test_wand_equals_flat(index, qtext, mode, k):
+    flat = [(r.docid, round(r.score, 9)) for r in bm25_topk(index, qtext, k, mode).collect()]
+    wand = [(r.docid, round(r.score, 9)) for r in bm25_topk_wand(index, qtext, k, mode).collect()]
+    assert wand == flat
+
+
+def test_pruning_skips_work(index):
+    """On a mixed head+tail OR query the head term (tiny idf -> tiny ub)
+    must be classified non-essential: its posting blocks are skipped
+    during candidate generation, and results stay exact."""
+    dbg: dict = {}
+    qtext, k = "return parseShard1 bufferSize", 5
+    wand = [(r.docid, round(r.score, 9)) for r in bm25_topk_wand(index, qtext, k, debug=dbg).collect()]
+    flat = [(r.docid, round(r.score, 9)) for r in bm25_topk(index, qtext, k).collect()]
+    assert wand == flat
+    assert dbg.get("essential"), dbg
+    assert "return" not in dbg["essential"], dbg
+    assert dbg["blocks_decoded"] < dbg["blocks_total"], dbg
