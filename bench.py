@@ -49,7 +49,8 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     spark = get_spark(f"bench_{cores}", cores=cores)
     res: dict = out if out is not None else {}
     queries: dict[str, float] = {}
-    idx_dir = f"/tmp/solr_spark_bench/index_{cores}"
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    idx_dir = f"{base}/solr_spark_bench/index_{cores}"
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # --- index build throughput (north-rule corpus) ---

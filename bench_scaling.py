@@ -1,27 +1,41 @@
 """Scaling-efficiency study: the same job at two parallelism levels.
 
 Sandbox proxy for the north rule's N vs 4N executor criterion: run the
-identical index-build + query suite at local[8] and local[32] on the
+identical index-build + query suite pinned to 8 and to 32 CPUs on the
 same input, report throughput at both and
-efficiency = (throughput@32 / throughput@8) / 4. Results land in
-BENCH/BASELINE.md. Each level runs in a fresh subprocess so the two
-SparkSessions (master URLs differ) can't share a JVM.
+efficiency = (throughput@32 / throughput@8) / 4.
+
+Methodology notes (single shared box, unlike a real cluster):
+- each level runs in its own subprocess under `taskset -c 0..N-1`, so
+  "8 cores" really means 8 CPUs for the JVM, GC, shuffle AND Python
+  workers (local[8] alone only limits task slots);
+- each level repeats R times and keeps the best run — the box shows
+  multi-x run-to-run variance from neighbors, which best-of damps;
+- shuffle + index output live on tmpfs (a real cluster has per-executor
+  local disks; one shared spinning vda would serialize all levels).
+Results land in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import subprocess
 import sys
-import os
+import time
 
 LEVELS = [8, 32]
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 
 
 def run_level(cores: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "bench.py"]
+    if shutil.which("taskset") is None:
+        cmd = cmd[3:]
     out = subprocess.run(
-        [sys.executable, "bench.py"],
+        cmd,
         capture_output=True,
         text=True,
         env=env,
@@ -32,14 +46,24 @@ def run_level(cores: int) -> dict:
 
 
 def main() -> None:
-    results = {c: run_level(c) for c in LEVELS}
+    runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    for rep in range(REPEATS):
+        for c in LEVELS:
+            shutil.rmtree("/dev/shm/solr_spark_tmp", ignore_errors=True)
+            runs[c].append(run_level(c))
+            time.sleep(5)
+    best = {
+        c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()
+    }
     lo, hi = LEVELS
-    thr = {c: results[c]["docs_per_sec"] for c in LEVELS}
+    thr = {c: best[c]["docs_per_sec"] for c in LEVELS}
     eff = (thr[hi] / thr[lo]) / (hi / lo)
     report = {
-        "levels": results,
+        "levels": best,
+        "all_docs_per_sec": {c: [r["docs_per_sec"] for r in rs] for c, rs in runs.items()},
         "index_docs_per_sec": thr,
         "scaling_efficiency": round(eff, 3),
+        "repeats": REPEATS,
     }
     print(json.dumps(report, indent=2))
 

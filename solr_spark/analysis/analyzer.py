@@ -50,11 +50,24 @@ _PY_RULES = [(re.compile(p), r) for p, _, r in _SPLIT_RULES]
 _PY_SEP = re.compile(_TOKEN_SEP)
 
 
+# Single-pass fused form of the four split rules for the Spark hot path.
+# Java regex supports lookahead (RE2/DuckDB does not, so the SQL twin keeps
+# the 4-pass form): insert a space AFTER any char at a split boundary. The
+# rules only inspect 1-2 chars of right context, so simultaneous single-pass
+# application equals sequential 4-pass application (fuzz-tested vs
+# tokenize_py in tests/test_analyzer.py).
+_FUSED_SPLIT = (
+    r"([a-z0-9](?=[A-Z])"          # case change
+    r"|[A-Z](?=[A-Z][a-z])"        # acronym boundary
+    r"|[A-Za-z](?=[0-9])"          # letter->digit
+    r"|[0-9](?=[A-Za-z]))"         # digit->letter
+)
+
+
 def tokens_col(col: Column | str) -> Column:
     """Analysis chain as a Spark Column -> array<string> (JVM-side only)."""
     c = F.col(col) if isinstance(col, str) else col
-    for pat, java_repl, _ in _SPLIT_RULES:
-        c = F.regexp_replace(c, pat, java_repl)
+    c = F.regexp_replace(c, _FUSED_SPLIT, r"$1 ")
     return F.filter(F.split(F.lower(c), _TOKEN_SEP), lambda x: x != "")
 
 

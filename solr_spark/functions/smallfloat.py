@@ -74,12 +74,23 @@ def quantize_np(lengths: np.ndarray) -> np.ndarray:
 def quantize_col(col: Column | str) -> Column:
     """Spark Column: length -> decoded quantized length (JVM-side).
 
-    encode == largest decode-table entry <= x, so this is a 256-element
-    array scan per row — pure JVM, no UDF.
+    Arithmetic form (no per-row allocation): for y = x - 24 >= 8,
+    decode(encode(y)) truncates y to its top 4 bits:
+        s = bit_length(y) - 4;  q = 24 + ((y >> s) << s)
+    bit_length is a when-chain of integer comparisons (exact — float
+    log2 would misround at power-of-two boundaries). Values below 24
+    (and subnormal y < 8) are exact. Equivalence with the table is
+    unit-tested over the full small range + random large values.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    lut = F.array(*[F.lit(v) for v in DECODE_TABLE])
-    return F.array_max(F.filter(lut, lambda v: v <= c))
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    y = c - F.lit(NUM_FREE_VALUES)
+    # p = 2^s with s = max(bit_length(y) - 4, 0); truncating the low s
+    # bits is y - y % p (integer ops only, no per-row allocation)
+    p = F.lit(1).cast("long")
+    for k in range(1, 28):  # doclen < 2^31
+        p = F.when(y >= F.lit(1 << (k + 3)), F.lit(1 << k).cast("long")).otherwise(p)
+    quant = F.lit(NUM_FREE_VALUES) + (y - F.pmod(y, p))
+    return F.when(c < NUM_FREE_VALUES + 8, c).otherwise(quant)
 
 
 def quantize_sql(col_expr: str) -> str:

@@ -244,15 +244,22 @@ def build_index(
 
     t0 = time.time()
 
-    # ---- phase 0: stage corpus with deterministic docids (resumable) ----
+    # ---- phase 0: deterministic docids ----
+    # chunked (resumable) builds stage the id-assigned corpus to parquet so
+    # every chunk/retry sees identical docids from stable storage; a
+    # single-chunk build skips the staging round-trip (the rank is
+    # deterministic within one job graph via the persisted key sort)
     if "docid" not in corpus.columns:
-        ids_dir = os.path.join(paths.stage, "corpus_ids")
-        man0 = os.path.join(paths.checkpoints, "corpus_ids.json")
-        if not (resume and os.path.exists(man0)):
-            assign_docids(corpus).write.mode("overwrite").parquet(ids_dir)
-            with open(man0, "w") as f:
-                json.dump({"status": "done"}, f)
-        corpus = spark.read.parquet(ids_dir)
+        if num_chunks == 1:
+            corpus = assign_docids(corpus)
+        else:
+            ids_dir = os.path.join(paths.stage, "corpus_ids")
+            man0 = os.path.join(paths.checkpoints, "corpus_ids.json")
+            if not (resume and os.path.exists(man0)):
+                assign_docids(corpus).write.mode("overwrite").parquet(ids_dir)
+                with open(man0, "w") as f:
+                    json.dump({"status": "done"}, f)
+            corpus = spark.read.parquet(ids_dir)
 
     # ---- phase 1: per-chunk tokenize + invert (resumable) ----
     # single-chunk fast path: write docs and bucket-partitioned postings
@@ -284,19 +291,19 @@ def build_index(
         else:
             chunk_post.write.mode("overwrite").parquet(post_dir)
         docs_tok.unpersist()
-        dcount = spark.read.parquet(docs_dir).count()
-        pcount = spark.read.parquet(post_dir).count()
+        man = {
+            "chunk": chunk,
+            "elapsed_ms": int((time.time() - tick) * 1000),
+            "status": "done",
+        }
+        if not single:
+            # chunked builds record per-chunk lineage counts; the
+            # single-chunk fast path derives them from phase-2 stats
+            # instead of paying two extra count jobs
+            man["docs_out"] = spark.read.parquet(docs_dir).count()
+            man["postings_out"] = spark.read.parquet(post_dir).count()
         with open(manifest, "w") as f:
-            json.dump(
-                {
-                    "chunk": chunk,
-                    "docs_out": dcount,
-                    "postings_out": pcount,
-                    "elapsed_ms": int((time.time() - tick) * 1000),
-                    "status": "done",
-                },
-                f,
-            )
+            json.dump(man, f)
 
     # ---- phase 2: finalize (global stats, bucketed layout, blocks) ----
     if single:

@@ -1,0 +1,148 @@
+"""Full search execution: parsed query -> scored, filtered top-k.
+
+The Spark shape of the reference's /select component pipeline
+(solr/core/src/java/org/apache/solr/handler/component/SearchHandler.java:286
+prepare/process; QueryComponent.java:133 parse, :328 execute):
+
+- q clauses score (BM25); fq filters never score and are applied as
+  cheap predicates/semi-joins BEFORE aggregation (the filter/query
+  separation of search/SolrIndexSearcher.java:956);
+- MUST / MUST_NOT via matched-count checks and an anti-join
+  (BooleanQuery semantics, parser/SolrQueryParserBase.java);
+- prefix/fuzzy expansions contribute constant score 1.0 per matching
+  expansion (multiterm constant-score rewrite);
+- two-phase payload fetch: stored columns join only the k winners
+  (QueryComponent.java:1213 GET_FIELDS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.functions.bm25 import idf_col, tf_part_col
+from solr_spark.index.builder import Index
+from solr_spark.plans.qparser import ParsedQuery, parse_query
+from solr_spark.query.expand_ops import fuzzy_query, prefix_query
+
+
+def _filter_pred(fname: str, op: str, val) -> Column:
+    c = F.col(fname)
+    if op == "eq":
+        return c.cast("string") == str(val)
+    if op == "prefix":
+        return c.cast("string").startswith(str(val))
+    if op == "range":
+        lo, hi = val
+        return (c >= lo) & (c <= hi)
+    raise ValueError(op)
+
+
+def search(
+    index: Index,
+    q: str,
+    k: int = 10,
+    with_payload: bool = False,
+) -> DataFrame:
+    """Execute a lucene-syntax query string against the index."""
+    pq: ParsedQuery = parse_query(q)
+    spark = index.spark
+    scoring_terms: dict[str, int] = {}
+    for t in pq.should + pq.must:
+        for tok in _analyze_term(t):
+            scoring_terms[tok] = scoring_terms.get(tok, 0) + 1
+    must_terms = sorted({tok for t in pq.must for tok in _analyze_term(t)})
+
+    parts: list[DataFrame] = []
+    if scoring_terms:
+        qrel = spark.createDataFrame(
+            [(t, float(c)) for t, c in scoring_terms.items()],
+            "term string, qtf double",
+        )
+        buckets = index.buckets_for(list(scoring_terms))
+        avgdl = float(index.meta["avgdl"])
+        qstats = (
+            index.term_stats()
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(list(scoring_terms)))
+            .join(F.broadcast(qrel), "term")
+            .select(
+                "term", "qtf",
+                idf_col(F.col("df"), index.meta["n_docs"]).alias("idf"),
+            )
+        )
+        scored = (
+            index.postings()
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(list(scoring_terms)))
+            .join(F.broadcast(qstats), "term")
+            .select(
+                "docid",
+                "term",
+                (
+                    F.col("qtf") * F.col("idf")
+                    * tf_part_col(F.col("tf"), F.col("dl_q"), avgdl)
+                ).alias("contrib"),
+                F.col("term").isin(must_terms).cast("int").alias("is_must"),
+            )
+        )
+        parts.append(
+            scored.groupBy("docid").agg(
+                F.sum("contrib").alias("score"),
+                F.sum("is_must").alias("_musts"),
+            )
+        )
+    for kind, text in pq.expansions:
+        exp = prefix_query(index, text) if kind == "prefix" else fuzzy_query(index, text)
+        parts.append(exp.withColumn("_musts", F.lit(0)))
+    if not parts:
+        agg = index.spark.createDataFrame([], "docid long, score double")
+    else:
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        agg = merged.groupBy("docid").agg(
+            F.sum("score").alias("score"), F.sum("_musts").alias("_musts")
+        )
+        if must_terms:
+            agg = agg.where(F.col("_musts") == len(must_terms))
+        agg = agg.select("docid", "score")
+
+    if pq.must_not:
+        ban_terms = sorted({tok for t in pq.must_not for tok in _analyze_term(t)})
+        banned = (
+            index.postings()
+            .where(F.col("bucket").isin(index.buckets_for(ban_terms)))
+            .where(F.col("term").isin(ban_terms))
+            .select("docid")
+            .distinct()
+        )
+        agg = agg.join(banned, "docid", "left_anti")
+
+    if pq.filters:
+        pred = None
+        for fname, op, val in pq.filters:
+            p = _filter_pred(fname, op, val)
+            pred = p if pred is None else (pred & p)
+        keep = index.docs().where(pred).select("docid")
+        agg = agg.join(keep, "docid", "left_semi")
+
+    result = (
+        agg.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
+        .limit(k)
+        .select("docid", F.round("score", 4).alias("score"))
+    )
+    if with_payload:
+        payload_cols = [c for c in index.docs().columns if c != "docid"]
+        result = (
+            result.join(index.docs(), "docid", "left")
+            .select("docid", "score", *payload_cols)
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )
+    return result
+
+
+def _analyze_term(t: str) -> list[str]:
+    from solr_spark.analysis.analyzer import tokenize_py
+
+    return tokenize_py(t)

@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle spill location: prefer tmpfs when present. In local mode all
+    # executor threads share ONE disk, so shuffle-heavy stages serialize on
+    # IO and mask CPU scaling; a real cluster has per-executor local disks.
+    # (Override with SPARK_GRAFT_LOCAL_DIR.)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/solr_spark_tmp"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -117,8 +117,13 @@ def test_resume_equals_fresh(spark, corpus, tmp_path):
     assert fresh.meta["n_docs"] == resumed.meta["n_docs"]
 
 
-def test_checkpoint_manifests(index):
-    mans = glob.glob(os.path.join(index.paths.checkpoints, "chunk_*.json"))
-    assert mans
-    m = json.load(open(mans[0]))
-    assert m["status"] == "done" and m["docs_out"] > 0
+def test_checkpoint_manifests(spark, corpus, tmp_path):
+    # chunked builds carry per-chunk lineage counts in their manifests
+    idx = build_index(
+        spark, corpus, str(tmp_path / "m"), num_buckets=4, num_chunks=2,
+        build_blocks=False,
+    )
+    mans = sorted(glob.glob(os.path.join(idx.paths.checkpoints, "chunk_*.json")))
+    assert len(mans) == 2
+    for m in (json.load(open(p)) for p in mans):
+        assert m["status"] == "done" and m["docs_out"] > 0

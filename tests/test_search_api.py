@@ -1,0 +1,119 @@
+"""Query parser + full search execution semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.builder import build_index
+from solr_spark.plans.qparser import parse_query
+from solr_spark.query.engine import bm25_topk
+from solr_spark.query.expand_ops import (
+    fuzzy_query,
+    prefix_query,
+    rerank,
+    term_set_query,
+    wildcard_query,
+)
+from solr_spark.query.search_api import search
+from solr_spark.sources.corpus import synthesize_corpus
+
+
+def test_parse_query_shapes():
+    pq = parse_query('+must -banned plain lang:java n_chars:[10 TO 99] pre* fuz~ "a b"')
+    assert pq.must == ["must", "a", "b"]
+    assert pq.must_not == ["banned"]
+    assert pq.should == ["plain"]
+    assert ("lang", "eq", "java") in pq.filters
+    assert ("n_chars", "range", ("10", "99")) in pq.filters
+    assert ("prefix", "pre") in pq.expansions
+    assert ("fuzzy", "fuz") in pq.expansions
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    corpus = synthesize_corpus(spark, 300, seed=42, partitions=4)
+    out = str(tmp_path_factory.mktemp("sapi") / "index")
+    return build_index(spark, corpus, out, num_buckets=4, build_blocks=False)
+
+
+def test_plain_terms_match_engine(index):
+    got = [(r.docid, r.score) for r in search(index, "return import", k=10).collect()]
+    # search orders by ROUNDED score; rebuild the same ordering from the
+    # engine's full result so k-boundary rounding ties compare stably
+    ref = sorted(
+        (
+            (r.docid, round(r.score, 4))
+            for r in bm25_topk(index, "return import", k=1000).collect()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == ref
+
+
+def test_must_not_excludes(index):
+    banned = {
+        r.docid
+        for r in index.postings().where(F.col("term") == "import").select("docid").collect()
+    }
+    rows = search(index, "return -import", k=300).collect()
+    assert rows and all(r.docid not in banned for r in rows)
+
+
+def test_must_requires(index):
+    # "+jsonParser" analyzes to MUST(json) + MUST(parser)
+    have_all = {
+        r["docid"]
+        for r in index.postings()
+        .where(F.col("term").isin(["json", "parser"]))
+        .groupBy("docid")
+        .agg(F.countDistinct("term").alias("n"))
+        .where("n = 2")
+        .collect()
+    }
+    rows = search(index, "+jsonParser return", k=300).collect()
+    assert {r.docid for r in rows} == have_all
+
+
+def test_metadata_filter_is_nonscoring(index):
+    all_rows = search(index, "return", k=300).collect()
+    filt = search(index, "return lang:java", k=300).collect()
+    langs = {
+        r["docid"]: r["lang"] for r in index.docs().select("docid", "lang").collect()
+    }
+    assert filt and all(langs[r.docid] == "java" for r in filt)
+    scores_all = {r.docid: r.score for r in all_rows}
+    # same docs keep identical scores — the filter never rescored
+    assert all(scores_all[r.docid] == r.score for r in filt if r.docid in scores_all)
+
+
+def test_range_filter(index):
+    rows = search(index, "return path:[src/m1 TO src/m4]", k=300, with_payload=True).collect()
+    assert rows and all("src/m1" <= r.path <= "src/m4" for r in rows)
+
+
+def test_prefix_expansion_constant_score(index):
+    rows = prefix_query(index, "json").collect()
+    assert rows and all(r.score == 1.0 for r in rows)
+    # every returned doc really contains a 'json*' term
+    with_term = {
+        r.docid
+        for r in index.postings().where(F.col("term").startswith("json")).collect()
+    }
+    assert {r.docid for r in rows} == with_term
+
+
+def test_wildcard_and_fuzzy_and_set(index):
+    w = {r.docid for r in wildcard_query(index, "js?n*").collect()}
+    assert w  # jsonparser etc.
+    f = {r.docid for r in fuzzy_query(index, "jsan", max_edits=1).collect()}
+    assert f  # 'json' is one edit away
+    s = {r.docid for r in term_set_query(index, ["json", "nosuchterm"]).collect()}
+    assert s
+
+
+def test_rerank_blends(index):
+    main = bm25_topk(index, "return", k=300)
+    boost = bm25_topk(index, "jsonParser", k=300)
+    rr = rerank(main, boost, rerank_docs=50, rerank_weight=2.0, k=10).collect()
+    assert len(rr) == 10
+    scores = [r.score for r in rr]
+    assert scores == sorted(scores, reverse=True)
