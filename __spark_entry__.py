@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solr_spark.analysis.analyzer import tokens_sql
+from solr_spark.functions.smallfloat import DECODE_TABLE as _SF_TABLE
 from solr_spark.functions.det import (
     davg_sql,
     dstddev_sql,
@@ -26,12 +27,17 @@ from solr_spark.functions.det import (
 from solr_spark.operators import collapse as C
 from solr_spark.operators import dedup as D
 from solr_spark.operators import facets as FA
+from solr_spark.operators import graph as GR
 from solr_spark.operators import relevance as R
 from solr_spark.operators import similarity as SIM
 from solr_spark.operators import streams as S
 from solr_spark.operators import textstats as TS
 from solr_spark.oracle import sqlgen as G
-from solr_spark.query.inline import bm25_inline_topk, doc_tokens
+from solr_spark.query.inline import (
+    bm25_inline_scores,
+    bm25_inline_topk,
+    doc_tokens,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -209,6 +215,200 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_lsh"] = lambda s, d: SIM.cosine_topk_lsh(
         _t(s, d, "embeddings"), _qvec(s, d), k=10
     )
+
+    # --- combined search (q + fq + NOT), MLT, rerank, boost ---
+    def search_filtered(s, d):
+        docs = _docs(s, d)
+        scored = bm25_inline_scores(docs, "table spark", id_col="doc_id", text_col="text")
+        toks = doc_tokens(docs, "doc_id", "text")
+        banned = toks.where(F.array_contains("toks", "vector")).select("docid")
+        keep = docs.where(
+            (F.col("lang") == "en") & F.col("n_chars").between(200, 400)
+        ).select(F.col("doc_id").cast("long").alias("docid"))
+        return (
+            scored.join(banned, "docid", "left_anti")
+            .join(keep, "docid", "left_semi")
+            .orderBy(F.desc(F.round("s", 4)), "docid")
+            .limit(10)
+            .select("docid", F.round("s", 4).alias("score"))
+        )
+
+    q["search_filtered"] = search_filtered
+
+    def mlt_doc0(s, d):
+        docs = _docs(s, d)
+        toks = doc_tokens(docs, "doc_id", "text")
+        post = toks.select("docid", F.explode("toks").alias("term")).groupBy(
+            "docid", "term"
+        ).agg(F.count(F.lit(1)).alias("tf"))
+        n_docs = float(docs.count())
+        dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+        mine = post.where(F.col("docid") == 0).join(dfreq, "term")
+        picked = [
+            r["term"]
+            for r in mine.select(
+                "term",
+                F.round(
+                    F.col("tf")
+                    * F.log(
+                        F.lit(1.0)
+                        + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    ),
+                    6,
+                ).alias("w"),
+            )
+            .orderBy(F.desc("w"), F.asc("term"))
+            .limit(5)
+            .collect()
+        ]
+        scores = bm25_inline_scores(docs, " ".join(picked), id_col="doc_id", text_col="text")
+        return (
+            scores.where(F.col("docid") != 0)
+            .orderBy(F.desc(F.round("s", 4)), "docid")
+            .limit(10)
+            .select("docid", F.round("s", 4).alias("score"))
+        )
+
+    q["mlt_doc0"] = mlt_doc0
+
+    def rerank_entry(s, d):
+        docs = _docs(s, d)
+        main = bm25_inline_scores(docs, "table", id_col="doc_id", text_col="text")
+        rr = bm25_inline_scores(docs, "spark", id_col="doc_id", text_col="text")
+        head = main.orderBy(F.desc(F.round("s", 4)), "docid").limit(50)
+        blended = head.join(
+            rr.select("docid", F.col("s").alias("_rr")), "docid", "left"
+        ).select(
+            "docid",
+            (F.col("s") + F.lit(2.0) * F.coalesce(F.col("_rr"), F.lit(0.0))).alias("b"),
+        )
+        return (
+            blended.orderBy(F.desc(F.round("b", 4)), "docid")
+            .limit(10)
+            .select("docid", F.round("b", 4).alias("score"))
+        )
+
+    q["rerank_top50"] = rerank_entry
+
+    def boost_entry(s, d):
+        docs = _docs(s, d)
+        main = bm25_inline_scores(docs, "table", id_col="doc_id", text_col="text")
+        nch = docs.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.log(F.lit(1.0) + F.col("n_chars").cast("double")).alias("_b"),
+        )
+        boosted = main.join(nch, "docid").select(
+            "docid", (F.col("s") * F.col("_b")).alias("b")
+        )
+        return (
+            boosted.orderBy(F.desc(F.round("b", 4)), "docid")
+            .limit(10)
+            .select("docid", F.round("b", 4).alias("score"))
+        )
+
+    q["boost_by_length"] = boost_entry
+
+    def prefix_docs(s, d):
+        toks = _tok(s, d)
+        return (
+            toks.where(
+                F.size(F.filter(F.col("toks"), lambda t: t.startswith("wind"))) > 0
+            )
+            .select("docid", F.lit(1.0).alias("score"))
+            .orderBy("docid")
+        )
+
+    q["prefix_match_docs"] = prefix_docs
+
+    def func_query_showcase(s, d):
+        return (
+            _docs(s, d)
+            .select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.abs(F.col("n_chars") - 300).cast("long").alias("dist300"),
+                F.round(F.log(F.lit(1.0) + F.col("n_chars")), 4).alias("logn"),
+                F.levenshtein(F.col("lang"), F.lit("en")).alias("lev"),
+                F.when(F.col("n_chars") > 300, "long").otherwise("short").alias("bucket"),
+            )
+            .orderBy("docid")
+        )
+
+    q["func_query_showcase"] = func_query_showcase
+
+    # --- graph traversal ---
+    def _graph_edges(s, d):
+        o = _t(s, d, "orders").select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("o_orderkey") + F.lit(10_000_000)).cast("long").alias("dst"),
+        )
+        li = (
+            _t(s, d, "lineitem")
+            .select(
+                (F.col("l_orderkey") + F.lit(10_000_000)).cast("long").alias("src"),
+                (F.col("l_partkey") + F.lit(20_000_000)).cast("long").alias("dst"),
+            )
+            .distinct()
+        )
+        return o.unionByName(li)
+
+    def graph_2hop(s, d):
+        seeds = (
+            _t(s, d, "customer")
+            .where(F.col("c_custkey") <= 20)
+            .select(F.col("c_custkey").alias("node"))
+        )
+        return GR.gather_nodes(_graph_edges(s, d), seeds, 2)
+
+    q["graph_gather_2hop"] = graph_2hop
+
+    # --- nested facet / percentiles / unique ---
+    q["facet_subfacet_lang_source"] = lambda s, d: FA.subfacet(
+        _docs(s, d), "lang", "source", per_bucket=2
+    )
+    q["percentiles_by_type"] = lambda s, d: FA.percentiles_facet(
+        _t(s, d, "events"), "event_type", "value", [0.5, 0.9]
+    )
+    q["unique_users_by_type"] = lambda s, d: FA.unique_facet(
+        _t(s, d, "events"), "event_type", "user_id"
+    )
+    q["hll_users_by_type"] = lambda s, d: FA.hll_facet(
+        _t(s, d, "events"), "event_type", "user_id"
+    )
+
+    # --- expand (collapse group members) ---
+    def expand_entry(s, d):
+        orders = _t(s, d, "orders")
+        order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+        collapsed = C.collapse(orders, "o_custkey", order)
+        members = C.expand(collapsed, orders, "o_custkey", order, per_group=2)
+        return members.select("o_custkey", "o_orderkey", "o_totalprice").orderBy(
+            "o_custkey", F.desc("o_totalprice"), "o_orderkey"
+        )
+
+    q["expand_members"] = expand_entry
+
+    # --- kNN classify + TPC-H Q3-style join pipeline ---
+    q["knn_classify"] = lambda s, d: SIM.knn_classify(
+        _t(s, d, "embeddings"), _qvec(s, d), k=10
+    )
+
+    def tpch_q3(s, d):
+        for t in ("customer", "orders", "lineitem"):
+            _t(s, d, t).createOrReplaceTempView(f"{t}_v")
+        return s.sql(
+            f"""
+            SELECT l_orderkey,
+                   {_SPARK_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM customer_v, orders_v, lineitem_v
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+            """
+        )
+
+    q["sql_tpch_q3"] = tpch_q3
 
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
@@ -388,7 +588,181 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality"] = TS.quality_score_sql()
     o["lang_id"] = TS.lang_id_sql()
     o["doc_fingerprint"] = TS.fingerprint_sql()
+    o["simhash64"] = D.simhash_sql()
 
-    # no oracle (rows-only check): ann_cosine_lsh (approximate recall path),
-    # simhash64 (bit-vote SQL twin lands in a later round)
+    # shared scored-CTE prelude for the combined-search entries
+    def scored_cte(terms: list[str]) -> str:
+        terms_in = ",".join(f"'{t}'" for t in terms)
+        qvals = ",".join(f"('{t}', 1.0)" for t in terms)
+        return f"""
+{_DOC_TOKS_SQL},
+doclens AS (
+  SELECT docid, len(toks) AS doclen,
+         list_max(list_filter([{",".join(str(v) for v in _SF_TABLE)}], _v -> _v <= len(toks))) AS dl_q
+  FROM toks
+),
+meta AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM doclens),
+post AS (SELECT docid, unnest(toks) AS term FROM toks),
+tf AS (SELECT docid, term, count(*)::DOUBLE AS tf FROM post WHERE term IN ({terms_in}) GROUP BY docid, term),
+stats AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(term, qtf) AS (VALUES {qvals}),
+scored AS (
+  SELECT tf.docid,
+         sum(q.qtf * ln(1.0 + (meta.n_docs - stats.df + 0.5) / (stats.df + 0.5))
+             * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl_q / meta.avgdl)))) AS s
+  FROM tf JOIN stats USING (term) JOIN q USING (term)
+  JOIN doclens dl USING (docid) CROSS JOIN meta
+  GROUP BY tf.docid
+)"""
+
+    o["search_filtered"] = f"""
+        WITH {scored_cte(['table', 'spark'])},
+        banned AS (SELECT DISTINCT docid FROM post WHERE term = 'vector'),
+        keep AS (SELECT doc_id::BIGINT AS docid FROM documents
+                 WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400)
+        SELECT docid, round(s, 4) AS score FROM scored
+        WHERE docid NOT IN (SELECT docid FROM banned)
+          AND docid IN (SELECT docid FROM keep)
+        ORDER BY round(s, 4) DESC, docid LIMIT 10"""
+
+    o["mlt_doc0"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        postf AS (SELECT docid, term, count(*)::DOUBLE AS tf
+                  FROM (SELECT docid, unnest(toks) AS term FROM toks)
+                  GROUP BY docid, term),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postf GROUP BY term),
+        picked AS (
+          SELECT postf.term
+          FROM postf JOIN dfreq USING (term) CROSS JOIN n
+          WHERE postf.docid = 0
+          ORDER BY round(postf.tf * ln(1.0 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6) DESC,
+                   postf.term
+          LIMIT 5
+        ),
+        doclens AS (
+          SELECT docid, len(toks) AS doclen,
+                 list_max(list_filter([{",".join(str(v) for v in _SF_TABLE)}], _v -> _v <= len(toks))) AS dl_q
+          FROM toks
+        ),
+        meta AS (SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl FROM doclens),
+        tf2 AS (SELECT docid, term, count(*)::DOUBLE AS tf
+                FROM (SELECT docid, unnest(toks) AS term FROM toks)
+                WHERE term IN (SELECT term FROM picked) GROUP BY docid, term),
+        stats AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term),
+        scored AS (
+          SELECT tf2.docid,
+                 sum(ln(1.0 + (meta.n_docs - stats.df + 0.5) / (stats.df + 0.5))
+                     * (tf2.tf / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl_q / meta.avgdl)))) AS s
+          FROM tf2 JOIN stats USING (term) JOIN doclens dl USING (docid) CROSS JOIN meta
+          GROUP BY tf2.docid
+        )
+        SELECT docid, round(s, 4) AS score FROM scored WHERE docid <> 0
+        ORDER BY round(s, 4) DESC, docid LIMIT 10"""
+
+    o["rerank_top50"] = f"""
+        WITH {scored_cte(['table'])},
+        rr_tf AS (SELECT docid, term, count(*)::DOUBLE AS tf FROM post
+                  WHERE term = 'spark' GROUP BY docid, term),
+        rr_stats AS (SELECT term, count(*)::DOUBLE AS df FROM rr_tf GROUP BY term),
+        rr AS (
+          SELECT rr_tf.docid,
+                 sum(ln(1.0 + (meta.n_docs - rr_stats.df + 0.5) / (rr_stats.df + 0.5))
+                     * (rr_tf.tf / (rr_tf.tf + 1.2 * (0.25 + 0.75 * dl.dl_q / meta.avgdl)))) AS s2
+          FROM rr_tf JOIN rr_stats USING (term)
+          JOIN doclens dl USING (docid) CROSS JOIN meta
+          GROUP BY rr_tf.docid
+        ),
+        head AS (SELECT docid, s FROM scored ORDER BY round(s, 4) DESC, docid LIMIT 50),
+        blended AS (
+          SELECT head.docid, head.s + 2.0 * coalesce(rr.s2, 0.0) AS b
+          FROM head LEFT JOIN rr ON head.docid = rr.docid
+        )
+        SELECT docid, round(b, 4) AS score FROM blended
+        ORDER BY round(b, 4) DESC, docid LIMIT 10"""
+
+    o["boost_by_length"] = f"""
+        WITH {scored_cte(['table'])}
+        SELECT s.docid, round(s.s * ln(1.0 + d.n_chars::DOUBLE), 4) AS score
+        FROM scored s JOIN documents d ON d.doc_id = s.docid
+        ORDER BY round(s.s * ln(1.0 + d.n_chars::DOUBLE), 4) DESC, s.docid
+        LIMIT 10"""
+
+    o["prefix_match_docs"] = f"""
+        WITH {_DOC_TOKS_SQL}
+        SELECT docid, 1.0::DOUBLE AS score FROM toks
+        WHERE len(list_filter(toks, _t -> _t LIKE 'wind%')) > 0
+        ORDER BY docid"""
+
+    o["func_query_showcase"] = """
+        SELECT doc_id::BIGINT AS docid,
+               abs(n_chars - 300)::BIGINT AS dist300,
+               round(ln(1.0 + n_chars), 4) AS logn,
+               levenshtein(lang, 'en')::INT AS lev,
+               CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS bucket
+        FROM documents ORDER BY docid"""
+
+    o["graph_gather_2hop"] = """
+        WITH e AS (
+          SELECT o_custkey::BIGINT AS src, (o_orderkey + 10000000)::BIGINT AS dst FROM orders
+          UNION ALL
+          SELECT DISTINCT (l_orderkey + 10000000)::BIGINT, (l_partkey + 20000000)::BIGINT FROM lineitem
+        ),
+        h0 AS (SELECT c_custkey::BIGINT AS node FROM customer WHERE c_custkey <= 20),
+        h1 AS (SELECT DISTINCT dst AS node FROM e JOIN h0 ON e.src = h0.node
+               WHERE dst NOT IN (SELECT node FROM h0)),
+        h2 AS (SELECT DISTINCT dst AS node FROM e JOIN h1 ON e.src = h1.node
+               WHERE dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1))
+        SELECT node, 0 AS hop FROM h0
+        UNION ALL SELECT node, 1 FROM h1
+        UNION ALL SELECT node, 2 FROM h2
+        ORDER BY hop, node"""
+
+    o["facet_subfacet_lang_source"] = """
+        SELECT lang, source, cnt, rnk FROM (
+          SELECT lang, source, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rnk
+          FROM documents GROUP BY lang, source
+        ) AS t WHERE rnk <= 2 ORDER BY lang, rnk"""
+
+    o["percentiles_by_type"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type"""
+
+    o["unique_users_by_type"] = """
+        SELECT event_type, count(DISTINCT user_id) AS uniq
+        FROM events GROUP BY event_type ORDER BY event_type"""
+
+    o["expand_members"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+          ) AS rn FROM orders
+        ) AS t WHERE rn BETWEEN 2 AND 3
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""
+
+    o["knn_classify"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        top AS (
+          SELECT vec_id, label FROM embeddings, q
+          ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+          LIMIT 10
+        )
+        SELECT label, count(*) AS votes FROM top
+        GROUP BY label ORDER BY votes DESC, label"""
+
+    o["sql_tpch_q3"] = f"""
+        SELECT l_orderkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    # no oracle (rows-only check): ann_cosine_lsh and hll_users_by_type —
+    # approximate operators whose sketches are engine-specific
     return o

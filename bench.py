@@ -29,6 +29,7 @@ from solr_spark.operators.dedup import lsh_candidate_pairs  # noqa: E402
 from solr_spark.operators.facets import terms_facet  # noqa: E402
 from solr_spark.operators.similarity import cosine_topk  # noqa: E402
 from solr_spark.query.engine import bm25_topk  # noqa: E402
+from solr_spark.query.wand import bm25_topk_wand  # noqa: E402
 from solr_spark.query.inline import doc_tokens  # noqa: E402
 from solr_spark.session import get_spark  # noqa: E402
 from solr_spark.sources.corpus import synthesize_corpus  # noqa: E402
@@ -72,6 +73,14 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
             bm25_topk(index, qtext, k=k, mode=mode).collect()
             times.append(time.time() - t)
         queries[name] = round(sorted(times)[1], 3)
+    # block-max pruned path on the pruning-relevant shapes
+    for name, qtext, k, mode in QUERY_SET[:2]:
+        times = []
+        for _ in range(3):
+            t = time.time()
+            bm25_topk_wand(index, qtext, k=k, mode=mode).collect()
+            times.append(time.time() - t)
+        queries[f"{name}_wand"] = round(sorted(times)[1], 3)
 
     # --- operator suite over harness tables ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -49,7 +49,9 @@ def main() -> None:
     runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for rep in range(REPEATS):
         for c in LEVELS:
-            shutil.rmtree("/dev/shm/solr_spark_tmp", ignore_errors=True)
+            # NB: never delete the shared spark.local.dir root here — other
+            # live sessions keep shuffle files under it; Spark removes its
+            # own per-app blockmgr dirs on stop.
             runs[c].append(run_level(c))
             time.sleep(5)
     best = {

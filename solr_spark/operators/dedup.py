@@ -135,6 +135,36 @@ def ngram_jaccard_pairs(tok_df: DataFrame, n: int = 3, top: int = 20) -> DataFra
     )
 
 
+def simhash_sql() -> str:
+    """DuckDB twin of simhash64 over the `documents` view (same md5-hex
+    bit votes; hex digits decoded via strpos, re-encoded via substr)."""
+    from solr_spark.analysis.analyzer import tokens_sql
+
+    hexd = "0123456789abcdef"
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (strpos('{hexd}', substr(md5(term), {p}, 1)) - 1)"
+        f" & {1 << b} > 0 THEN 1 ELSE -1 END) AS v_{p}_{b}"
+        for p in range(1, 17)
+        for b in range(4)
+    )
+    nibbles = " || ".join(
+        f"substr('{hexd}', ("
+        + " + ".join(f"(CASE WHEN v_{p}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(4))
+        + ") + 1, 1)"
+        for p in range(1, 17)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents),
+post AS (SELECT DISTINCT docid, unnest(toks) AS term FROM toks),
+votes AS (
+  SELECT docid,
+    {votes}
+  FROM post GROUP BY docid
+)
+SELECT docid, {nibbles} AS simhash FROM votes ORDER BY docid
+"""
+
+
 def simhash64(tok_df: DataFrame) -> DataFrame:
     """(docid, toks) -> 64-bit SimHash as a 16-hex-char string.
 

@@ -92,6 +92,59 @@ def pivot_facet(df: DataFrame, fields: list[str], limit: int = 100) -> DataFrame
     )
 
 
+def subfacet(
+    df: DataFrame, outer: str, inner: str, per_bucket: int = 2
+) -> DataFrame:
+    """Nested terms facet: top `per_bucket` inner values per outer bucket
+    (the FacetRequest/FacetProcessor recursion of the JSON Facet API,
+    search/facet/FacetRequest.java) — one grouped pass + a window instead
+    of Solr's per-bucket sub-requests."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(outer, inner).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(outer).orderBy(F.desc("cnt"), F.asc(inner))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= per_bucket)
+        .select(outer, inner, "cnt", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy(outer, "rnk")
+    )
+
+
+def percentiles_facet(
+    df: DataFrame, group: str, col: str, ps: list[float]
+) -> DataFrame:
+    """Exact interpolated percentiles per bucket (the stats component's
+    `percentiles` — StatsField.java:80-193 uses t-digest approximations;
+    we compute exact, which a distributed sort makes affordable)."""
+    aggs = [
+        F.round(F.percentile(col, F.lit(p)), 4).alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return df.groupBy(group).agg(*aggs).orderBy(group)
+
+
+def unique_facet(df: DataFrame, group: str, col: str) -> DataFrame:
+    """Exact distinct-count per bucket (UniqueAgg / countDist metric,
+    search/facet/UniqueAgg.java)."""
+    return (
+        df.groupBy(group)
+        .agg(F.countDistinct(col).alias("uniq"))
+        .orderBy(group)
+    )
+
+
+def hll_facet(df: DataFrame, group: str, col: str, rsd: float = 0.05) -> DataFrame:
+    """Approximate distinct per bucket (HLLAgg, search/facet/HLLAgg.java)
+    — HLL sketches differ across engines, so this op has no SQL oracle;
+    tests bound its error against the exact count instead."""
+    return (
+        df.groupBy(group)
+        .agg(F.approx_count_distinct(col, rsd).alias("approx_uniq"))
+        .orderBy(group)
+    )
+
+
 def stats_facet(df: DataFrame, col: str) -> DataFrame:
     """min/max/sum/count/mean/stddev of a numeric field (StatsValues).
 

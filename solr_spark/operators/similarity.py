@@ -49,6 +49,27 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """classify() via kNN majority vote: label distribution of the query
+    vector's k nearest neighbors (role of the reference's classify()
+    stream, solrj io/stream registry Lang.java:118, and KnnStream.java:56
+    — which is term-based MLT there; dense-vector kNN is our extension).
+    """
+    top = cosine_topk(emb, query_vec, k, id_col)
+    return (
+        top.join(emb.select(F.col(id_col).cast("long").alias("vec_id"), label_col), "vec_id")
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .orderBy(F.desc("votes"), F.asc(label_col))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a hash counter."""
     import hashlib

@@ -31,19 +31,17 @@ def doc_tokens(docs: DataFrame, id_col: str = "docid", text_col: str = "content"
     )
 
 
-def bm25_inline_topk(
+def bm25_inline_scores(
     docs: DataFrame,
     qtext: str,
-    k: int = 10,
     mode: str = "OR",
     id_col: str = "docid",
     text_col: str = "content",
 ) -> DataFrame:
-    """Top-k (docid, score) computed in one declarative plan.
+    """ALL matching (docid, s) scores (unrounded) in one declarative plan.
 
     Global stats (N, avgdl, per-term df) are subplans joined in via
     cross/broadcast joins, so Catalyst still sees one optimizable tree.
-    Score is rounded to 4 decimals (hash-compare contract).
     """
     spark = docs.sparkSession
     qterms = analyze_query(qtext)
@@ -53,7 +51,7 @@ def bm25_inline_topk(
         (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     if not qterms:
-        return spark.createDataFrame([], "docid long, score double")
+        return spark.createDataFrame([], "docid long, s double")
     qrel = spark.createDataFrame(
         [(t, float(c)) for t, c in qterms.items()], "term string, qtf double"
     )
@@ -80,10 +78,25 @@ def bm25_inline_topk(
     )
     if mode == "AND":
         scored = scored.where(F.col("nm") == len(qterms))
-    # order by the ROUNDED score: raw float sums differ across engines in
-    # the last ulp (addition order), which would make the k-cutoff
-    # nondeterministic vs a single-node oracle; rounding collapses those
-    # pseudo-ties and docid breaks them identically everywhere.
+    return scored.select("docid", "s")
+
+
+def bm25_inline_topk(
+    docs: DataFrame,
+    qtext: str,
+    k: int = 10,
+    mode: str = "OR",
+    id_col: str = "docid",
+    text_col: str = "content",
+) -> DataFrame:
+    """Top-k (docid, score rounded to 4) — the hash-compare contract.
+
+    Orders by the ROUNDED score: raw float sums differ across engines in
+    the last ulp (addition order), which would make the k-cutoff
+    nondeterministic vs a single-node oracle; rounding collapses those
+    pseudo-ties and docid breaks them identically everywhere.
+    """
+    scored = bm25_inline_scores(docs, qtext, mode, id_col, text_col)
     return (
         scored.orderBy(F.desc(F.round("s", 4)), F.asc("docid"))
         .limit(k)

@@ -96,7 +96,12 @@ def search(
         exp = prefix_query(index, text) if kind == "prefix" else fuzzy_query(index, text)
         parts.append(exp.withColumn("_musts", F.lit(0)))
     if not parts:
-        agg = index.spark.createDataFrame([], "docid long, score double")
+        if pq.filters or pq.must_not:
+            # filter-only query (q=lang:java): all docs pass with constant
+            # score, the filters below narrow it (MatchAllDocs * fq)
+            agg = index.docs().select("docid", F.lit(1.0).alias("score"))
+        else:
+            agg = index.spark.createDataFrame([], "docid long, score double")
     else:
         merged = parts[0]
         for p in parts[1:]:
