@@ -30,7 +30,14 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 
 
 def run_level(cores: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    # cluster-size proxy: cores/8 separate executor JVMs x 8 cores each
+    # (local-cluster) — per-executor heaps/GC + inter-process shuffle,
+    # the faithful single-host stand-in for N vs 4N executors
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_EXECUTORS=str(max(1, cores // 8)),
+    )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "bench.py"]
     if shutil.which("taskset") is None:
         cmd = cmd[3:]

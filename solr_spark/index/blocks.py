@@ -24,7 +24,7 @@ from solr_spark.functions.bm25 import B, K1
 BLOCK_SIZE = 128
 
 BLOCKS_SCHEMA = (
-    "term string, salt int, block_id int, n_docs int, first_docid long, "
+    "tid long, salt int, block_id int, n_docs int, first_docid long, "
     "max_docid long, max_tf int, max_tf_part double, "
     "docids_bin binary, tfs_bin binary, dlqs_bin binary, bucket int"
 )
@@ -74,7 +74,7 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
 
 
 def encode_posting_list(
-    term: str,
+    tid: int,
     salt: int,
     bucket: int,
     docids: np.ndarray,
@@ -82,7 +82,7 @@ def encode_posting_list(
     dlqs: np.ndarray,
     avgdl: float,
 ) -> list[dict]:
-    """Encode one (term, salt) posting list (docid-sorted) into block rows."""
+    """Encode one (tid, salt) posting list (docid-sorted) into block rows."""
     rows = []
     for blk, lo in enumerate(range(0, len(docids), BLOCK_SIZE)):
         d = docids[lo : lo + BLOCK_SIZE]
@@ -92,7 +92,7 @@ def encode_posting_list(
         deltas = np.diff(d, prepend=d[0])  # first delta 0; first_docid in column
         rows.append(
             {
-                "term": term,
+                "tid": int(tid),
                 "salt": int(salt),
                 "block_id": blk,
                 "n_docs": int(len(d)),
@@ -126,12 +126,12 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def make_block_encoder(avgdl: float):
     """Returns a mapInPandas function that streams partition-sorted
-    postings (term, salt, docid, tf, dl_q, bucket; sorted by term, salt,
+    postings (tid, salt, docid, tf, dl_q, bucket; sorted by tid, salt,
     docid within the partition) into block rows.
 
-    Carries the trailing incomplete (term, salt) group across Arrow batch
+    Carries the trailing incomplete (tid, salt) group across Arrow batch
     boundaries; group keys never span partitions because the input is
-    repartitioned on (term, salt).
+    repartitioned on (tid, salt).
     """
 
     def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,10 +139,10 @@ def make_block_encoder(avgdl: float):
 
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
             out: list[dict] = []
-            terms = pdf["term"].to_numpy()
+            tids = pdf["tid"].to_numpy(dtype=np.int64)
             salts = pdf["salt"].to_numpy()
-            # group boundaries on (term, salt)
-            change = np.nonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
+            # group boundaries on (tid, salt)
+            change = np.nonzero((tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
             bounds = np.concatenate(([0], change, [len(pdf)]))
             docids = pdf["docid"].to_numpy(dtype=np.int64)
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
@@ -151,11 +151,11 @@ def make_block_encoder(avgdl: float):
             for lo, hi in zip(bounds[:-1], bounds[1:]):
                 out.extend(
                     encode_posting_list(
-                        terms[lo], int(salts[lo]), int(buckets[lo]),
+                        int(tids[lo]), int(salts[lo]), int(buckets[lo]),
                         docids[lo:hi], tfs[lo:hi], dlqs[lo:hi], avgdl,
                     )
                 )
-            cols = ["term", "salt", "block_id", "n_docs", "first_docid",
+            cols = ["tid", "salt", "block_id", "n_docs", "first_docid",
                     "max_docid", "max_tf", "max_tf_part", "docids_bin",
                     "tfs_bin", "dlqs_bin", "bucket"]
             return pd.DataFrame(out, columns=cols)
@@ -166,10 +166,10 @@ def make_block_encoder(avgdl: float):
                 carry = None
             if len(pdf) == 0:
                 continue
-            # hold back the last (term, salt) group — it may continue
-            last_term = pdf["term"].iloc[-1]
+            # hold back the last (tid, salt) group — it may continue
+            last_tid = pdf["tid"].iloc[-1]
             last_salt = pdf["salt"].iloc[-1]
-            tail_mask = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+            tail_mask = (pdf["tid"] == last_tid) & (pdf["salt"] == last_salt)
             # tail is a contiguous suffix (input sorted); find its start
             cut = int(len(pdf) - tail_mask.iloc[::-1].cumprod().sum())
             carry = pdf.iloc[cut:].reset_index(drop=True)

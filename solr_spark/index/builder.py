@@ -50,7 +50,8 @@ DOC_KEY = ("repo", "path", "commit")
 
 def bucket_of_col(term: Column | str, num_buckets: int) -> Column:
     """crc32-based term bucket — same value computable from Python
-    (zlib.crc32) for driver-side partition pruning at query time."""
+    (zlib.crc32) for driver-side partition pruning at query time. Used
+    for the term_stats dictionary, which is looked up BY STRING."""
     c = F.col(term) if isinstance(term, str) else term
     return F.pmod(F.crc32(F.encode(c, "UTF-8")), F.lit(num_buckets)).cast("int")
 
@@ -59,6 +60,20 @@ def bucket_of_py(term: str, num_buckets: int) -> int:
     import zlib
 
     return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+def tid_bucket_col(tid: Column | str, num_buckets: int) -> Column:
+    """Postings/blocks are keyed by tid = xxhash64(term) (8 bytes instead
+    of a repeated string in every shuffle/scan row); their partition
+    bucket derives from the tid so the driver can prune after resolving
+    term -> tid through term_stats. The (crc32-bucket, xxhash64) composite
+    key space makes term collisions negligible (~V^2 / (B * 2^64))."""
+    c = F.col(tid) if isinstance(tid, str) else tid
+    return F.pmod(c, F.lit(num_buckets)).cast("int")
+
+
+def tid_bucket_py(tid: int, num_buckets: int) -> int:
+    return tid % num_buckets  # python % is non-negative for positive modulus
 
 
 def assign_docids(df: DataFrame, keys: tuple[str, ...] = DOC_KEY) -> DataFrame:
@@ -136,6 +151,10 @@ class IndexPaths:
         return os.path.join(self.root, "term_stats")
 
     @property
+    def term_dict_stage(self):
+        return os.path.join(self.root, "stage", "term_dict")
+
+    @property
     def meta(self):
         return os.path.join(self.root, "meta.json")
 
@@ -179,8 +198,14 @@ class Index:
         b = self.meta["num_buckets"]
         return sorted({bucket_of_py(t, b) for t in terms})
 
-    def term_stats_for(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """Driver-side lookup {term: (df, cttf)} with bucket pruning."""
+    def pbuckets_for(self, tids: list[int]) -> list[int]:
+        b = self.meta["num_buckets"]
+        return sorted({tid_bucket_py(t, b) for t in tids})
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, dict]:
+        """Driver-side lookup {term: {tid, df, cttf}} with bucket pruning
+        — the term->tid resolution step every query starts with (the
+        analogue of the term-dictionary seek)."""
         if not terms:
             return {}
         rows = (
@@ -189,7 +214,10 @@ class Index:
             .where(F.col("term").isin(terms))
             .collect()
         )
-        return {r["term"]: (r["df"], r["cttf"]) for r in rows}
+        return {
+            r["term"]: {"tid": r["tid"], "df": r["df"], "cttf": r["cttf"]}
+            for r in rows
+        }
 
 
 def _analyze_docs(corpus: DataFrame) -> DataFrame:
@@ -206,16 +234,30 @@ def _analyze_docs(corpus: DataFrame) -> DataFrame:
 
 
 def _postings_from_docs(docs_tok: DataFrame) -> DataFrame:
-    """(docid, _tokens, dl_q) -> (term, docid, tf, dl_q).
+    """(docid, _tokens, dl_q) -> (tid, docid, tf, dl_q).
 
-    explode -> groupBy(term, docid) with automatic partial (map-side)
-    aggregation; dl_q rides in the key (constant per docid) so scoring
+    The term string is hashed to a 64-bit tid BEFORE the groupBy, so the
+    big invert shuffle moves only fixed-width longs (strings survive in
+    the small term dictionary only). Partial (map-side) aggregation is
+    automatic; dl_q rides in the key (constant per docid) so scoring
     needs no join back to docs.
     """
     return (
         docs_tok.select("docid", "dl_q", F.explode("_tokens").alias("term"))
-        .groupBy("term", "docid", "dl_q")
+        .select("docid", "dl_q", F.xxhash64("term").alias("tid"))
+        .groupBy("tid", "docid", "dl_q")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def _term_dict_from_docs(docs_tok: DataFrame) -> DataFrame:
+    """(docid, _tokens) -> distinct (term, tid) dictionary (small: one
+    row per vocabulary term; map-side partial distinct keeps the shuffle
+    tiny relative to postings)."""
+    return (
+        docs_tok.select(F.explode("_tokens").alias("term"))
+        .distinct()
+        .select("term", F.xxhash64("term").alias("tid"))
     )
 
 
@@ -276,20 +318,22 @@ def build_index(
         docs_tok = _analyze_docs(part).persist()
         docs_dir = paths.docs if single else os.path.join(paths.stage, f"docs_c{chunk}")
         post_dir = paths.postings if single else os.path.join(paths.stage, f"post_c{chunk}")
+        dict_dir = os.path.join(paths.stage, f"dict_c{chunk}")
         docs_tok.drop("_tokens").write.mode("overwrite").parquet(docs_dir)
         chunk_post = _postings_from_docs(docs_tok).withColumn(
-            "bucket", bucket_of_col("term", num_buckets)
+            "bucket", tid_bucket_col("tid", num_buckets)
         )
         if single:
-            # repartition on (bucket, term): write parallelism stays at
+            # repartition on (bucket, tid): write parallelism stays at
             # shuffle-partition width (not num_buckets) while keeping all
             # rows of a term in one file within its bucket directory
             nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            chunk_post.repartition(nparts, "bucket", "term").write.mode(
+            chunk_post.repartition(nparts, "bucket", "tid").write.mode(
                 "overwrite"
             ).partitionBy("bucket").parquet(post_dir)
         else:
             chunk_post.write.mode("overwrite").parquet(post_dir)
+        _term_dict_from_docs(docs_tok).write.mode("overwrite").parquet(dict_dir)
         docs_tok.unpersist()
         man = {
             "chunk": chunk,
@@ -321,10 +365,13 @@ def build_index(
     n_docs = int(agg["n"])
     avgdl = float(agg["total_len"]) / n_docs if n_docs else 0.0
 
+    term_dict = spark.read.parquet(os.path.join(paths.stage, "dict_c*")).distinct()
     term_stats = (
-        postings.groupBy("term", "bucket")
+        postings.groupBy("tid")
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cttf"))
+        .join(term_dict, "tid")
         .withColumn("is_head", F.col("df") > F.lit(salt_threshold))
+        .withColumn("bucket", bucket_of_col("term", num_buckets))
     )
     (
         term_stats.repartition(max(1, num_buckets // 2), "bucket")
@@ -344,12 +391,12 @@ def build_index(
         )
 
     if build_blocks and n_docs:
-        head_terms = term_stats.where("is_head").select("term").withColumn(
+        head_tids = term_stats.where("is_head").select("tid").withColumn(
             "_is_head", F.lit(True)
         )
         salted = (
             spark.read.parquet(paths.postings)
-            .join(F.broadcast(head_terms), "term", "left")
+            .join(F.broadcast(head_tids), "tid", "left")
             .withColumn(
                 "salt",
                 F.when(
@@ -361,8 +408,8 @@ def build_index(
         )
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         blocks = (
-            salted.repartition(shuffle_parts, "term", "salt")
-            .sortWithinPartitions("term", "salt", "docid")
+            salted.repartition(shuffle_parts, "tid", "salt")
+            .sortWithinPartitions("tid", "salt", "docid")
             .mapInPandas(make_block_encoder(avgdl), schema=BLOCKS_SCHEMA)
         )
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.blocks)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from solr_spark.analysis.analyzer import tokenize_py
-from solr_spark.functions.bm25 import idf_col, tf_part_col
+from solr_spark.functions.bm25 import idf_py, tf_part_col
 from solr_spark.index.builder import Index
 
 
@@ -40,40 +40,46 @@ def analyze_query(qtext: str) -> dict[str, int]:
     return counts
 
 
-def _scored_postings(index: Index, qterms: dict[str, int]) -> DataFrame:
+def _scored_postings(index: Index, qterms: dict[str, int]) -> tuple[DataFrame, int]:
     """Postings of the query terms with per-(term,doc) contributions.
 
-    Single declarative plan: per-term idf comes from a broadcast join
-    against the bucket-pruned term_stats table — no driver round-trip
-    (the Spark shape of the global-stats exchange,
-    solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:62).
+    Phase A (tiny, bucket-pruned term_stats scan): resolve term -> (tid,
+    df) and compute idf with the GLOBAL df — the Spark shape of the
+    distributed-stats exchange
+    (solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java:62).
+    Phase B: scan only the postings partitions of those tids, with the
+    tid IN (...) literal list pushed down to the parquet scan.
+
+    Returns (scored df, n_present_terms).
     """
     spark = index.spark
     n_docs = index.meta["n_docs"]
     avgdl = index.meta["avgdl"]
+    stats = index.term_stats_for(list(qterms))
+    if not stats:
+        return spark.createDataFrame([], "docid long, contrib double"), 0
     qrel = spark.createDataFrame(
-        [(t, float(c)) for t, c in qterms.items()], "term string, qtf double"
+        [
+            (s["tid"], float(qterms[t]), idf_py(int(s["df"]), n_docs))
+            for t, s in stats.items()
+        ],
+        "tid long, qtf double, idf double",
     )
-    buckets = index.buckets_for(list(qterms))
-    qstats = (
-        index.term_stats()
-        .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(list(qterms)))
-        .join(F.broadcast(qrel), "term")
-        .select("term", "qtf", idf_col(F.col("df"), n_docs).alias("idf"))
+    tids = [s["tid"] for s in stats.values()]
+    postings = (
+        index.postings()
+        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+        .where(F.col("tid").isin(tids))
     )
-    postings = index.postings().where(F.col("bucket").isin(buckets)).where(
-        F.col("term").isin(list(qterms))
-    )
-    return postings.join(F.broadcast(qstats), "term").select(
+    scored = postings.join(F.broadcast(qrel), "tid").select(
         "docid",
-        "term",
         (
             F.col("qtf")
             * F.col("idf")
             * tf_part_col(F.col("tf"), F.col("dl_q"), float(avgdl))
         ).alias("contrib"),
     )
+    return scored, len(stats)
 
 
 def bm25_topk(
@@ -87,32 +93,22 @@ def bm25_topk(
 
     mode="AND" keeps only docs matching every distinct query term
     (postings-intersection semantics: matched-term count == #terms);
-    an AND query with an absent term returns no rows. Runs as ONE Spark
-    job: per-partition heap + driver merge (TakeOrderedAndProject).
+    an AND query with an absent term returns no rows. The main pass is
+    ONE job: per-partition heap + driver merge (TakeOrderedAndProject).
     """
     qterms = analyze_query(qtext)
-    if not qterms:
+    scored, n_present = (
+        _scored_postings(index, qterms) if qterms else (None, 0)
+    )
+    if n_present == 0 or (mode == "AND" and n_present < len(qterms)):
         result = index.spark.createDataFrame([], "docid long, score double")
     else:
-        scored = _scored_postings(index, qterms)
         agg = scored.groupBy("docid").agg(
             F.sum("contrib").alias("score"),
             F.count(F.lit(1)).alias("_nmatched"),
         )
         if mode == "AND":
-            # every distinct query term must be present in the index AND
-            # matched by the doc; n_present (a tiny term_stats scan) is
-            # joined in as a broadcast scalar so the query stays one job.
-            n_present = (
-                index.term_stats()
-                .where(F.col("bucket").isin(index.buckets_for(list(qterms))))
-                .where(F.col("term").isin(list(qterms)))
-                .agg(F.count(F.lit(1)).alias("_npresent"))
-            )
-            agg = agg.crossJoin(F.broadcast(n_present)).where(
-                (F.col("_nmatched") == F.col("_npresent"))
-                & (F.col("_npresent") == len(qterms))
-            )
+            agg = agg.where(F.col("_nmatched") == n_present)
         result = (
             agg.select("docid", "score")
             .orderBy(F.desc("score"), F.asc("docid"))

@@ -25,9 +25,14 @@ from solr_spark.index.builder import Index
 
 
 def _expanded_docs(index: Index, term_pred: Column) -> DataFrame:
-    """Docs matching any term satisfying `term_pred` — constant score 1."""
-    terms = index.term_stats().where(term_pred).select("term")
-    post = index.postings().join(F.broadcast(terms), "term")
+    """Docs matching any term satisfying `term_pred` — constant score 1.
+
+    The predicate runs on the term DICTIONARY (term_stats, which carries
+    the strings); matching tids broadcast-join the postings — the
+    dictionary-scan-then-postings-seek shape of Lucene's multiterm
+    rewrite."""
+    tids = index.term_stats().where(term_pred).select("tid")
+    post = index.postings().join(F.broadcast(tids), "tid")
     return post.select("docid").distinct().withColumn("score", F.lit(1.0))
 
 

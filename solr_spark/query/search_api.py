@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from solr_spark.functions.bm25 import idf_col, tf_part_col
+from solr_spark.functions.bm25 import idf_py, tf_part_col
 from solr_spark.index.builder import Index
 from solr_spark.plans.qparser import ParsedQuery, parse_query
 from solr_spark.query.expand_ops import fuzzy_query, prefix_query
@@ -54,44 +54,46 @@ def search(
     must_terms = sorted({tok for t in pq.must for tok in _analyze_term(t)})
 
     parts: list[DataFrame] = []
+    n_musts_present = 0
     if scoring_terms:
-        qrel = spark.createDataFrame(
-            [(t, float(c)) for t, c in scoring_terms.items()],
-            "term string, qtf double",
-        )
-        buckets = index.buckets_for(list(scoring_terms))
+        stats = index.term_stats_for(list(scoring_terms))
         avgdl = float(index.meta["avgdl"])
-        qstats = (
-            index.term_stats()
-            .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(list(scoring_terms)))
-            .join(F.broadcast(qrel), "term")
-            .select(
-                "term", "qtf",
-                idf_col(F.col("df"), index.meta["n_docs"]).alias("idf"),
+        must_tids = {stats[t]["tid"] for t in must_terms if t in stats}
+        n_musts_present = len(must_tids)
+        if stats:
+            qrel = spark.createDataFrame(
+                [
+                    (
+                        s["tid"],
+                        float(scoring_terms[t]),
+                        idf_py(int(s["df"]), index.meta["n_docs"]),
+                        1 if s["tid"] in must_tids else 0,
+                    )
+                    for t, s in stats.items()
+                ],
+                "tid long, qtf double, idf double, is_must int",
             )
-        )
-        scored = (
-            index.postings()
-            .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(list(scoring_terms)))
-            .join(F.broadcast(qstats), "term")
-            .select(
-                "docid",
-                "term",
-                (
-                    F.col("qtf") * F.col("idf")
-                    * tf_part_col(F.col("tf"), F.col("dl_q"), avgdl)
-                ).alias("contrib"),
-                F.col("term").isin(must_terms).cast("int").alias("is_must"),
+            tids = [s["tid"] for s in stats.values()]
+            scored = (
+                index.postings()
+                .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+                .where(F.col("tid").isin(tids))
+                .join(F.broadcast(qrel), "tid")
+                .select(
+                    "docid",
+                    (
+                        F.col("qtf") * F.col("idf")
+                        * tf_part_col(F.col("tf"), F.col("dl_q"), avgdl)
+                    ).alias("contrib"),
+                    "is_must",
+                )
             )
-        )
-        parts.append(
-            scored.groupBy("docid").agg(
-                F.sum("contrib").alias("score"),
-                F.sum("is_must").alias("_musts"),
+            parts.append(
+                scored.groupBy("docid").agg(
+                    F.sum("contrib").alias("score"),
+                    F.sum("is_must").alias("_musts"),
+                )
             )
-        )
     for kind, text in pq.expansions:
         exp = prefix_query(index, text) if kind == "prefix" else fuzzy_query(index, text)
         parts.append(exp.withColumn("_musts", F.lit(0)))
@@ -110,19 +112,26 @@ def search(
             F.sum("score").alias("score"), F.sum("_musts").alias("_musts")
         )
         if must_terms:
-            agg = agg.where(F.col("_musts") == len(must_terms))
+            if n_musts_present < len(must_terms):
+                # a required term is absent from the index -> no results
+                agg = agg.where(F.lit(False))
+            else:
+                agg = agg.where(F.col("_musts") == n_musts_present)
         agg = agg.select("docid", "score")
 
     if pq.must_not:
         ban_terms = sorted({tok for t in pq.must_not for tok in _analyze_term(t)})
-        banned = (
-            index.postings()
-            .where(F.col("bucket").isin(index.buckets_for(ban_terms)))
-            .where(F.col("term").isin(ban_terms))
-            .select("docid")
-            .distinct()
-        )
-        agg = agg.join(banned, "docid", "left_anti")
+        ban_stats = index.term_stats_for(ban_terms)
+        ban_tids = [s["tid"] for s in ban_stats.values()]
+        if ban_tids:
+            banned = (
+                index.postings()
+                .where(F.col("bucket").isin(index.pbuckets_for(ban_tids)))
+                .where(F.col("tid").isin(ban_tids))
+                .select("docid")
+                .distinct()
+            )
+            agg = agg.join(banned, "docid", "left_anti")
 
     if pq.filters:
         pred = None

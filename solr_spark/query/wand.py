@@ -53,15 +53,15 @@ from solr_spark.query.engine import analyze_query, bm25_topk
 EPS = 1e-9
 
 
-def _decode_score_fn(weights: dict[str, float], avgdl: float):
-    """mapInPandas: block rows -> (docid, contrib, ub) rows.
+def _decode_score_fn(weights: dict[int, float], avgdl: float):
+    """mapInPandas: block rows -> (docid, contrib, tid) rows.
 
-    weights: term -> qtf*idf (the per-occurrence score multiplier).
+    weights: tid -> qtf*idf (the per-occurrence score multiplier).
     """
 
     def fn(batches):
         for pdf in batches:
-            out_docid, out_contrib, out_term = [], [], []
+            out_docid, out_contrib, out_tid = [], [], []
             for r in pdf.itertuples(index=False):
                 n = int(r.n_docs)
                 deltas = varint_decode(r.docids_bin, n)
@@ -69,17 +69,17 @@ def _decode_score_fn(weights: dict[str, float], avgdl: float):
                 docids = np.cumsum(deltas)
                 tfs = varint_decode(r.tfs_bin, n).astype(np.float64)
                 dlqs = varint_decode(r.dlqs_bin, n).astype(np.float64)
-                w = weights[r.term]
+                w = weights[int(r.tid)]
                 contrib = w * tfs / (tfs + K1 * (1.0 - B + B * dlqs / avgdl))
                 out_docid.append(docids)
                 out_contrib.append(contrib)
-                out_term.append(np.repeat(r.term, n))
+                out_tid.append(np.repeat(np.int64(r.tid), n))
             if out_docid:
                 yield pd.DataFrame(
                     {
                         "docid": np.concatenate(out_docid),
                         "contrib": np.concatenate(out_contrib),
-                        "term": np.concatenate(out_term),
+                        "tid": np.concatenate(out_tid),
                     }
                 )
 
@@ -103,17 +103,23 @@ def bm25_topk_wand(
         return empty
     n_docs = index.meta["n_docs"]
     avgdl = float(index.meta["avgdl"])
-    buckets = index.buckets_for(list(qterms))
+    # resolve term -> tid/df via the dictionary, then work tid-keyed
+    stats = index.term_stats_for(list(qterms))
+    present = [t for t in qterms if t in stats]
+    if not present or (mode == "AND" and len(present) < len(qterms)):
+        return empty
+    tid_of = {t: stats[t]["tid"] for t in present}
+    tids = [tid_of[t] for t in present]
     blocks = (
         index.blocks()
-        .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(list(qterms)))
+        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+        .where(F.col("tid").isin(tids))
     )
 
-    # (1) per-term stats + global block-max — one tiny job
+    # (1) per-term global block-max — one tiny job over block metadata
     info = {
-        r["term"]: r
-        for r in blocks.groupBy("term")
+        r["tid"]: r
+        for r in blocks.groupBy("tid")
         .agg(
             F.max("max_tf_part").alias("mtp"),
             F.sum("n_docs").alias("df"),
@@ -121,26 +127,30 @@ def bm25_topk_wand(
         )
         .collect()
     }
-    present = [t for t in qterms if t in info]
+    present = [t for t in present if tid_of[t] in info]
     if not present or (mode == "AND" and len(present) < len(qterms)):
         return empty
-    weights = {t: qterms[t] * idf_py(int(info[t]["df"]), n_docs) for t in present}
-    ub = {t: weights[t] * float(info[t]["mtp"]) for t in present}
+    weights = {
+        tid_of[t]: qterms[t] * idf_py(int(info[tid_of[t]]["df"]), n_docs)
+        for t in present
+    }
+    ub = {g: weights[g] * float(info[g]["mtp"]) for g in weights}
     total_ub = sum(ub.values())
+    ptids = [tid_of[t] for t in present]
 
     # (2) threshold seed from the rarest sufficiently-large term.
     # OR mode only: the seed's kth contribution lower-bounds the final kth
     # score of the FULL result set, but an AND result set is a subset
     # whose kth score may be lower — so AND skips pruning (and thereby
     # keeps nmatched complete for its intersection filter).
-    seed_candidates = [t for t in present if info[t]["df"] >= k]
+    seed_candidates = [g for g in ptids if info[g]["df"] >= k]
     t0 = 0.0
-    if seed_candidates and len(present) > 1 and mode == "OR":
-        seed = min(seed_candidates, key=lambda t: info[t]["df"])
-        seed_blocks = blocks.where(F.col("term") == seed)
+    if seed_candidates and len(ptids) > 1 and mode == "OR":
+        seed = min(seed_candidates, key=lambda g: info[g]["df"])
+        seed_blocks = blocks.where(F.col("tid") == seed)
         seed_scores = seed_blocks.mapInPandas(
             _decode_score_fn({seed: weights[seed]}, avgdl),
-            schema="docid long, contrib double, term string",
+            schema="docid long, contrib double, tid long",
         )
         kth = (
             seed_scores.orderBy(F.desc("contrib")).limit(k).collect()
@@ -149,31 +159,31 @@ def bm25_topk_wand(
             t0 = kth[-1]["contrib"]
 
     # (3) essential-term + (4) block pruning
-    if len(present) > 1 and t0 > 0.0:
-        by_ub = sorted(present, key=lambda t: ub[t])
+    if len(ptids) > 1 and t0 > 0.0:
+        by_ub = sorted(ptids, key=lambda g: ub[g])
         acc, non_essential = 0.0, []
-        for t in by_ub[:-1]:  # always keep at least one essential term
-            if acc + ub[t] < t0 - EPS:
-                acc += ub[t]
-                non_essential.append(t)
+        for g in by_ub[:-1]:  # always keep at least one essential term
+            if acc + ub[g] < t0 - EPS:
+                acc += ub[g]
+                non_essential.append(g)
             else:
                 break
-        essential = [t for t in present if t not in non_essential]
+        essential = [g for g in ptids if g not in non_essential]
         if debug is not None:
             debug["present"] = list(present)
-            debug["essential"] = essential
+            debug["essential"] = [t for t in present if tid_of[t] in essential]
             debug["t0"] = t0
             debug["blocks_total"] = blocks.count()
-        blocks = blocks.where(F.col("term").isin(essential))
-        rest = {t: total_ub - ub[t] for t in essential}
+        blocks = blocks.where(F.col("tid").isin(essential))
+        rest = {g: total_ub - ub[g] for g in essential}
         rest_map = F.create_map(
-            *[x for t in essential for x in (F.lit(t), F.lit(rest[t]))]
+            *[x for g in essential for x in (F.lit(g), F.lit(rest[g]))]
         )
         w_map = F.create_map(
-            *[x for t in essential for x in (F.lit(t), F.lit(weights[t]))]
+            *[x for g in essential for x in (F.lit(g), F.lit(weights[g]))]
         )
         blocks = blocks.where(
-            w_map[F.col("term")] * F.col("max_tf_part") + rest_map[F.col("term")]
+            w_map[F.col("tid")] * F.col("max_tf_part") + rest_map[F.col("tid")]
             >= F.lit(t0 - EPS)
         )
 
@@ -183,12 +193,12 @@ def bm25_topk_wand(
     # (4) decode + partial scores
     decoded = blocks.mapInPandas(
         _decode_score_fn(weights, avgdl),
-        schema="docid long, contrib double, term string",
+        schema="docid long, contrib double, tid long",
     )
-    ub_map = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(ub[t]))])
+    ub_map = F.create_map(*[x for g in ptids for x in (F.lit(g), F.lit(ub[g]))])
     partial = decoded.groupBy("docid").agg(
         F.sum("contrib").alias("s_hat"),
-        F.sum(ub_map[F.col("term")]).alias("covered_ub"),
+        F.sum(ub_map[F.col("tid")]).alias("covered_ub"),
         F.count(F.lit(1)).alias("nmatched"),
     )
     if mode == "AND":
@@ -211,17 +221,17 @@ def bm25_topk_wand(
         # (6) exact rescore of candidates against flat postings
         postings = (
             index.postings()
-            .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(present))
+            .where(F.col("bucket").isin(index.pbuckets_for(ptids)))
+            .where(F.col("tid").isin(ptids))
             .join(F.broadcast(cand), "docid", "left_semi")
         )
         wmap = F.create_map(
-            *[x for t in present for x in (F.lit(t), F.lit(weights[t]))]
+            *[x for g in ptids for x in (F.lit(g), F.lit(weights[g]))]
         )
         scored = postings.select(
             "docid",
             (
-                wmap[F.col("term")]
+                wmap[F.col("tid")]
                 * F.col("tf").cast("double")
                 / (
                     F.col("tf").cast("double")

@@ -18,27 +18,53 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executors: int | None = None,
+    executor_mem_mb: int = 12288,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: local parallelism (defaults to $SPARK_GRAFT_CPUS or 32).
+    executors (or $SPARK_GRAFT_EXECUTORS): when set, use
+    `local-cluster[E, cores/E, mem]` — E separate executor JVMs on this
+    host. That is the faithful single-machine proxy for a multi-executor
+    cluster: per-executor heaps/GC and a real inter-process shuffle,
+    unlike local[N] where all tasks share one JVM.
     shuffle_partitions: defaults to 3x cores — enough task granularity
     that one straggler doesn't idle the rest (same sizing rule as a real
     cluster: 2-3x total executor cores).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if executors is None:
+        e = os.environ.get("SPARK_GRAFT_EXECUTORS")
+        executors = int(e) if e else None
     if shuffle_partitions is None:
         shuffle_partitions = cores * 3
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if executors:
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(__import__("pyspark").__file__)
+        )
+        per = max(1, cores // executors)
+        master = f"local-cluster[{executors},{per},{executor_mem_mb}]"
+    else:
+        master = f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
+        # executor python workers must import solr_spark (the
+        # spark-submit --py-files analogue for local-cluster executors)
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g" if executors else "64g"),
+        )
+        .config("spark.executor.memory", f"{executor_mem_mb}m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -30,7 +30,7 @@ def test_block_roundtrip_and_bounds():
     docids = np.sort(rng.choice(10**6, size=1000, replace=False))
     tfs = rng.integers(1, 50, size=1000)
     dlqs = rng.integers(20, 500, size=1000).astype(np.float64)
-    rows = encode_posting_list("t", 0, 3, docids, tfs, dlqs, avgdl=120.0)
+    rows = encode_posting_list(-7455637536468433862, 0, 3, docids, tfs, dlqs, avgdl=120.0)
     assert len(rows) == 8  # 1000 / 128 -> 8 blocks
     got_d, got_t, got_q = [], [], []
     for r in rows:

@@ -70,12 +70,25 @@ def test_bucket_pruning_layout(index):
     # postings dir is partitioned by bucket -> directory names carry values
     parts = glob.glob(os.path.join(index.paths.postings, "bucket=*"))
     assert len(parts) == index.meta["num_buckets"]
-    # bucket value matches crc32 of the term
-    from solr_spark.index.builder import bucket_of_py
+    # postings bucket derives from the tid; term_stats bucket from crc32
+    from solr_spark.index.builder import bucket_of_py, tid_bucket_py
 
-    sample = index.postings().select("term", "bucket").limit(200).collect()
+    sample = index.postings().select("tid", "bucket").limit(200).collect()
     for r in sample:
+        assert r.bucket == tid_bucket_py(r.tid, index.meta["num_buckets"])
+    ts = index.term_stats().select("term", "tid", "bucket").limit(200).collect()
+    for r in ts:
         assert r.bucket == bucket_of_py(r.term, index.meta["num_buckets"])
+    # tid really is xxhash64(term) — resolvable via the dictionary
+    from pyspark.sql import functions as F
+
+    chk = (
+        index.term_stats()
+        .select("term", "tid")
+        .where(F.xxhash64("term") != F.col("tid"))
+        .count()
+    )
+    assert chk == 0
 
 
 def test_blocks_cover_postings(index):
@@ -83,12 +96,12 @@ def test_blocks_cover_postings(index):
     n_in_blocks = index.blocks().agg(F.sum("n_docs")).collect()[0][0]
     assert n_in_blocks == n_postings
     # salted head terms: every head term's list is split across salts
-    heads = [r.term for r in index.term_stats().where("is_head").collect()]
+    heads = [r.tid for r in index.term_stats().where("is_head").collect()]
     if heads:
         salts = (
             index.blocks()
-            .where(F.col("term").isin(heads))
-            .groupBy("term")
+            .where(F.col("tid").isin(heads))
+            .groupBy("tid")
             .agg(F.countDistinct("salt").alias("ns"))
             .collect()
         )
@@ -111,8 +124,8 @@ def test_resume_equals_fresh(spark, corpus, tmp_path):
     resumed = build_index(
         spark, corpus, out2, num_buckets=4, num_chunks=3, resume=True
     )
-    a = sorted(fresh.postings().select("term", "docid", "tf").collect())
-    b = sorted(resumed.postings().select("term", "docid", "tf").collect())
+    a = sorted(fresh.postings().select("tid", "docid", "tf").collect())
+    b = sorted(resumed.postings().select("tid", "docid", "tf").collect())
     assert a == b
     assert fresh.meta["n_docs"] == resumed.meta["n_docs"]
 

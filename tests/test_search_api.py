@@ -49,11 +49,19 @@ def test_plain_terms_match_engine(index):
     assert got == ref
 
 
+def _docs_with_terms(index, terms):
+    """docid -> #distinct of `terms` present, via the tid dictionary."""
+    tids = [s["tid"] for s in index.term_stats_for(terms).values()]
+    return (
+        index.postings()
+        .where(F.col("tid").isin(tids))
+        .groupBy("docid")
+        .agg(F.countDistinct("tid").alias("n"))
+    )
+
+
 def test_must_not_excludes(index):
-    banned = {
-        r.docid
-        for r in index.postings().where(F.col("term") == "import").select("docid").collect()
-    }
+    banned = {r.docid for r in _docs_with_terms(index, ["import"]).collect()}
     rows = search(index, "return -import", k=300).collect()
     assert rows and all(r.docid not in banned for r in rows)
 
@@ -62,12 +70,7 @@ def test_must_requires(index):
     # "+jsonParser" analyzes to MUST(json) + MUST(parser)
     have_all = {
         r["docid"]
-        for r in index.postings()
-        .where(F.col("term").isin(["json", "parser"]))
-        .groupBy("docid")
-        .agg(F.countDistinct("term").alias("n"))
-        .where("n = 2")
-        .collect()
+        for r in _docs_with_terms(index, ["json", "parser"]).where("n = 2").collect()
     }
     rows = search(index, "+jsonParser return", k=300).collect()
     assert {r.docid for r in rows} == have_all
@@ -93,11 +96,12 @@ def test_range_filter(index):
 def test_prefix_expansion_constant_score(index):
     rows = prefix_query(index, "json").collect()
     assert rows and all(r.score == 1.0 for r in rows)
-    # every returned doc really contains a 'json*' term
-    with_term = {
-        r.docid
-        for r in index.postings().where(F.col("term").startswith("json")).collect()
-    }
+    # every returned doc really contains a 'json*' term (resolve via dict)
+    terms = [
+        r.term
+        for r in index.term_stats().where(F.col("term").startswith("json")).collect()
+    ]
+    with_term = {r.docid for r in _docs_with_terms(index, terms).collect()}
     assert {r.docid for r in rows} == with_term
 
 
