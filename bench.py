@@ -46,7 +46,7 @@ QUERY_SET = [
 def run(cores: int | None = None, out: dict | None = None) -> dict:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
     spark = get_spark(f"bench_{cores}", cores=cores)
     res: dict = out if out is not None else {}
     queries: dict[str, float] = {}
