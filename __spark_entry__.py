@@ -410,6 +410,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_tpch_q3"] = tpch_q3
 
+    # --- suggest/spellcheck, term vectors, more facet shapes, elevation,
+    # --- sampling, atomic update (SURVEY §2.A/§2.B long tail) ---
+    def spell_suggest(s, d):
+        """DirectSolrSpellChecker-style correction: nearest dictionary
+        terms to a misspelling by (edit distance, -df, term)."""
+        toks = _tok(s, d)
+        post = toks.select("docid", F.explode(F.array_distinct("toks")).alias("term"))
+        dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            dfreq.withColumn("dist", F.levenshtein(F.col("term"), F.lit("sparc")))
+            .where(F.col("dist") <= 2)
+            .orderBy("dist", F.desc("df"), "term")
+            .limit(5)
+            .select("term", "df", "dist")
+        )
+
+    q["spell_suggest"] = spell_suggest
+
+    def term_vectors_doc(s, d):
+        toks = _tok(s, d).where(F.col("docid") == 7)
+        return (
+            toks.select("docid", F.explode("toks").alias("term"))
+            .groupBy("docid", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .orderBy(F.desc("tf"), "term")
+        )
+
+    q["term_vectors_doc7"] = term_vectors_doc
+
+    def heatmap_facet(s, d):
+        ev = _t(s, d, "events")
+        gx = F.floor(F.col("value") / 100.0).cast("long")
+        gy = F.pmod(F.col("user_id"), F.lit(10)).cast("long")
+        return (
+            ev.groupBy(gx.alias("gx"), gy.alias("gy"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("gx", "gy")
+        )
+
+    q["heatmap_facet"] = heatmap_facet
+
+    def interval_facet(s, d):
+        c = F.col("n_chars")
+        bucket = (
+            F.when(c < 150, "tiny")
+            .when(c < 300, "small")
+            .when(c < 450, "medium")
+            .otherwise("large")
+        )
+        return (
+            _docs(s, d)
+            .groupBy(bucket.alias("interval"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("interval")
+        )
+
+    q["interval_facet"] = interval_facet
+
+    def elevation(s, d):
+        """QueryElevationComponent: pin docs 3 and 5 above organic
+        results for this query; exclude doc 7."""
+        organic = bm25_inline_scores(_docs(s, d), "table spark", id_col="doc_id", text_col="text")
+        pinned = s.createDataFrame([(3, 1), (5, 2)], "docid long, pin int")
+        merged = (
+            organic.join(pinned, "docid", "left")
+            .where(F.col("docid") != 7)
+            .select(
+                "docid",
+                F.round("s", 4).alias("score"),
+                F.coalesce("pin", F.lit(999)).alias("pin"),
+            )
+        )
+        return (
+            merged.orderBy("pin", F.desc("score"), "docid")
+            .limit(10)
+            .select("docid", "score")
+        )
+
+    q["elevation_pinned"] = elevation
+
+    def deterministic_sample(s, d):
+        """random() stream with a portable sampler: md5-hash bucket of the
+        key — identical sample set in any engine (seeded, not rand())."""
+        ev = _t(s, d, "events")
+        h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        return (
+            ev.where(F.pmod(h.cast("long"), F.lit(100)) < 5)
+            .select("event_id", "event_type")
+            .orderBy("event_id")
+        )
+
+    q["sample_deterministic"] = deterministic_sample
+
+    def atomic_update_merge(s, d):
+        """AtomicUpdateDocumentMerger set/inc semantics as a MERGE-shaped
+        join: updates override o_orderstatus and increment o_totalprice."""
+        orders = _t(s, d, "orders")
+        upd = s.createDataFrame(
+            [(1, "X", 100.0), (2, "Y", -50.0), (999999, "Z", 1.0)],
+            "o_orderkey long, new_status string, delta double",
+        )
+        merged = orders.join(F.broadcast(upd), "o_orderkey", "left").select(
+            "o_orderkey",
+            F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+            F.round(
+                F.col("o_totalprice") + F.coalesce("delta", F.lit(0.0)), 4
+            ).alias("o_totalprice"),
+        )
+        return merged.where(F.col("o_orderkey") <= 20).orderBy("o_orderkey")
+
+    q["atomic_update_merge"] = atomic_update_merge
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -762,6 +874,55 @@ scored AS (
           AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    o["spell_suggest"] = f"""
+        WITH {_DOC_TOKS_SQL}, {_POST_SQL},
+        dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+        SELECT term, df, levenshtein(term, 'sparc')::INT AS dist
+        FROM dfreq WHERE levenshtein(term, 'sparc') <= 2
+        ORDER BY dist, df DESC, term LIMIT 5"""
+
+    o["term_vectors_doc7"] = f"""
+        WITH {_DOC_TOKS_SQL}
+        SELECT docid, term, count(*) AS tf
+        FROM (SELECT docid, unnest(toks) AS term FROM toks WHERE docid = 7)
+        GROUP BY docid, term ORDER BY tf DESC, term"""
+
+    o["heatmap_facet"] = """
+        SELECT floor(value / 100.0)::BIGINT AS gx,
+               (user_id % 10)::BIGINT AS gy, count(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY gx, gy"""
+
+    o["interval_facet"] = """
+        SELECT CASE WHEN n_chars < 150 THEN 'tiny'
+                    WHEN n_chars < 300 THEN 'small'
+                    WHEN n_chars < 450 THEN 'medium'
+                    ELSE 'large' END AS interval,
+               count(*) AS cnt
+        FROM documents GROUP BY 1 ORDER BY interval"""
+
+    o["elevation_pinned"] = f"""
+        WITH {scored_cte(['table', 'spark'])},
+        pinned(docid, pin) AS (VALUES (3, 1), (5, 2))
+        SELECT docid, round(s, 4) AS score
+        FROM scored LEFT JOIN pinned USING (docid)
+        WHERE docid <> 7
+        ORDER BY coalesce(pin, 999), round(s, 4) DESC, docid LIMIT 10"""
+
+    o["sample_deterministic"] = """
+        SELECT event_id, event_type FROM events
+        WHERE (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % 100) < 5
+        ORDER BY event_id"""
+
+    o["atomic_update_merge"] = """
+        WITH upd(o_orderkey, new_status, delta) AS (
+          VALUES (1, 'X', 100.0), (2, 'Y', -50.0), (999999, 'Z', 1.0)
+        )
+        SELECT o.o_orderkey,
+               coalesce(u.new_status, o.o_orderstatus) AS o_orderstatus,
+               round(o.o_totalprice + coalesce(u.delta, 0.0), 4) AS o_totalprice
+        FROM orders o LEFT JOIN upd u USING (o_orderkey)
+        WHERE o.o_orderkey <= 20 ORDER BY o.o_orderkey"""
 
     # no oracle (rows-only check): ann_cosine_lsh and hll_users_by_type —
     # approximate operators whose sketches are engine-specific
