@@ -522,6 +522,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["atomic_update_merge"] = atomic_update_merge
 
+    def highlight_entry(s, d):
+        from solr_spark.operators.highlight import highlight
+
+        return highlight(_docs(s, d), "vector merge", id_col="doc_id", text_col="text")
+
+    q["highlight_snippets"] = highlight_entry
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -913,6 +920,10 @@ scored AS (
         SELECT event_id, event_type FROM events
         WHERE (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT % 100) < 5
         ORDER BY event_id"""
+
+    from solr_spark.operators.highlight import highlight_sql
+
+    o["highlight_snippets"] = highlight_sql("vector merge")
 
     o["atomic_update_merge"] = """
         WITH upd(o_orderkey, new_status, delta) AS (
