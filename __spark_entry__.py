@@ -529,6 +529,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight_snippets"] = highlight_entry
 
+    def phrase_entry(s, d):
+        from solr_spark.operators.phrase import phrase_match
+
+        return phrase_match(_docs(s, d), "fast merge", id_col="doc_id", text_col="text")
+
+    q["phrase_match"] = phrase_entry
+
+    def phrase_slop_entry(s, d):
+        from solr_spark.operators.phrase import phrase_match
+
+        return phrase_match(
+            _docs(s, d), "fast merge", id_col="doc_id", text_col="text", slop=2
+        )
+
+    q["phrase_match_slop2"] = phrase_slop_entry
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -922,8 +938,11 @@ scored AS (
         ORDER BY event_id"""
 
     from solr_spark.operators.highlight import highlight_sql
+    from solr_spark.operators.phrase import phrase_match_sql
 
     o["highlight_snippets"] = highlight_sql("vector merge")
+    o["phrase_match"] = phrase_match_sql("fast merge")
+    o["phrase_match_slop2"] = phrase_match_sql("fast merge", slop=2)
 
     o["atomic_update_merge"] = """
         WITH upd(o_orderkey, new_status, delta) AS (
