@@ -174,6 +174,7 @@ class Index:
     spark: SparkSession
     paths: IndexPaths
     meta: dict = field(default_factory=dict)
+    _ts_cache: object = field(default=None, init=False, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "Index":
@@ -192,7 +193,12 @@ class Index:
         return self.spark.read.parquet(self.paths.blocks)
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.term_stats)
+        # the dictionary is hot (every query starts with a term->tid
+        # seek) and small relative to postings — cache it; the analogue
+        # of Solr's in-memory term dictionary / filterCache role
+        if self._ts_cache is None:
+            self._ts_cache = self.spark.read.parquet(self.paths.term_stats).persist()
+        return self._ts_cache
 
     def buckets_for(self, terms: list[str]) -> list[int]:
         b = self.meta["num_buckets"]
