@@ -428,7 +428,7 @@ def build_index(
         "salt_threshold": salt_threshold,
         "num_chunks": num_chunks,
         "build_seconds": round(time.time() - t0, 3),
-        "has_blocks": build_blocks,
+        "has_blocks": bool(build_blocks and n_docs),
     }
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=2)

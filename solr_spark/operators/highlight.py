@@ -35,6 +35,10 @@ def highlight(
     for t in tokenize_py(qtext):
         if t not in terms:
             terms.append(t)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "docid long, matched_term string, snippet string"
+        )
     low = F.lower(F.col(text_col))
     pos_cols = [F.locate(t, low).alias(f"_p{i}") for i, t in enumerate(terms)]
     d = docs.select(

@@ -1,16 +1,23 @@
-"""Full search execution: parsed query -> scored, filtered top-k.
+"""Full search execution: query AST -> scored, filtered top-k.
 
 The Spark shape of the reference's /select component pipeline
 (solr/core/src/java/org/apache/solr/handler/component/SearchHandler.java:286
 prepare/process; QueryComponent.java:133 parse, :328 execute):
 
-- q clauses score (BM25); fq filters never score and are applied as
+- q clauses score (BM25); field clauses never score and are applied as
   cheap predicates/semi-joins BEFORE aggregation (the filter/query
   separation of search/SolrIndexSearcher.java:956);
-- MUST / MUST_NOT via matched-count checks and an anti-join
-  (BooleanQuery semantics, parser/SolrQueryParserBase.java);
-- prefix/fuzzy expansions contribute constant score 1.0 per matching
-  expansion (multiterm constant-score rewrite);
+- boolean trees (parens, AND/OR/NOT, +/-) execute via matched-count
+  checks, unions and anti-joins (BooleanQuery/BooleanScorer semantics,
+  parser/SolrQueryParserBase.java); scores of matching clauses add;
+- term boosts (term^2.5) multiply the clause's BM25 contribution;
+- prefix/fuzzy expansions contribute constant score boost*1.0 per
+  matching expansion (multiterm constant-score rewrite);
+- range filters type their endpoints (numeric endpoints compare
+  numerically, schema/FieldType.java:877), '*' = open end;
+- phrase clauses require all words; with a positions index present
+  they additionally verify adjacency (slop) through the positions
+  table — no corpus re-tokenization;
 - two-phase payload fetch: stored columns join only the k winners
   (QueryComponent.java:1213 GET_FIELDS).
 """
@@ -22,8 +29,28 @@ from pyspark.sql import functions as F
 
 from solr_spark.functions.bm25 import idf_py, tf_part_col
 from solr_spark.index.builder import Index
-from solr_spark.plans.qparser import ParsedQuery, parse_query
+from solr_spark.plans.qparser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BoolNode,
+    FieldClause,
+    FuzzyNode,
+    PhraseNode,
+    PrefixNode,
+    RangeVal,
+    Term,
+    parse_ast,
+)
 from solr_spark.query.expand_ops import fuzzy_query, prefix_query
+
+
+def _is_num(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
 
 
 def _filter_pred(fname: str, op: str, val) -> Column:
@@ -33,95 +60,207 @@ def _filter_pred(fname: str, op: str, val) -> Column:
     if op == "prefix":
         return c.cast("string").startswith(str(val))
     if op == "range":
-        lo, hi = val
-        return (c >= lo) & (c <= hi)
+        if isinstance(val, tuple):  # legacy (lo, hi) inclusive
+            val = RangeVal(val[0], val[1])
+        rv: RangeVal = val
+        ends = [v for v in (rv.lo, rv.hi) if v is not None]
+        numeric = bool(ends) and all(_is_num(v) for v in ends)
+        cc = c.cast("double") if numeric else c.cast("string")
+        conds = []
+        if rv.lo is not None:
+            lo = float(rv.lo) if numeric else rv.lo
+            conds.append(cc >= lo if rv.lo_inc else cc > lo)
+        if rv.hi is not None:
+            hi = float(rv.hi) if numeric else rv.hi
+            conds.append(cc <= hi if rv.hi_inc else cc < hi)
+        if not conds:
+            return F.lit(True)
+        pred = conds[0]
+        for p in conds[1:]:
+            pred = pred & p
+        return pred
     raise ValueError(op)
 
 
-def search(
-    index: Index,
-    q: str,
-    k: int = 10,
-    with_payload: bool = False,
-) -> DataFrame:
-    """Execute a lucene-syntax query string against the index."""
-    pq: ParsedQuery = parse_query(q)
+def _analyze_term(t: str) -> list[str]:
+    from solr_spark.analysis.analyzer import tokenize_py
+
+    return tokenize_py(t)
+
+
+def _scored_tokens(
+    index: Index, weights: dict[str, float], must_set: set[str]
+) -> tuple[DataFrame | None, int, bool]:
+    """One bucket-pruned postings scan scoring all plain tokens of a bool
+    level. Returns (DF(docid, score, _musts), n_must_tids_present,
+    missing_must) — _musts counts distinct required tids matched."""
     spark = index.spark
-    scoring_terms: dict[str, int] = {}
-    for t in pq.should + pq.must:
-        for tok in _analyze_term(t):
-            scoring_terms[tok] = scoring_terms.get(tok, 0) + 1
-    must_terms = sorted({tok for t in pq.must for tok in _analyze_term(t)})
+    if not weights:
+        return None, 0, False
+    stats = index.term_stats_for(list(weights))
+    missing_must = any(t not in stats for t in must_set)
+    if not stats:
+        return None, 0, missing_must
+    avgdl = float(index.meta["avgdl"])
+    must_tids = {stats[t]["tid"] for t in must_set if t in stats}
+    qrel = spark.createDataFrame(
+        [
+            (
+                s["tid"],
+                float(weights[t]),
+                idf_py(int(s["df"]), index.meta["n_docs"]),
+                1 if s["tid"] in must_tids else 0,
+            )
+            for t, s in stats.items()
+        ],
+        "tid long, w double, idf double, is_must int",
+    )
+    tids = [s["tid"] for s in stats.values()]
+    scored = (
+        index.postings()
+        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+        .where(F.col("tid").isin(tids))
+        .join(F.broadcast(qrel), "tid")
+        .select(
+            "docid",
+            (
+                F.col("w") * F.col("idf")
+                * tf_part_col(F.col("tf"), F.col("dl_q"), avgdl)
+            ).alias("contrib"),
+            "is_must",
+        )
+    )
+    agg = scored.groupBy("docid").agg(
+        F.sum("contrib").alias("score"), F.sum("is_must").alias("_musts")
+    )
+    return agg, len(must_tids), missing_must
+
+
+def _phrase_docids(index: Index, words: list[str], slop: int) -> DataFrame | None:
+    """Positional verification through the positions table (if built)."""
+    if not index.meta.get("has_positions"):
+        return None
+    from solr_spark.query.positions import phrase_docids
+
+    return phrase_docids(index, words, slop)
+
+
+def _eval_bool(index: Index, node: BoolNode) -> DataFrame:
+    """Evaluate a boolean subtree -> DF(docid, score) of matching docs.
+
+    Occur semantics (BooleanQuery): docs must match every MUST child and
+    no MUST_NOT child; if there is no MUST child, they must match at
+    least one SHOULD child; matching SHOULD scores always add.
+    Field clauses are non-scoring restrictions in any positive position.
+    """
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+
+    # plain-term children fold into ONE postings scan (weights + occur)
+    weights: dict[str, float] = {}
+    must_set: set[str] = set()
+    filters: list[FieldClause] = []
+    should_extras: list[DataFrame] = []
+    must_extras: list[DataFrame] = []
+    not_parts: list[DataFrame] = []
+    not_filters: list[FieldClause] = []
+    phrase_checks: list[DataFrame] = []
+
+    def add_tokens(text: str, boost: float, occur: str):
+        for tok in _analyze_term(text):
+            if occur == MUST_NOT:
+                continue  # handled by caller via ban scan
+            weights[tok] = weights.get(tok, 0.0) + boost
+            if occur == MUST:
+                must_set.add(tok)
+
+    ban_tokens: set[str] = set()
+    for occur, child in node.clauses:
+        if isinstance(child, Term):
+            if occur == MUST_NOT:
+                ban_tokens.update(_analyze_term(child.text))
+            else:
+                add_tokens(child.text, child.boost, occur)
+        elif isinstance(child, PhraseNode):
+            if occur == MUST_NOT:
+                ban = _phrase_docids(index, child.words, child.slop)
+                if ban is not None:
+                    not_parts.append(ban.select("docid"))
+                else:
+                    for w in child.words:
+                        ban_tokens.update(_analyze_term(w))
+            else:
+                # all words required + positional check when available
+                for w in child.words:
+                    add_tokens(w, child.boost, MUST)
+                chk = _phrase_docids(index, child.words, child.slop)
+                if chk is not None:
+                    phrase_checks.append(chk.select("docid"))
+        elif isinstance(child, (PrefixNode, FuzzyNode)):
+            exp = (
+                prefix_query(index, child.text)
+                if isinstance(child, PrefixNode)
+                else fuzzy_query(index, child.text, max_edits=child.max_edits)
+            )
+            exp = exp.select(
+                "docid", (F.col("score") * F.lit(child.boost)).alias("score")
+            )
+            if occur == MUST_NOT:
+                not_parts.append(exp.select("docid"))
+            elif occur == MUST:
+                must_extras.append(exp)
+            else:
+                should_extras.append(exp)
+        elif isinstance(child, FieldClause):
+            if occur == MUST_NOT:
+                not_filters.append(child)
+            else:
+                filters.append(child)
+        elif isinstance(child, BoolNode):
+            sub = _eval_bool(index, child)
+            if occur == MUST_NOT:
+                not_parts.append(sub.select("docid"))
+            elif occur == MUST:
+                must_extras.append(sub)
+            else:
+                should_extras.append(sub)
+
+    base, n_must_tids, missing_must = _scored_tokens(index, weights, must_set)
+    if missing_must:
+        return empty  # a required term is absent from the index
 
     parts: list[DataFrame] = []
-    n_musts_present = 0
-    if scoring_terms:
-        stats = index.term_stats_for(list(scoring_terms))
-        avgdl = float(index.meta["avgdl"])
-        must_tids = {stats[t]["tid"] for t in must_terms if t in stats}
-        n_musts_present = len(must_tids)
-        if stats:
-            qrel = spark.createDataFrame(
-                [
-                    (
-                        s["tid"],
-                        float(scoring_terms[t]),
-                        idf_py(int(s["df"]), index.meta["n_docs"]),
-                        1 if s["tid"] in must_tids else 0,
-                    )
-                    for t, s in stats.items()
-                ],
-                "tid long, qtf double, idf double, is_must int",
-            )
-            tids = [s["tid"] for s in stats.values()]
-            scored = (
-                index.postings()
-                .where(F.col("bucket").isin(index.pbuckets_for(tids)))
-                .where(F.col("tid").isin(tids))
-                .join(F.broadcast(qrel), "tid")
-                .select(
-                    "docid",
-                    (
-                        F.col("qtf") * F.col("idf")
-                        * tf_part_col(F.col("tf"), F.col("dl_q"), avgdl)
-                    ).alias("contrib"),
-                    "is_must",
-                )
-            )
-            parts.append(
-                scored.groupBy("docid").agg(
-                    F.sum("contrib").alias("score"),
-                    F.sum("is_must").alias("_musts"),
-                )
-            )
-    for kind, text in pq.expansions:
-        exp = prefix_query(index, text) if kind == "prefix" else fuzzy_query(index, text)
-        parts.append(exp.withColumn("_musts", F.lit(0)))
+    n_required = n_must_tids + len(must_extras)
+    if base is not None:
+        parts.append(base)
+    for p in should_extras:
+        parts.append(p.withColumn("_musts", F.lit(0)))
+    for p in must_extras:
+        parts.append(p.withColumn("_musts", F.lit(1)))
+
     if not parts:
-        if pq.filters or pq.must_not:
-            # filter-only query (q=lang:java): all docs pass with constant
-            # score, the filters below narrow it (MatchAllDocs * fq)
+        if weights:
+            return empty  # scoring terms requested, none resolved
+        if filters or not_filters or ban_tokens or not_parts:
             agg = index.docs().select("docid", F.lit(1.0).alias("score"))
         else:
-            agg = index.spark.createDataFrame([], "docid long, score double")
+            return empty
     else:
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
         agg = merged.groupBy("docid").agg(
-            F.sum("score").alias("score"), F.sum("_musts").alias("_musts")
+            F.sum("score").alias("score"), F.sum("_musts").alias("_m")
         )
-        if must_terms:
-            if n_musts_present < len(must_terms):
-                # a required term is absent from the index -> no results
-                agg = agg.where(F.lit(False))
-            else:
-                agg = agg.where(F.col("_musts") == n_musts_present)
+        if n_required:
+            agg = agg.where(F.col("_m") == n_required)
         agg = agg.select("docid", "score")
 
-    if pq.must_not:
-        ban_terms = sorted({tok for t in pq.must_not for tok in _analyze_term(t)})
-        ban_stats = index.term_stats_for(ban_terms)
+    for chk in phrase_checks:
+        agg = agg.join(chk, "docid", "left_semi")
+
+    if ban_tokens:
+        ban_stats = index.term_stats_for(sorted(ban_tokens))
         ban_tids = [s["tid"] for s in ban_stats.values()]
         if ban_tids:
             banned = (
@@ -132,15 +271,37 @@ def search(
                 .distinct()
             )
             agg = agg.join(banned, "docid", "left_anti")
+    for np_ in not_parts:
+        agg = agg.join(np_, "docid", "left_anti")
 
-    if pq.filters:
+    if filters:
         pred = None
-        for fname, op, val in pq.filters:
-            p = _filter_pred(fname, op, val)
+        for fc in filters:
+            p = _filter_pred(fc.field, fc.op, fc.value)
             pred = p if pred is None else (pred & p)
         keep = index.docs().where(pred).select("docid")
         agg = agg.join(keep, "docid", "left_semi")
+    if not_filters:
+        pred = None
+        for fc in not_filters:
+            p = _filter_pred(fc.field, fc.op, fc.value)
+            pred = p if pred is None else (pred | p)
+        drop = index.docs().where(pred).select("docid")
+        agg = agg.join(drop, "docid", "left_anti")
 
+    return agg
+
+
+def search(
+    index: Index,
+    q: str,
+    k: int = 10,
+    with_payload: bool = False,
+    default_op: str = "OR",
+) -> DataFrame:
+    """Execute a lucene-syntax query string against the index."""
+    ast = parse_ast(q, default_op)
+    agg = _eval_bool(index, ast)
     result = (
         agg.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
         .limit(k)
@@ -154,9 +315,3 @@ def search(
             .orderBy(F.desc("score"), F.asc("docid"))
         )
     return result
-
-
-def _analyze_term(t: str) -> list[str]:
-    from solr_spark.analysis.analyzer import tokenize_py
-
-    return tokenize_py(t)

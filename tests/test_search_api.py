@@ -28,6 +28,35 @@ def test_parse_query_shapes():
     assert ("fuzzy", "fuz") in pq.expansions
 
 
+def test_parse_boolean_tree():
+    from solr_spark.plans.qparser import (
+        MUST, MUST_NOT, SHOULD, BoolNode, FieldClause, RangeVal, Term, parse_ast,
+    )
+
+    ast = parse_ast("(a OR b) AND -c")
+    assert [o for o, _ in ast.clauses] == [MUST, MUST_NOT]
+    grp = ast.clauses[0][1]
+    assert isinstance(grp, BoolNode)
+    assert [(o, n.text) for o, n in grp.clauses] == [(SHOULD, "a"), (SHOULD, "b")]
+    assert ast.clauses[1][1].text == "c"
+
+    # boosts, open/exclusive ranges, NOT keyword, q.op=AND adjacency
+    ast2 = parse_ast("big^2.5 n:[* TO 5} NOT bad", default_op="AND")
+    (o0, t0), (o1, r1), (o2, t2) = ast2.clauses
+    assert (o0, t0.text, t0.boost) == (SHOULD, "big", 2.5)
+    assert o1 == MUST and isinstance(r1, FieldClause) and r1.op == "range"
+    rv: RangeVal = r1.value
+    assert rv.lo is None and rv.hi == "5" and rv.hi_inc is False
+    assert (o2, t2.text) == (MUST_NOT, "bad")
+
+    # explicit AND binds tighter than OR / adjacency
+    ast3 = parse_ast("a b AND c")
+    assert ast3.clauses[0][1].text == "a" and ast3.clauses[0][0] == SHOULD
+    inner = ast3.clauses[1][1]
+    assert isinstance(inner, BoolNode)
+    assert [o for o, _ in inner.clauses] == [MUST, MUST]
+
+
 @pytest.fixture(scope="module")
 def index(spark, tmp_path_factory):
     corpus = synthesize_corpus(spark, 300, seed=42, partitions=4)
@@ -112,6 +141,47 @@ def test_wildcard_and_fuzzy_and_set(index):
     assert f  # 'json' is one edit away
     s = {r.docid for r in term_set_query(index, ["json", "nosuchterm"]).collect()}
     assert s
+
+
+def test_numeric_range_is_typed(index):
+    """doclen:[5 TO 99] must compare numerically: lexicographic would
+    wrongly admit doclen=100 ('100' <= '99') and reject doclen=5 of a
+    multi-digit corpus ('5' < '10' is false lexicographically)."""
+    rows = search(index, "return doclen:[5 TO 99]", k=300, with_payload=True).collect()
+    assert rows and all(5 <= r.doclen <= 99 for r in rows)
+    lens = {r["docid"]: r["doclen"] for r in index.docs().select("docid", "doclen").collect()}
+    hit_all = {r.docid for r in search(index, "return", k=300).collect()}
+    expect = {d for d in hit_all if 5 <= lens[d] <= 99}
+    assert {r.docid for r in rows} == expect
+
+
+def test_paren_boolean_semantics(index):
+    """(json OR window) AND -import == (docs with json or window) minus
+    docs with import, scored by the matching terms."""
+    got = {r.docid for r in search(index, "(json OR window) AND -import", k=1000).collect()}
+    has_any = {r.docid for r in _docs_with_terms(index, ["json", "window"]).collect()}
+    has_imp = {r.docid for r in _docs_with_terms(index, ["import"]).collect()}
+    assert got == (has_any - has_imp)
+    assert got  # non-trivial on this corpus
+
+
+def test_term_boost_scales_score(index):
+    plain = {r.docid: r.score for r in search(index, "return", k=300).collect()}
+    boosted = {r.docid: r.score for r in search(index, "return^2", k=300).collect()}
+    assert set(plain) == set(boosted)
+    for d, s in plain.items():
+        assert abs(boosted[d] - 2 * s) < 2e-4  # rounded at 4 decimals
+
+
+def test_pure_negative_and_unresolved_must(index):
+    # all-absent scored term -> empty, even with a filter attached
+    assert search(index, "zzzmissingzz lang:java", k=10).count() == 0
+    # pure filter query still matches (MatchAllDocs * fq)
+    assert search(index, "lang:java", k=10).count() > 0
+    # pure negative: everything except docs containing the term
+    n_total = index.meta["n_docs"]
+    n_imp = _docs_with_terms(index, ["import"]).count()
+    assert search(index, "-import", k=10_000).count() == n_total - n_imp
 
 
 def test_rerank_blends(index):
