@@ -40,7 +40,12 @@ QUERY_SET = [
     ("q_head", "return", 10, "OR"),
     ("q_tail", "parseShard7", 10, "OR"),
     ("q_or4", "parse build read write", 100, "OR"),
+    # true head+tail mix (tail_card makes digit suffixes rare): the
+    # block-max path must beat flat here by skipping the head decode
+    ("q_mixed_tail", "return import parseShard7", 10, "OR"),
 ]
+#: queries also run through the pruned path for the wand-vs-flat compare
+WAND_SET = ("q_or_mixed", "q_and_head", "q_mixed_tail")
 
 
 def run(cores: int | None = None, out: dict | None = None) -> dict:
@@ -65,6 +70,23 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     queries["index_build"] = round(build_s, 3)
     res["docs_per_sec"] = round(n_docs / build_s, 1)
 
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "build":
+        # scaling-proxy mode: the efficiency metric is docs/sec only
+        corpus.unpersist()
+        spark.stop()
+        res.update(
+            {
+                "metric": "index build docs/sec (scaling mode)",
+                "value": round(build_s, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "bench_docs": n_docs,
+                "cores": cores,
+            }
+        )
+        return res
+
     # --- BM25 query latency over the built index (median of 3) ---
     for name, qtext, k, mode in QUERY_SET:
         times = []
@@ -74,13 +96,42 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
             times.append(time.time() - t)
         queries[name] = round(sorted(times)[1], 3)
     # block-max pruned path on the pruning-relevant shapes
-    for name, qtext, k, mode in QUERY_SET[:2]:
+    for name, qtext, k, mode in QUERY_SET:
+        if name not in WAND_SET:
+            continue
         times = []
         for _ in range(3):
             t = time.time()
             bm25_topk_wand(index, qtext, k=k, mode=mode).collect()
             times.append(time.time() - t)
         queries[f"{name}_wand"] = round(sorted(times)[1], 3)
+
+    # positions build + indexed phrase query (round-2: phrase without a
+    # corpus re-tokenize); positions are an optional index component so
+    # their build cost is reported separately from index_build
+    from solr_spark.index.builder import build_index as _bi
+    from solr_spark.query.positions import phrase_docids
+    from solr_spark.operators.phrase import phrase_match
+
+    pos_dir = f"{base}/solr_spark_bench/index_pos_{cores}"
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t = time.time()
+    pos_index = _bi(
+        spark, corpus, pos_dir, num_buckets=16, salt_threshold=20000,
+        num_salts=8, build_blocks=False, build_positions=True,
+    )
+    queries["positions_build"] = round(time.time() - t, 3)
+    t = time.time()
+    phrase_docids(pos_index, ["json", "parser"], slop=0).count()
+    queries["q_phrase_indexed"] = round(time.time() - t, 3)
+    t = time.time()
+    # inline comparison point: derive positions from raw text at query time
+    corpus_ids = pos_index.docs().select("docid", "repo", "path", "commit")
+    phrase_match(
+        corpus.join(corpus_ids, ["repo", "path", "commit"]),
+        "json parser", id_col="docid", text_col="content",
+    ).count()
+    queries["q_phrase_inline"] = round(time.time() - t, 3)
 
     # --- operator suite over harness tables ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -90,7 +141,7 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     queries["facet_lang"] = round(time.time() - t, 3)
     t = time.time()
     lsh_candidate_pairs(
-        doc_tokens(docs, id_col="doc_id", text_col="text")
+        doc_tokens(docs, id_col="doc_id", text_col="text"), ordered=False
     ).count()
     queries["dedup_lsh"] = round(time.time() - t, 3)
     qv = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]

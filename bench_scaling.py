@@ -37,6 +37,8 @@ def run_level(cores: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_EXECUTORS=str(max(1, cores // 8)),
+        SPARK_GRAFT_BENCH_MODE="build",
+        SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"),
     )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "bench.py"]
     if shutil.which("taskset") is None:

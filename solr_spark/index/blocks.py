@@ -25,7 +25,7 @@ BLOCK_SIZE = 128
 
 BLOCKS_SCHEMA = (
     "tid long, salt int, block_id int, n_docs int, first_docid long, "
-    "max_docid long, max_tf int, max_tf_part double, "
+    "max_docid long, max_tf int, max_tf_part double, min_tf_part double, "
     "docids_bin binary, tfs_bin binary, dlqs_bin binary, bucket int"
 )
 
@@ -81,13 +81,14 @@ def encode_posting_list(
     tfs: np.ndarray,
     dlqs: np.ndarray,
     avgdl: float,
+    block_size: int = BLOCK_SIZE,
 ) -> list[dict]:
     """Encode one (tid, salt) posting list (docid-sorted) into block rows."""
     rows = []
-    for blk, lo in enumerate(range(0, len(docids), BLOCK_SIZE)):
-        d = docids[lo : lo + BLOCK_SIZE]
-        t = tfs[lo : lo + BLOCK_SIZE]
-        q = dlqs[lo : lo + BLOCK_SIZE]
+    for blk, lo in enumerate(range(0, len(docids), block_size)):
+        d = docids[lo : lo + block_size]
+        t = tfs[lo : lo + block_size]
+        q = dlqs[lo : lo + block_size]
         tf_part = t / (t + K1 * (1.0 - B + B * q / avgdl))
         deltas = np.diff(d, prepend=d[0])  # first delta 0; first_docid in column
         rows.append(
@@ -100,6 +101,10 @@ def encode_posting_list(
                 "max_docid": int(d[-1]),
                 "max_tf": int(t.max()),
                 "max_tf_part": float(tf_part.max()),
+                # block-min bound: every posting in this block contributes
+                # >= w*min_tf_part — a SOUND kth-score seed can be read off
+                # block metadata alone (no decode pass; see wand.py)
+                "min_tf_part": float(tf_part.min()),
                 "docids_bin": varint_encode(deltas),
                 "tfs_bin": varint_encode(t),
                 # per-posting quantized doc length: scoring a decoded block
@@ -124,7 +129,7 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def make_block_encoder(avgdl: float):
+def make_block_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
     """Returns a mapInPandas function that streams partition-sorted
     postings (tid, salt, docid, tf, dl_q, bucket; sorted by tid, salt,
     docid within the partition) into block rows.
@@ -153,11 +158,12 @@ def make_block_encoder(avgdl: float):
                     encode_posting_list(
                         int(tids[lo]), int(salts[lo]), int(buckets[lo]),
                         docids[lo:hi], tfs[lo:hi], dlqs[lo:hi], avgdl,
+                        block_size,
                     )
                 )
             cols = ["tid", "salt", "block_id", "n_docs", "first_docid",
-                    "max_docid", "max_tf", "max_tf_part", "docids_bin",
-                    "tfs_bin", "dlqs_bin", "bucket"]
+                    "max_docid", "max_tf", "max_tf_part", "min_tf_part",
+                    "docids_bin", "tfs_bin", "dlqs_bin", "bucket"]
             return pd.DataFrame(out, columns=cols)
 
         for pdf in batches:

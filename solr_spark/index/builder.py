@@ -47,6 +47,34 @@ from solr_spark.index.blocks import BLOCKS_SCHEMA, make_block_encoder
 
 DOC_KEY = ("repo", "path", "commit")
 
+#: per-term skip-list entries kept in term_stats (bounds the largest
+#: query-time k the metadata seed can serve: k <= CAP * BLOCK_SIZE)
+SKIPLIST_CAP = 64
+
+
+FILES_PER_BUCKET = 4
+
+
+def _write_bucketed(
+    df: DataFrame, path: str, num_buckets: int, sort_cols: tuple[str, ...]
+) -> None:
+    """Write a tid-keyed index table partitioned by bucket with a SMALL,
+    tid-sorted file set: per-query-job cost is dominated by files opened
+    (round-2 measurement: a 512-file layout cost ~1 s/job in listing +
+    footers), and per-file tid-sorting gives tight row-group min/max so
+    the `tid IN (...)` pushdown skips row groups. A tid-derived salt
+    keeps write parallelism at num_buckets*FILES_PER_BUCKET while every
+    tid's rows land in ONE file of its bucket. Scaling knob at cluster
+    size = num_buckets."""
+    salt = F.pmod(F.xxhash64(F.col("tid"), F.lit(7)), F.lit(FILES_PER_BUCKET))
+    (
+        df.repartition(num_buckets * FILES_PER_BUCKET, F.col("bucket"), salt)
+        .sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
 
 def bucket_of_col(term: Column | str, num_buckets: int) -> Column:
     """crc32-based term bucket — same value computable from Python
@@ -151,6 +179,10 @@ class IndexPaths:
         return os.path.join(self.root, "term_stats")
 
     @property
+    def positions(self):
+        return os.path.join(self.root, "positions")
+
+    @property
     def term_dict_stage(self):
         return os.path.join(self.root, "stage", "term_dict")
 
@@ -192,6 +224,9 @@ class Index:
     def blocks(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.blocks)
 
+    def positions(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.positions)
+
     def term_stats(self) -> DataFrame:
         # the dictionary is hot (every query starts with a term->tid
         # seek) and small relative to postings — cache it; the analogue
@@ -220,10 +255,18 @@ class Index:
             .where(F.col("term").isin(terms))
             .collect()
         )
-        return {
-            r["term"]: {"tid": r["tid"], "df": r["df"], "cttf": r["cttf"]}
-            for r in rows
-        }
+        out = {}
+        for r in rows:
+            d = {"tid": r["tid"], "df": r["df"], "cttf": r["cttf"]}
+            if "mtp" in r.__fields__:
+                d["mtp"] = r["mtp"]
+                d["skips"] = (
+                    [(s["m"], s["nd"]) for s in r["skips"]]
+                    if r["skips"] is not None
+                    else None
+                )
+            out[r["term"]] = d
+        return out
 
 
 def _analyze_docs(corpus: DataFrame) -> DataFrame:
@@ -256,6 +299,23 @@ def _postings_from_docs(docs_tok: DataFrame) -> DataFrame:
     )
 
 
+def _positions_from_docs(docs_tok: DataFrame) -> DataFrame:
+    """(docid, _tokens) -> (tid, docid, positions array<int>) — 1-based
+    token positions, sorted. Same tid keying/bucketing as postings so
+    phrase queries prune partitions identically. Positions are optional
+    (OMIT_TF_POSITIONS analogue): ~2-3x the postings shuffle volume."""
+    return (
+        docs_tok.select("docid", F.posexplode("_tokens").alias("pos", "term"))
+        .select(
+            "docid",
+            (F.col("pos") + F.lit(1)).cast("int").alias("pos"),
+            F.xxhash64("term").alias("tid"),
+        )
+        .groupBy("tid", "docid")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
 def _term_dict_from_docs(docs_tok: DataFrame) -> DataFrame:
     """(docid, _tokens) -> distinct (term, tid) dictionary (small: one
     row per vocabulary term; map-side partial distinct keeps the shuffle
@@ -278,6 +338,8 @@ def build_index(
     num_chunks: int = 1,
     resume: bool = False,
     build_blocks: bool = True,
+    build_positions: bool = False,
+    block_size: int | None = None,
     keep_stage: bool = False,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
@@ -330,16 +392,30 @@ def build_index(
             "bucket", tid_bucket_col("tid", num_buckets)
         )
         if single:
-            # repartition on (bucket, tid): write parallelism stays at
-            # shuffle-partition width (not num_buckets) while keeping all
-            # rows of a term in one file within its bucket directory
-            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            chunk_post.repartition(nparts, "bucket", "tid").write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(post_dir)
+            # ONE file per bucket, sorted by tid: a query's per-job cost
+            # is dominated by file listing + footer reads when each
+            # bucket holds (write-tasks) files, and unsorted files defeat
+            # row-group pruning — sorted files give tight tid min/max
+            # stats so the `tid IN (...)` pushdown skips row groups
+            # (round-2 measurement: 512-file layout cost ~1 s/job on a
+            # 250k-row metadata scan)
+            _write_bucketed(chunk_post, post_dir, num_buckets, ("tid", "docid"))
         else:
             chunk_post.write.mode("overwrite").parquet(post_dir)
         _term_dict_from_docs(docs_tok).write.mode("overwrite").parquet(dict_dir)
+        if build_positions:
+            pos_dir = (
+                paths.positions
+                if single
+                else os.path.join(paths.stage, f"pos_c{chunk}")
+            )
+            chunk_pos = _positions_from_docs(docs_tok).withColumn(
+                "bucket", tid_bucket_col("tid", num_buckets)
+            )
+            if single:
+                _write_bucketed(chunk_pos, pos_dir, num_buckets, ("tid", "docid"))
+            else:
+                chunk_pos.write.mode("overwrite").parquet(pos_dir)
         docs_tok.unpersist()
         man = {
             "chunk": chunk,
@@ -372,33 +448,27 @@ def build_index(
     avgdl = float(agg["total_len"]) / n_docs if n_docs else 0.0
 
     term_dict = spark.read.parquet(os.path.join(paths.stage, "dict_c*")).distinct()
-    term_stats = (
-        postings.groupBy("tid")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cttf"))
-        .join(term_dict, "tid")
-        .withColumn("is_head", F.col("df") > F.lit(salt_threshold))
-        .withColumn("bucket", bucket_of_col("term", num_buckets))
+    postings_agg = postings.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cttf")
     )
-    (
-        term_stats.repartition(max(1, num_buckets // 2), "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(paths.term_stats)
-    )
-    term_stats = spark.read.parquet(paths.term_stats)
 
     # bucketed flat postings (the correctness/scoring path)
     if not single:
-        (
-            postings.repartition(num_buckets, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(paths.postings)
+        _write_bucketed(postings, paths.postings, num_buckets, ("tid", "docid"))
+        postings = spark.read.parquet(paths.postings)
+
+    if build_positions and not single:
+        _write_bucketed(
+            spark.read.parquet(os.path.join(paths.stage, "pos_c*")),
+            paths.positions, num_buckets, ("tid", "docid"),
         )
 
+    block_meta = None
     if build_blocks and n_docs:
-        head_tids = term_stats.where("is_head").select("tid").withColumn(
-            "_is_head", F.lit(True)
+        head_tids = (
+            postings_agg.where(F.col("df") > F.lit(salt_threshold))
+            .select("tid")
+            .withColumn("_is_head", F.lit(True))
         )
         salted = (
             spark.read.parquet(paths.postings)
@@ -413,12 +483,70 @@ def build_index(
             .drop("_is_head")
         )
         shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        from solr_spark.index.blocks import BLOCK_SIZE
+
+        bsz = block_size or BLOCK_SIZE
         blocks = (
             salted.repartition(shuffle_parts, "tid", "salt")
             .sortWithinPartitions("tid", "salt", "docid")
-            .mapInPandas(make_block_encoder(avgdl), schema=BLOCKS_SCHEMA)
+            .mapInPandas(make_block_encoder(avgdl, bsz), schema=BLOCKS_SCHEMA)
         )
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.blocks)
+        # encode at full width, then compact to one tid-sorted file per
+        # bucket (same listing/footer + row-group-pruning rationale as
+        # the postings layout); the extra exchange moves only the small
+        # encoded rows, never raw postings
+        _write_bucketed(blocks, paths.blocks, num_buckets, ("tid", "salt", "block_id"))
+
+        # per-term block-max summary folded into the dictionary: mtp is
+        # the term's global max tf_part (-> MaxScore upper bound ub =
+        # w*mtp); skips is the top-SKIPLIST_CAP blocks by min_tf_part as
+        # (m, nd) pairs — walking it until Σnd >= k yields a SOUND lower
+        # bound of the kth single-term score with NO decode job at query
+        # time (the batch analogue of Lucene's block-max skip data).
+        # Window (not collect_list-then-slice) so a head term with
+        # millions of blocks never materializes one giant array.
+        from pyspark.sql import Window
+
+        bmeta = spark.read.parquet(paths.blocks).select(
+            "tid", "min_tf_part", F.col("n_docs").alias("nd"), "max_tf_part"
+        )
+        mtp = bmeta.groupBy("tid").agg(F.max("max_tf_part").alias("mtp"))
+        w = Window.partitionBy("tid").orderBy(
+            F.desc("min_tf_part"), F.desc("nd")
+        )
+        skips = (
+            bmeta.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= SKIPLIST_CAP)
+            .groupBy("tid")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("min_tf_part").alias("m"), F.col("nd"))
+                    ),
+                    asc=False,
+                ).alias("skips")
+            )
+        )
+        block_meta = mtp.join(skips, "tid")
+
+    term_stats = (
+        postings_agg.join(term_dict, "tid")
+        .withColumn("is_head", F.col("df") > F.lit(salt_threshold))
+        .withColumn("bucket", bucket_of_col("term", num_buckets))
+    )
+    if block_meta is not None:
+        term_stats = term_stats.join(block_meta, "tid", "left")
+    else:
+        term_stats = term_stats.withColumn(
+            "mtp", F.lit(None).cast("double")
+        ).withColumn("skips", F.lit(None).cast("array<struct<m:double,nd:int>>"))
+    (
+        term_stats.repartition(max(1, num_buckets // 2), "bucket")
+        .sortWithinPartitions("term")  # row-group pruning on the seek key
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths.term_stats)
+    )
 
     meta = {
         "n_docs": n_docs,
@@ -429,6 +557,7 @@ def build_index(
         "num_chunks": num_chunks,
         "build_seconds": round(time.time() - t0, 3),
         "has_blocks": bool(build_blocks and n_docs),
+        "has_positions": bool(build_positions and n_docs),
     }
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=2)

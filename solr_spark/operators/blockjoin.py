@@ -1,0 +1,60 @@
+"""Block join (parent/child nested documents) + uniqueBlock aggregation.
+
+Re-expresses the reference's nested-document queries:
+- {!parent which=...}: solr/core/src/java/org/apache/solr/search/join/
+  BlockJoinParentQParserPlugin.java:30 — return PARENTS having >= 1
+  child matching the inner query
+- {!child of=...}: BlockJoinChildQParserPlugin.java — return CHILDREN of
+  parents matching the parent query
+- uniqueBlock(_root_): search/facet/UniqueBlockAgg.java:1-88 — count
+  DISTINCT parent blocks per facet bucket (cheaper than unique() because
+  children of one parent collapse to one count)
+
+The reference encodes nesting positionally inside a segment (_root_
+convention); the Spark-native shape is an explicit `root` key column on
+the child table — same query algebra, join-based execution. Parent
+filters broadcast when small; the child->parent semi-join shuffles on
+the root key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parent_query(
+    parents: DataFrame,
+    children: DataFrame,
+    root_col: str,
+    child_pred: Column,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Parents with at least one child matching child_pred ({!parent})."""
+    pk = parent_key or root_col
+    hits = children.where(child_pred).select(F.col(root_col).alias(pk)).distinct()
+    return parents.join(hits, pk, "left_semi")
+
+
+def child_query(
+    parents: DataFrame,
+    children: DataFrame,
+    root_col: str,
+    parent_pred: Column,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Children whose parent matches parent_pred ({!child})."""
+    pk = parent_key or root_col
+    roots = parents.where(parent_pred).select(F.col(pk).alias(root_col))
+    return children.join(roots, root_col, "left_semi")
+
+
+def unique_block(
+    children: DataFrame, bucket_col: str, root_col: str
+) -> DataFrame:
+    """Per-bucket count of DISTINCT parent blocks (uniqueBlock agg)."""
+    return (
+        children.groupBy(bucket_col)
+        .agg(F.countDistinct(root_col).alias("unique_blocks"))
+        .orderBy(bucket_col)
+    )

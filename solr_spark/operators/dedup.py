@@ -71,29 +71,67 @@ def minhash_bands(sig_df: DataFrame) -> DataFrame:
     ).select("docid", "b.band_idx", "b.band_hash")
 
 
-def lsh_candidate_pairs(tok_df: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing any minhash band."""
+#: bands holding more docs than this emit a linear "star" (hub = min
+#: docid) instead of all-pairs — a near-dup cluster of m docs in one
+#: band otherwise makes m^2/2 pair rows (the round-1 scale hole:
+#: VERDICT.md "band-size cap"). The star keeps the band connected for
+#: transitive/union-find clustering, so no duplicate group is lost.
+MAX_BAND = 64
+
+
+def lsh_candidate_pairs(
+    tok_df: DataFrame, max_band: int = MAX_BAND, ordered: bool = True
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any minhash band.
+
+    Bands with <= max_band docs join all-pairs (the classic banding
+    join); larger bands degrade to hub-spoke pairs (min docid vs rest),
+    bounding output at O(band size) while preserving cluster
+    connectivity. Deterministic, SQL-twinnable.
+    """
     bands = minhash_bands(minhash_signatures(tok_df))
-    left = bands.select(
-        F.col("docid").alias("a"), "band_idx", "band_hash"
+    sized = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("docid").alias("_hub")
     )
-    right = bands.select(
-        F.col("docid").alias("b"), "band_idx", "band_hash"
-    )
-    return (
-        left.join(right, ["band_idx", "band_hash"])
+    tagged = bands.join(sized, ["band_idx", "band_hash"])
+    small = tagged.where(F.col("_n") <= max_band)
+    pairs_small = (
+        small.select(F.col("docid").alias("a"), "band_idx", "band_hash")
+        .join(
+            small.select(F.col("docid").alias("b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
-        .orderBy("a", "b")
     )
+    pairs_big = (
+        tagged.where((F.col("_n") > max_band) & (F.col("docid") != F.col("_hub")))
+        .select(F.col("_hub").alias("a"), F.col("docid").alias("b"))
+    )
+    out = pairs_small.unionByName(pairs_big).distinct()
+    # the global sort is gate-determinism overhead — keep it OUT of the
+    # production path (ordered=False) per VERDICT round 1
+    return out.orderBy("a", "b") if ordered else out
 
 
-def ngram_jaccard_pairs(tok_df: DataFrame, n: int = 3, top: int = 20) -> DataFrame:
+#: shingles occurring in more docs than this are dropped BEFORE the
+#: pair join: a boilerplate shingle with df d makes d^2/2 join rows, so
+#: an unfiltered join is quadratic in the most common shingle's df
+#: (round-1 scale hole #2). Pairs whose overlap is ONLY ultra-common
+#: boilerplate are exactly the ones dedup should not surface anyway;
+#: the resulting jaccard is the standard df-pruned approximation
+#: (intersection counted over informative shingles, sizes over all).
+MAX_SHINGLE_DF = 100
+
+
+def ngram_jaccard_pairs(
+    tok_df: DataFrame, n: int = 3, top: int = 20, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Top pairs by n-gram (token shingle) Jaccard similarity.
 
     Shingle sets are DISTINCT n-token windows; pairs meet via a join on
-    shared shingles (no cartesian product), jaccard = |∩|/(|A|+|B|-|∩|).
+    shared shingles (no cartesian product), jaccard = |∩|/(|A|+|B|-|∩|),
+    with shingles of df > max_df excluded from the join (see above).
     """
     toks = tok_df.select("docid", "toks").where(F.size("toks") >= n)
     sh = toks.select(
@@ -108,7 +146,14 @@ def ngram_jaccard_pairs(tok_df: DataFrame, n: int = 3, top: int = 20) -> DataFra
         ).alias("shingles"),
     )
     sizes = sh.select("docid", F.size("shingles").alias("nsh"))
-    ex = sh.select("docid", F.explode("shingles").alias("s"))
+    ex_all = sh.select("docid", F.explode("shingles").alias("s"))
+    rare = (
+        ex_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("s")
+    )
+    ex = ex_all.join(rare, "s")
     pairs = (
         ex.alias("x")
         .join(ex.alias("y"), "s")

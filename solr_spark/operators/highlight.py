@@ -63,6 +63,105 @@ def highlight(
     )
 
 
+def highlight_fragments(
+    docs: DataFrame,
+    qtext: str,
+    id_col: str = "docid",
+    text_col: str = "content",
+    max_frags: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Multi-fragment highlighting with token offsets (round-2 upgrade
+    over the single-fragment char-window fast path above; role of
+    highlight/DefaultSolrHighlighter.java's fragment builder).
+
+    Works in TOKEN space: every occurrence of every query term is a
+    match (pos, term); the first `max_frags` matches by position become
+    fragments of +-`window` tokens. Token offsets are deterministic
+    across engines (char offsets depend on separators the analyzer
+    drops), and the whole thing is JVM-side array algebra over the same
+    analysis chain as scoring — SQL-twinnable, no UDF. At scale this
+    runs on the k winners after payload fetch, never the full corpus.
+    """
+    from solr_spark.analysis.analyzer import tokens_col
+
+    terms = []
+    for t in tokenize_py(qtext):
+        if t not in terms:
+            terms.append(t)
+    schema = (
+        "docid long, frag_idx int, pos int, matched_term string, snippet string"
+    )
+    if not terms:
+        return docs.sparkSession.createDataFrame([], schema)
+    toks = F.col("_toks")
+    def _matches(term: str):
+        # single-arg lambdas only: pyspark reads a 2-arg HOF lambda as
+        # (element, index); F.filter/F.transform evaluate eagerly so
+        # closing over `term` is safe
+        pos = F.filter(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.element_at(toks, i) == term,
+        )
+        return F.transform(
+            pos, lambda p: F.struct(p.alias("pos"), F.lit(term).alias("term"))
+        )
+
+    arrs = [_matches(t) for t in terms]
+    all_m = F.sort_array(F.concat(*arrs)) if len(arrs) > 1 else F.sort_array(arrs[0])
+    d = docs.select(
+        F.col(id_col).cast("long").alias("docid"),
+        tokens_col(text_col).alias("_toks"),
+    ).withColumn("_frags", F.slice(all_m, 1, max_frags))
+    start = F.greatest(F.lit(1), F.col("m.pos") - F.lit(window))
+    length = F.col("m.pos") + F.lit(window) - start + F.lit(1)
+    return (
+        d.select("docid", "_toks", F.posexplode("_frags").alias("_i", "m"))
+        .select(
+            "docid",
+            (F.col("_i") + 1).cast("int").alias("frag_idx"),
+            F.col("m.pos").alias("pos"),
+            F.col("m.term").alias("matched_term"),
+            F.array_join(
+                F.slice(F.col("_toks"), start.cast("int"), length.cast("int")), " "
+            ).alias("snippet"),
+        )
+        .orderBy("docid", "frag_idx")
+    )
+
+
+def highlight_fragments_sql(
+    qtext: str, max_frags: int = 3, window: int = 4
+) -> str:
+    """DuckDB twin of highlight_fragments over the `documents` view."""
+    from solr_spark.analysis.analyzer import tokens_sql
+
+    terms = []
+    for t in tokenize_py(qtext):
+        if t not in terms:
+            terms.append(t)
+    arrs = " || ".join(
+        f"[{{'pos': i, 'term': '{t}'}} FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']"
+        for t in terms
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents),
+m AS (SELECT docid, toks, list_sort({arrs}) AS ms FROM toks),
+fr AS (SELECT docid, toks, ms[1:{max_frags}] AS frags FROM m WHERE len(ms) > 0),
+ex AS (
+  SELECT docid, toks, unnest(generate_series(1, len(frags)))::INT AS frag_idx, frags
+  FROM fr
+)
+SELECT docid, frag_idx,
+       frags[frag_idx].pos::INT AS pos,
+       frags[frag_idx].term AS matched_term,
+       array_to_string(
+         toks[greatest(1, frags[frag_idx].pos - {window})
+              : frags[frag_idx].pos + {window}], ' ') AS snippet
+FROM ex ORDER BY docid, frag_idx
+"""
+
+
 def highlight_sql(qtext: str, window: int = WINDOW) -> str:
     """DuckDB twin over the `documents` view."""
     terms = []

@@ -1,0 +1,160 @@
+"""ML-over-term-stats operators: IGain feature selection + text logistic
+regression.
+
+Re-expresses the reference's ML query family:
+- IGain terms: solr/core/src/java/org/apache/solr/search/IGainTermsQParserPlugin.java
+  (information gain of each term w.r.t. a binary label over the
+  matching docs; the feature-selection stage of its text classifier,
+  solrj/.../io/stream/FeaturesSelectionStream.java:68)
+- TextLogit: solr/core/src/java/org/apache/solr/search/TextLogisticRegressionQParserPlugin.java
+  (iterative LR training over term-presence vectors;
+  solrj/.../io/stream/TextLogitStream.java:69 drives the iterations)
+
+Spark-first: IGain is pure DataFrame aggregation (exactly SQL-twinnable);
+training uses pyspark.ml's LogisticRegression over assembled term-presence
+feature vectors instead of re-implementing SGD — Catalyst/MLlib own the
+distributed iteration (SURVEY.md maps train()/model() there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h(p: Column) -> Column:
+    """Binary entropy term -p*log2(p) with 0*log(0) = 0."""
+    return F.when(
+        (p > 0) & (p < 1), -p * F.log2(p) - (1 - p) * F.log2(1 - p)
+    ).otherwise(F.lit(0.0))
+
+
+def igain_terms(
+    tok_df: DataFrame,
+    labels: DataFrame,
+    limit: int = 10,
+    min_df: int = 5,
+) -> DataFrame:
+    """Top terms by information gain for a binary label.
+
+    tok_df: (docid, toks); labels: (docid, label int 0/1).
+    IG(t) = H(label) - [P(t) H(label|t) + P(!t) H(label|!t)], computed
+    from exact corpus counts (one explode + one groupBy — single
+    shuffle; the label side broadcasts).
+    """
+    lab = labels.select("docid", F.col("label").cast("double").alias("_y"))
+    n = lab.count()
+    n_pos = lab.agg(F.sum("_y")).collect()[0][0] or 0.0
+    base = float(n_pos) / n if n else 0.0
+
+    post = tok_df.select(
+        "docid", F.explode(F.array_distinct("toks")).alias("term")
+    ).join(F.broadcast(lab), "docid")
+    per_term = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_y").alias("pos_with"),
+    )
+    df_c = F.col("df").cast("double")
+    pos_with = F.col("pos_with")
+    p_t = df_c / F.lit(float(n))
+    p1_t = pos_with / df_c                                   # P(pos | term)
+    p1_not = (F.lit(float(n_pos)) - pos_with) / (F.lit(float(n)) - df_c)
+    h_base = _h(F.lit(base))
+    ig = h_base - (p_t * _h(p1_t) + (1 - p_t) * _h(p1_not))
+    return (
+        per_term.where(F.col("df") >= min_df)
+        .where(F.col("df") < n)  # a term in every doc splits nothing
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round(ig, 4).alias("igain"),
+        )
+        .orderBy(F.desc("igain"), F.asc("term"))
+        .limit(limit)
+    )
+
+
+def igain_terms_sql(label_expr: str, limit: int = 10, min_df: int = 5) -> str:
+    """DuckDB twin over the `documents` view; label_expr is a boolean SQL
+    expression over documents columns (e.g. "lang = 'en'")."""
+    from solr_spark.analysis.analyzer import tokens_sql
+
+    h = (
+        "CASE WHEN {p} > 0 AND {p} < 1 THEN "
+        "-({p}) * log2({p}) - (1 - ({p})) * log2(1 - ({p})) ELSE 0.0 END"
+    )
+    p_t = "(df / n.n)"
+    p1_t = "(pos_with / df)"
+    p1_not = "((n.np - pos_with) / (n.n - df))"
+    return f"""
+WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks,
+                     CASE WHEN {label_expr} THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n, sum(y) AS np FROM toks),
+post AS (SELECT DISTINCT docid, unnest(toks) AS term, y FROM toks),
+per_term AS (
+  SELECT term, count(*)::DOUBLE AS df, sum(y) AS pos_with
+  FROM post GROUP BY term
+)
+SELECT term, df::BIGINT AS df,
+       round(({h.format(p="n.np / n.n")})
+             - ({p_t} * ({h.format(p=p1_t)})
+                + (1 - {p_t}) * ({h.format(p=p1_not)})), 4) AS igain
+FROM per_term, n
+WHERE df >= {min_df} AND df < n.n
+ORDER BY igain DESC, term LIMIT {limit}
+"""
+
+
+def textlogit_train(
+    tok_df: DataFrame,
+    labels: DataFrame,
+    features: list[str],
+    max_iter: int = 30,
+    reg: float = 0.01,
+):
+    """Train LogisticRegression over term-presence features.
+
+    Returns (model, assembled_df). Features are term-presence 0/1
+    columns (the reference trains over tf vectors of selected terms —
+    TextLogisticRegressionQParserPlugin.java's training loop); pyspark.ml
+    runs the distributed iterations. Deterministic given fixed input.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = [
+        F.when(F.array_contains("toks", t), 1.0).otherwise(0.0).alias(f"f_{i}")
+        for i, t in enumerate(features)
+    ]
+    data = (
+        tok_df.select("docid", *cols)
+        .join(labels.select("docid", F.col("label").cast("double")), "docid")
+    )
+    asm = VectorAssembler(
+        inputCols=[f"f_{i}" for i in range(len(features))], outputCol="fv"
+    )
+    assembled = asm.transform(data)
+    lr = LogisticRegression(
+        featuresCol="fv", labelCol="label", maxIter=max_iter, regParam=reg,
+        standardization=False,
+    )
+    return lr.fit(assembled), assembled
+
+
+def textlogit_classify(
+    tok_df: DataFrame, labels: DataFrame, features: list[str], **kw
+) -> DataFrame:
+    """Train + self-classify; returns (label, prediction, cnt) confusion
+    counts — an aggregate robust enough for a rows-only driver check,
+    with the accuracy bound asserted in pytest."""
+    model, assembled = textlogit_train(tok_df, labels, features, **kw)
+    pred = model.transform(assembled)
+    return (
+        pred.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("prediction").cast("long").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("label", "prediction")
+    )

@@ -1,16 +1,20 @@
-"""Positional phrase matching over tokenized text.
+"""Positional phrase matching over tokenized text (inline operator).
 
 Role of the reference's phrase queries (parser/SolrQueryParserBase.java:547-554;
 needs positions — the OMIT_TF_POSITIONS flag,
 solr/core/src/java/org/apache/solr/schema/FieldProperties.java:38).
 
-Positions are derived on the fly from the token arrays (an index-side
-positions table is the round-2 layout; the algebra is identical):
-phrase positions = positions i of term[0] such that toks[i+j] == term[j]
-for every following term. `phrase_freq` = number of such positions —
-the statistic Lucene's phrase scorer feeds into BM25. Slop > 0 extends
-the window (sloppy phrase, order-insensitive within the slop window is
-NOT implemented — exact-order slop only).
+This is the INLINE form (positions derived on the fly from the token
+arrays) used by the driver gate over the `documents` table; the indexed
+form reads the index-side positions table instead
+(solr_spark/query/positions.py) — the matching algebra
+(`chain_match_count`) is shared, so both forms agree by construction.
+
+Semantics: a phrase occurrence is a strictly increasing position chain
+p < q_1 < ... with q_j in term j's positions and every gap <= slop+1
+(exact adjacency at slop=0). Ordered: each term must match AFTER the
+previous term's matched position. `phrase_freq` = number of matching
+start positions — the statistic Lucene's phrase scorer feeds into BM25.
 """
 
 from __future__ import annotations
@@ -19,31 +23,56 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from solr_spark.analysis.analyzer import tokenize_py, tokens_sql
+from solr_spark.query.positions import chain_match_count, chain_match_count_sql
 
 
-def phrase_positions_col(toks: Column, terms: list[str], slop: int = 0) -> Column:
-    """Array of start positions (1-based) where the phrase occurs."""
-    first = F.filter(
-        F.transform(F.sequence(F.lit(1), F.size(toks)), lambda i: i),
-        lambda i: F.element_at(toks, i) == terms[0],
+def term_positions_col(toks: Column, term: str) -> Column:
+    """1-based positions of `term` in the token array."""
+    return F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.element_at(toks, i) == term,
     )
-    if len(terms) == 1:
-        return first
 
-    def rest_ok(i):
-        cond = None
-        for j, t in enumerate(terms[1:], start=1):
-            if slop == 0:
-                # try_element_at: the phrase may start near the array end
-                c = F.try_element_at(toks, i + F.lit(j)) == t
-            else:
-                # exact-order slop: term j may appear up to `slop` further
-                window = F.slice(toks, i + F.lit(j), F.lit(slop + 1))
-                c = F.array_contains(window, t)
-            cond = c if cond is None else (cond & c)
-        return cond
 
-    return F.filter(first, rest_ok)
+def phrase_freq_col(toks: Column, terms: list[str], slop: int = 0) -> Column:
+    """Number of phrase occurrences in the token array.
+
+    One Arrow UDF over the token array: deriving per-term position
+    arrays with expression-level filters re-evaluates the (inlined)
+    tokenization per array ELEMENT — Catalyst offers no way to pin the
+    intermediate (see chain_match_count's note in query/positions.py);
+    referencing the token column exactly once keeps it evaluated once
+    per row no matter what CollapseProject inlines.
+    """
+    return _phrase_freq_from_toks_udf(list(terms), slop)(toks)
+
+
+def _phrase_freq_from_toks_udf(terms: list[str], slop: int):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    s1 = slop + 1
+
+    def freq(toks):
+        out = np.zeros(len(toks), dtype="int32")
+        for i, tk in enumerate(toks):
+            tk = np.asarray(tk, dtype=object)
+            arrs = [np.nonzero(tk == t)[0] + 1 for t in terms]
+            b = arrs[-1]
+            for pj in arrs[-2::-1]:
+                if b.size == 0:
+                    break
+                lo = np.searchsorted(b, pj, side="right")
+                hi = np.searchsorted(b, pj + s1, side="right")
+                b = pj[hi > lo]
+            out[i] = b.size
+        return pd.Series(out)
+
+    # real type objects: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf cannot introspect
+    freq.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    return pandas_udf(freq, "int")
 
 
 def phrase_match(
@@ -61,34 +90,24 @@ def phrase_match(
         return docs.sparkSession.createDataFrame([], "docid long, phrase_freq int")
     toks = tokens_col(text_col)
     d = docs.select(F.col(id_col).cast("long").alias("docid"), toks.alias("_toks"))
-    freq = F.size(phrase_positions_col(F.col("_toks"), terms, slop))
+    freq = phrase_freq_col(F.col("_toks"), terms, slop)
     return (
-        d.select("docid", freq.alias("phrase_freq"))
+        d.select("docid", freq.cast("int").alias("phrase_freq"))
         .where(F.col("phrase_freq") > 0)
         .orderBy("docid")
     )
 
 
 def phrase_match_sql(phrase: str, slop: int = 0) -> str:
-    """DuckDB twin over the `documents` view."""
+    """DuckDB twin over the `documents` view (same chain algebra)."""
     terms = tokenize_py(phrase)
-    conds = []
-    for j, t in enumerate(terms[1:], start=1):
-        if slop == 0:
-            conds.append(f"toks[i + {j}] = '{t}'")
-        else:
-            conds.append(
-                f"list_contains(toks[i + {j} : i + {j} + {slop}], '{t}')"
-            )
-    cond = " AND ".join(conds) if conds else "true"
+    pos_exprs = [
+        f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']" for t in terms
+    ]
+    freq = chain_match_count_sql(pos_exprs, slop)
     return f"""
 WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents),
-hits AS (
-  SELECT docid,
-         len([i FOR i IN range(1, len(toks) + 1)
-              IF toks[i] = '{terms[0]}' AND {cond}]) AS phrase_freq
-  FROM toks
-)
+hits AS (SELECT docid, ({freq}) AS phrase_freq FROM toks)
 SELECT docid, phrase_freq::INT AS phrase_freq FROM hits
 WHERE phrase_freq > 0 ORDER BY docid
 """

@@ -23,7 +23,12 @@ doclens AS (
 )"""
 
 
-def bm25_sql(qtext: str, k: int = 10, mode: str = "OR") -> str:
+def bm25_sql(
+    qtext: str, k: int = 10, mode: str = "OR", order_decimals: int = 4
+) -> str:
+    """`order_decimals`: the indexed engine orders by round(score, 9) +
+    docid (see engine.bm25_topk); its gate twins pass 9 so both sides
+    break mathematical ties identically. The inline gate entries keep 4."""
     qterms = analyze_query(qtext)
     if not qterms:
         return "SELECT doc_id::BIGINT AS docid, 0.0::DOUBLE AS score FROM documents WHERE false"
@@ -61,7 +66,7 @@ scored AS (
 )
 SELECT docid, round(s, 4) AS score
 FROM scored {and_filter}
-ORDER BY round(s, 4) DESC, docid LIMIT {k}
+ORDER BY round(s, {order_decimals}) DESC, docid LIMIT {k}
 """
 
 

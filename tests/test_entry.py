@@ -62,7 +62,9 @@ def test_oracle_coverage():
     assert not missing, f"oracle_sql for unknown queries: {missing}"
     # the intentionally oracle-less entries (approximate operators)
     no_oracle = set(QUERIES) - set(ORACLES)
-    assert no_oracle <= {"ann_cosine_lsh", "hll_users_by_type"}, no_oracle
+    assert no_oracle <= {
+        "ann_cosine_lsh", "hll_users_by_type", "textlogit_confusion",
+    }, no_oracle
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -1,0 +1,75 @@
+"""IGain/TextLogit (pyspark.ml) + block join semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.operators import blockjoin as BJ
+from solr_spark.operators.ml import igain_terms, textlogit_classify
+
+
+@pytest.fixture(scope="module")
+def labeled_corpus(spark):
+    """200 docs: positives contain 'signal' terms, negatives 'noise';
+    both share filler vocabulary."""
+    rows = []
+    for i in range(200):
+        pos = i % 2 == 0
+        toks = ["the", "a", "filler", f"junk{i % 7}"]
+        toks += ["signal", "marker"] if pos else ["noise", "static"]
+        rows.append((i, toks, 1 if pos else 0))
+    df = spark.createDataFrame(rows, "docid long, toks array<string>, label int")
+    return df.select("docid", "toks"), df.select("docid", "label")
+
+
+def test_igain_picks_discriminative_terms(labeled_corpus):
+    toks, labels = labeled_corpus
+    top = igain_terms(toks, labels, limit=4, min_df=5).collect()
+    top_terms = {r.term for r in top}
+    # the four perfectly-splitting terms carry IG = H(0.5) = 1.0
+    assert top_terms == {"signal", "marker", "noise", "static"}
+    assert all(abs(r.igain - 1.0) < 1e-6 for r in top)
+
+
+def test_igain_useless_terms_score_zero(labeled_corpus):
+    toks, labels = labeled_corpus
+    allt = igain_terms(toks, labels, limit=100, min_df=5).collect()
+    by_term = {r.term: r.igain for r in allt}
+    # filler appears everywhere -> excluded (df == n); junk terms split
+    # nothing -> IG ~ 0
+    assert "filler" not in by_term and "the" not in by_term
+    assert all(abs(by_term[f"junk{j}"]) < 0.05 for j in range(7))
+
+
+def test_textlogit_separates_classes(labeled_corpus):
+    toks, labels = labeled_corpus
+    conf = textlogit_classify(
+        toks, labels, ["signal", "marker", "noise", "static"]
+    ).collect()
+    correct = sum(r.cnt for r in conf if r.label == r.prediction)
+    total = sum(r.cnt for r in conf)
+    assert correct / total >= 0.99  # perfectly separable
+
+
+def test_blockjoin_parent_child_roundtrip(spark):
+    parents = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "A")], "pid long, pclass string"
+    )
+    children = spark.createDataFrame(
+        [(1, 10), (1, 60), (2, 5), (3, 70), (3, 80)], "pid long, v long"
+    )
+    # {!parent}: parents with a child v > 50 -> 1 and 3
+    got = sorted(
+        r.pid for r in BJ.parent_query(parents, children, "pid", F.col("v") > 50).collect()
+    )
+    assert got == [1, 3]
+    # {!child}: children of class-A parents -> pids 1,1,3,3
+    kids = sorted(
+        (r.pid, r.v)
+        for r in BJ.child_query(parents, children, "pid", F.col("pclass") == "A").collect()
+    )
+    assert kids == [(1, 10), (1, 60), (3, 70), (3, 80)]
+    # uniqueBlock: distinct parents per bucket of v>=50 children
+    ub = {r[0]: r[1] for r in BJ.unique_block(
+        children.where("v >= 50").withColumn("bucket", F.lit("x")), "bucket", "pid"
+    ).collect()}
+    assert ub == {"x": 2}

@@ -1,0 +1,121 @@
+"""Positions table + phrase semantics: indexed == inline == DuckDB."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.index.builder import build_index
+from solr_spark.operators.phrase import phrase_match, phrase_freq_col
+from solr_spark.query.positions import (
+    chain_match_count,
+    chain_match_count_sql,
+    phrase_docids,
+)
+from solr_spark.sources.corpus import synthesize_corpus
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthesize_corpus(spark, N_DOCS, seed=7, partitions=4).persist()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pos") / "index")
+    return build_index(
+        spark, corpus, out, num_buckets=4, build_blocks=False,
+        build_positions=True,
+    )
+
+
+def _chain_freq(spark, toks: list[str], terms: list[str], slop: int) -> int:
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    freq = phrase_freq_col(F.col("toks"), terms, slop)
+    return df.select(freq.alias("f")).collect()[0]["f"]
+
+
+def test_chain_semantics_exact(spark):
+    toks = "a b c a b x c".split()
+    assert _chain_freq(spark, toks, ["a", "b", "c"], 0) == 1  # only pos 1
+    assert _chain_freq(spark, toks, ["a", "b"], 0) == 2
+    assert _chain_freq(spark, toks, ["b", "a"], 0) == 0       # order matters
+
+
+def test_chain_semantics_slop_needs_dp(spark):
+    # greedy-min would pick b@2 and fail to reach c@5; the DP must not
+    toks = "a b b x c".split()
+    assert _chain_freq(spark, toks, ["a", "b", "c"], 1) == 1
+    assert _chain_freq(spark, toks, ["a", "b", "c"], 0) == 0
+    # later term may NOT match before an earlier one (ADVICE round 1):
+    # 'c b' within slop window but reversed order
+    toks2 = "a x c b".split()
+    assert _chain_freq(spark, toks2, ["a", "c", "b"], 2) == 1
+    assert _chain_freq(spark, toks2, ["a", "b", "c"], 2) == 0
+
+
+def test_chain_sql_twin_matches(spark):
+    cases = [
+        ("a b c a b x c", ["a", "b", "c"], 0),
+        ("a b b x c", ["a", "b", "c"], 1),
+        ("a x c b", ["a", "b", "c"], 2),
+        ("q w e r t y", ["q", "e", "y"], 2),
+        ("z z z z", ["z", "z"], 0),
+    ]
+    con = duckdb.connect()
+    for text, terms, slop in cases:
+        toks = text.split()
+        spark_f = _chain_freq(spark, toks, terms, slop)
+        pos_exprs = [
+            f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']"
+            for t in terms
+        ]
+        arr = "[" + ",".join(f"'{t}'" for t in toks) + "]"
+        sql = f"SELECT ({chain_match_count_sql(pos_exprs, slop)}) AS f FROM (SELECT {arr} AS toks)"
+        duck_f = con.execute(sql).fetchone()[0]
+        assert spark_f == duck_f, (text, terms, slop, spark_f, duck_f)
+
+
+def test_positions_table_layout(index):
+    assert index.meta["has_positions"]
+    pos = index.positions()
+    # 1-based sorted positions; bucket = tid % num_buckets
+    row = pos.where(F.size("positions") >= 2).head()
+    assert row.positions == sorted(row.positions) and row.positions[0] >= 1
+    from solr_spark.index.builder import tid_bucket_py
+
+    sample = pos.select("tid", "bucket").limit(100).collect()
+    assert all(r.bucket == tid_bucket_py(r.tid, index.meta["num_buckets"]) for r in sample)
+    # positions cardinality == postings cardinality (one row per term-doc)
+    assert pos.count() == index.postings().count()
+    # position-list length == tf for every posting
+    j = pos.select("tid", "docid", F.size("positions").alias("np")).join(
+        index.postings().select("tid", "docid", "tf"), ["tid", "docid"]
+    )
+    assert j.where(F.col("np") != F.col("tf")).count() == 0
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [("return import", 0), ("jsonParser", 0), ("buffer size", 1),
+     ("parse input", 2), ("value data self", 3), ("nosuch zzz", 0)],
+)
+def test_indexed_phrase_equals_inline(spark, corpus, index, phrase, slop):
+    inline = phrase_match(
+        corpus.join(index.docs().select("docid", "repo", "path", "commit"),
+                    ["repo", "path", "commit"]),
+        phrase, id_col="docid", text_col="content", slop=slop,
+    )
+    indexed = phrase_docids(index, phrase.split(), slop=slop)
+    a = sorted((r.docid, r.phrase_freq) for r in inline.collect())
+    b = sorted((r.docid, r.phrase_freq) for r in indexed.collect())
+    assert a == b
+
+
+def test_indexed_phrase_plan_prunes(index):
+    """The phrase plan must scan positions partitions only — never the
+    corpus — and carry the tid IN pushdown to the parquet scan."""
+    plan = phrase_docids(index, ["jsonParser"], 0)._jdf.queryExecution().executedPlan().toString()
+    assert "positions" in plan
+    assert "docs" not in plan  # no corpus/docs scan anywhere in the plan

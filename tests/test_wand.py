@@ -33,9 +33,15 @@ QUERIES = [
 
 @pytest.fixture(scope="module")
 def index(spark, tmp_path_factory):
-    corpus = synthesize_corpus(spark, N_DOCS, seed=42, partitions=4)
+    # tail_card=5000 gives true tail tokens (df ~ 10 of 500 docs);
+    # block_size=16 so posting lists span many blocks at this corpus size
+    # — the skip-demonstration below needs real idf spread + granularity
+    corpus = synthesize_corpus(spark, N_DOCS, seed=42, partitions=4, tail_card=5000)
     out = str(tmp_path_factory.mktemp("wand") / "index")
-    return build_index(spark, corpus, out, num_buckets=4, salt_threshold=200, num_salts=4)
+    return build_index(
+        spark, corpus, out, num_buckets=4, salt_threshold=200, num_salts=4,
+        block_size=16,
+    )
 
 
 @pytest.mark.parametrize("qtext,mode,k", QUERIES)
