@@ -57,6 +57,143 @@ from solr_spark.query.engine import analyze_query, bm25_topk
 #: differences between driver-side and executor-side arithmetic
 EPS = 1e-9
 
+#: query-postings budget for the driver-decode hybrid (~16 MB of
+#: block bytes); beyond it the distributed formulation takes over
+DRIVER_DECODE_MAX_POSTINGS = 4_000_000
+
+#: pruned paths only run when the essential lists are at most this
+#: fraction of the query's total postings (otherwise the decode skip
+#: cannot recoup its plumbing and the flat path wins by construction)
+PRUNE_MIN_SKIP_FRACTION = 0.3
+
+
+def _decode_rows(rows, weights: dict[int, float], avgdl: float):
+    """NumPy-decode collected block rows -> (docids, contribs, tids)."""
+    dd, cc, tt = [], [], []
+    for r in rows:
+        n = int(r["n_docs"])
+        deltas = varint_decode(r["docids_bin"], n)
+        deltas[0] = r["first_docid"]
+        docids = np.cumsum(deltas)
+        tfs = varint_decode(r["tfs_bin"], n).astype(np.float64)
+        dlqs = varint_decode(r["dlqs_bin"], n).astype(np.float64)
+        w = weights[int(r["tid"])]
+        cc.append(w * tfs / (tfs + K1 * (1.0 - B + B * dlqs / avgdl)))
+        dd.append(docids)
+        tt.append(np.repeat(np.int64(r["tid"]), n))
+    if not dd:
+        return (
+            np.zeros(0, np.int64), np.zeros(0, np.float64), np.zeros(0, np.int64)
+        )
+    return np.concatenate(dd), np.concatenate(cc), np.concatenate(tt)
+
+
+def _wand_driver(
+    index: Index,
+    weights: dict[int, float],
+    ub: dict[int, float],
+    essential: list[int],
+    non_essential: list[int],
+    t0: float,
+    k: int,
+    avgdl: float,
+    debug: dict | None,
+) -> DataFrame:
+    """Bounded-volume pruned top-k: ONE shuffle-free scan job + driver
+    NumPy. All blocks of the query's tids are collected in a single
+    pruned parquet scan (the volume gate bounds the transfer); the
+    MaxScore algebra then runs on the driver:
+
+    - decode the essential (rare) lists -> exact partial scores s_hat;
+    - T = max(T0, kth best s_hat); candidates = bound >= T;
+    - if the candidate set is small, decode ONLY the non-essential
+      blocks whose [first_docid, max_docid] range contains a candidate
+      (vectorized range check on the already-collected metadata) — the
+      decode-skip that makes pruning pay;
+    - if it is large (mid-frequency terms, weak threshold), decode
+      everything — still exact, still the same single job.
+
+    This is the same role split as a Solr shard executing a top-k
+    locally: the distributed path below handles volumes that cannot sit
+    on one node, and tests force it to prove both venues agree.
+    """
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+    ptids = list(weights)
+    rows = (
+        index.blocks()
+        .where(F.col("bucket").isin(index.pbuckets_for(ptids)))
+        .where(F.col("tid").isin(ptids))
+        .collect()
+    )
+    ess_set = set(essential)
+    ess_rows = [r for r in rows if r["tid"] in ess_set]
+    ne_rows = [r for r in rows if r["tid"] not in ess_set]
+    docids, contribs, tids = _decode_rows(
+        ess_rows, {g: weights[g] for g in essential}, avgdl
+    )
+    if docids.size == 0:
+        return empty
+    uniq, inv = np.unique(docids, return_inverse=True)
+    s_hat = np.zeros(uniq.size)
+    np.add.at(s_hat, inv, contribs)
+    ub_per_row = np.array([ub[int(t)] for t in tids])
+    covered = np.zeros(uniq.size)
+    np.add.at(covered, inv, ub_per_row)
+    ess_ub_total = sum(ub[g] for g in essential)
+    ne_ub_total = sum(ub[g] for g in non_essential)
+
+    t1 = 0.0
+    if uniq.size >= k:
+        t1 = float(np.partition(s_hat, uniq.size - k)[uniq.size - k])
+    thresh = max(t0, t1)
+    bound = s_hat + (ess_ub_total - covered) + ne_ub_total
+    mask = bound >= thresh - EPS
+    cand_ids = uniq[mask]
+    cand_shat = s_hat[mask]
+    if cand_ids.size == 0:
+        return empty
+
+    ne_weights = {g: weights[g] for g in non_essential}
+    if cand_ids.size > max(50 * k, 2000):
+        # weak threshold: decode-skip cannot pay — decode everything
+        # (exact, and the data is already here; no extra job)
+        hit_rows = ne_rows
+        nd, nc, _ = _decode_rows(hit_rows, ne_weights, avgdl)
+        all_d = np.concatenate([docids, nd])
+        all_c = np.concatenate([contribs, nc])
+        fin_ids, fin_inv = np.unique(all_d, return_inverse=True)
+        scores = np.zeros(fin_ids.size)
+        np.add.at(scores, fin_inv, all_c)
+        out_ids = fin_ids
+    else:
+        # vectorized range check on collected metadata: a block can hold
+        # a candidate iff some cand in [first_docid, max_docid]
+        firsts = np.array([r["first_docid"] for r in ne_rows], dtype=np.int64)
+        maxs = np.array([r["max_docid"] for r in ne_rows], dtype=np.int64)
+        lo = np.searchsorted(cand_ids, firsts, side="left")
+        hi = np.searchsorted(cand_ids, maxs, side="right")
+        hit_rows = [r for r, keep in zip(ne_rows, hi > lo) if keep]
+        cd, cc2, _ = _decode_rows(hit_rows, ne_weights, avgdl)
+        scores = cand_shat.copy()
+        if cd.size:
+            pos = np.searchsorted(cand_ids, cd)
+            ok = (pos < cand_ids.size) & (
+                cand_ids[np.minimum(pos, cand_ids.size - 1)] == cd
+            )
+            np.add.at(scores, pos[ok], cc2[ok])
+        out_ids = cand_ids
+
+    if debug is not None:
+        debug["path"] = "driver"
+        debug["n_candidates"] = int(cand_ids.size)
+        debug["blocks_decoded"] = len(ess_rows) + len(hit_rows)
+        debug["blocks_total"] = len(rows)
+
+    order = np.lexsort((out_ids, -np.round(scores, 9)))[:k]
+    out = [(int(out_ids[i]), float(scores[i])) for i in order]
+    return spark.createDataFrame(out, "docid long, score double")
+
 
 def _decode_score_fn(weights: dict[int, float], avgdl: float):
     """mapInPandas: block rows (+`ubw` col) -> (docid, contrib, ubv) rows.
@@ -162,6 +299,35 @@ def bm25_topk_wand(
         # nothing prunable: the flat path is strictly cheaper than
         # decode-everything (single term, AND mode, weak T0, huge k)
         return bm25_topk(index, qtext, k, mode)
+    if debug is not None:
+        debug["present"] = list(present)
+        debug["essential"] = [t for t in present if tid_of[t] in essential]
+        debug["t0"] = t0
+
+    # driver-decode hybrid: when the ESSENTIAL postings volume is small
+    # (which is what the MaxScore split produces — essential terms are
+    # the rare ones), the whole pruned query fits in two shuffle-free
+    # scan jobs + NumPy on the driver. At bench scale a Spark job has a
+    # ~1 s fixed floor (scheduling + python workers + shuffle stages), so
+    # the distributed formulation pays 2x that floor and loses to the
+    # flat single job no matter how many blocks it skips; the driver
+    # path is the same algebra minus the floors. The volume gate keeps
+    # it sound at cluster scale: big essential sets (where driver decode
+    # would not fit) take the distributed path below.
+    total_volume = sum(int(stats[t]["df"]) for t in present)
+    ess_volume = sum(
+        int(stats[t]["df"]) for t in present if tid_of[t] in essential
+    )
+    if ess_volume > PRUNE_MIN_SKIP_FRACTION * total_volume:
+        # the essential lists ARE most of the postings volume (all-common
+        # queries with small idf spread): any pruned formulation decodes
+        # nearly as much as the flat scan and pays extra plumbing — known
+        # from stats alone, so bail before touching any data
+        return bm25_topk(index, qtext, k, mode)
+    if total_volume <= DRIVER_DECODE_MAX_POSTINGS:
+        return _wand_driver(
+            index, weights, ub, essential, non_essential, t0, k, avgdl, debug
+        )
 
     ne_ub_total = sum(ub[g] for g in non_essential)
     ess_ub_total = sum(ub[g] for g in essential)
@@ -192,9 +358,7 @@ def bm25_topk_wand(
     corr_blocks = q_blocks.where(~survives)
 
     if debug is not None:
-        debug["present"] = list(present)
-        debug["essential"] = [t for t in present if tid_of[t] in essential]
-        debug["t0"] = t0
+        debug["path"] = "distributed"
         debug["blocks_total"] = q_blocks.count()
 
     # decode surviving essential blocks -> partial scores; covered_ub

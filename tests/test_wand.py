@@ -51,6 +51,17 @@ def test_wand_equals_flat(index, qtext, mode, k):
     assert wand == flat
 
 
+@pytest.mark.parametrize("qtext,mode,k", QUERIES[:6])
+def test_wand_distributed_path_equals_flat(index, monkeypatch, qtext, mode, k):
+    """Force the over-budget (distributed) formulation: same results."""
+    import solr_spark.query.wand as W
+
+    monkeypatch.setattr(W, "DRIVER_DECODE_MAX_POSTINGS", 0)
+    flat = [(r.docid, round(r.score, 9)) for r in bm25_topk(index, qtext, k, mode).collect()]
+    wand = [(r.docid, round(r.score, 9)) for r in bm25_topk_wand(index, qtext, k, mode).collect()]
+    assert wand == flat
+
+
 def test_pruning_skips_work(index):
     """On a mixed head+tail OR query the head term (tiny idf -> tiny ub)
     must be classified non-essential: its posting blocks are skipped
