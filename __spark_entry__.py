@@ -605,6 +605,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_match_slop2"] = phrase_slop_entry
 
+    def phrase_unordered_entry(s, d):
+        from solr_spark.operators.phrase import phrase_match
+
+        return phrase_match(
+            _docs(s, d), "merge fast", id_col="doc_id", text_col="text",
+            slop=2, ordered=False,
+        )
+
+    q["phrase_unordered_slop2"] = phrase_unordered_entry
+
+    def ltr_rescore_entry(s, d):
+        """First-pass BM25 top-50, re-ordered by a trained LR model over
+        cheap doc features (LTRRescorer role; deterministic features,
+        rows-only driver check + pytest accuracy bound)."""
+        docs = _docs(s, d)
+        head = (
+            bm25_inline_scores(docs, "table spark", id_col="doc_id", text_col="text")
+            .orderBy(F.desc(F.round("s", 4)), "docid")
+            .limit(50)
+        )
+        feats = head.join(
+            docs.select(
+                F.col("doc_id").alias("docid"),
+                (F.col("lang") == "en").cast("double").alias("label"),
+                F.col("n_chars").cast("double").alias("f_len"),
+            ),
+            "docid",
+        ).withColumn("f_s", F.col("s"))
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import VectorAssembler
+
+        asm = VectorAssembler(inputCols=["f_s", "f_len"], outputCol="fv")
+        lr = LogisticRegression(
+            featuresCol="fv", labelCol="label", maxIter=20, regParam=0.1,
+            standardization=False,
+        )
+        model = lr.fit(asm.transform(feats))
+        return ML.ltr_rescore(feats, model, ["f_s", "f_len"], k=10)
+
+    q["ltr_rescore_top10"] = ltr_rescore_entry
+
     # --- REAL indexed engine (builder -> postings/blocks/positions) ---
     def bm25_indexed(qtext, k=10, mode="OR", wand=False):
         def run(s, d):
@@ -1190,6 +1231,7 @@ scored AS (
     o["highlight_snippets"] = highlight_sql("vector merge")
     o["phrase_match"] = phrase_match_sql("fast merge")
     o["phrase_match_slop2"] = phrase_match_sql("fast merge", slop=2)
+    o["phrase_unordered_slop2"] = phrase_match_sql("merge fast", slop=2, ordered=False)
 
     o["atomic_update_merge"] = """
         WITH upd(o_orderkey, new_status, delta) AS (

@@ -142,6 +142,32 @@ def textlogit_train(
     return lr.fit(assembled), assembled
 
 
+def ltr_rescore(
+    candidates: DataFrame,
+    model,
+    feature_cols: list[str],
+    k: int = 10,
+    id_col: str = "docid",
+) -> DataFrame:
+    """Model-based re-scoring of a candidate set (role of the reference's
+    LTR rescorer, contrib/ltr LTRRescorer.java: first-pass retrieval
+    produces top-N, a trained model re-orders them). `model` is any
+    fitted pyspark.ml classifier; P(class 1) becomes the relevance
+    score. Runs on the k-winners' small frame — never the corpus."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    fcol = model.getFeaturesCol() if hasattr(model, "getFeaturesCol") else "_fv"
+    asm = VectorAssembler(inputCols=feature_cols, outputCol=fcol)
+    scored = model.transform(asm.transform(candidates))
+    s = vector_to_array(F.col("probability")).getItem(1)
+    return (
+        scored.select(id_col, F.round(s, 6).alias("ltr_score"))
+        .orderBy(F.desc("ltr_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def textlogit_classify(
     tok_df: DataFrame, labels: DataFrame, features: list[str], **kw
 ) -> DataFrame:

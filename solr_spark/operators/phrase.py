@@ -34,7 +34,9 @@ def term_positions_col(toks: Column, term: str) -> Column:
     )
 
 
-def phrase_freq_col(toks: Column, terms: list[str], slop: int = 0) -> Column:
+def phrase_freq_col(
+    toks: Column, terms: list[str], slop: int = 0, ordered: bool = True
+) -> Column:
     """Number of phrase occurrences in the token array.
 
     One Arrow UDF over the token array: deriving per-term position
@@ -44,29 +46,40 @@ def phrase_freq_col(toks: Column, terms: list[str], slop: int = 0) -> Column:
     referencing the token column exactly once keeps it evaluated once
     per row no matter what CollapseProject inlines.
     """
-    return _phrase_freq_from_toks_udf(list(terms), slop)(toks)
+    return _phrase_freq_from_toks_udf(list(terms), slop, ordered)(toks)
 
 
-def _phrase_freq_from_toks_udf(terms: list[str], slop: int):
+def _phrase_freq_from_toks_udf(terms: list[str], slop: int, ordered: bool = True):
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     s1 = slop + 1
+    n = len(terms)
+    lo_off, hi_off = -slop, n - 1 + slop
 
     def freq(toks):
         out = np.zeros(len(toks), dtype="int32")
         for i, tk in enumerate(toks):
             tk = np.asarray(tk, dtype=object)
             arrs = [np.nonzero(tk == t)[0] + 1 for t in terms]
-            b = arrs[-1]
-            for pj in arrs[-2::-1]:
-                if b.size == 0:
-                    break
-                lo = np.searchsorted(b, pj, side="right")
-                hi = np.searchsorted(b, pj + s1, side="right")
-                b = pj[hi > lo]
-            out[i] = b.size
+            if ordered:
+                b = arrs[-1]
+                for pj in arrs[-2::-1]:
+                    if b.size == 0:
+                        break
+                    lo = np.searchsorted(b, pj, side="right")
+                    hi = np.searchsorted(b, pj + s1, side="right")
+                    b = pj[hi > lo]
+                out[i] = b.size
+            else:
+                anchors = arrs[0]
+                ok = np.ones(anchors.size, dtype=bool)
+                for pj in arrs[1:]:
+                    lo = np.searchsorted(pj, anchors + lo_off, side="left")
+                    hi = np.searchsorted(pj, anchors + hi_off, side="right")
+                    ok &= hi > lo
+                out[i] = int(ok.sum())
         return pd.Series(out)
 
     # real type objects: `from __future__ import annotations` stringifies
@@ -81,8 +94,12 @@ def phrase_match(
     id_col: str = "docid",
     text_col: str = "content",
     slop: int = 0,
+    ordered: bool = True,
 ) -> DataFrame:
-    """(docid, phrase_freq) for docs containing the analyzed phrase."""
+    """(docid, phrase_freq) for docs containing the analyzed phrase.
+
+    ordered=False switches to the order-insensitive window semantics
+    (see query/positions.py window_match_count)."""
     from solr_spark.analysis.analyzer import tokens_col
 
     terms = tokenize_py(phrase)
@@ -90,7 +107,7 @@ def phrase_match(
         return docs.sparkSession.createDataFrame([], "docid long, phrase_freq int")
     toks = tokens_col(text_col)
     d = docs.select(F.col(id_col).cast("long").alias("docid"), toks.alias("_toks"))
-    freq = phrase_freq_col(F.col("_toks"), terms, slop)
+    freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered)
     return (
         d.select("docid", freq.cast("int").alias("phrase_freq"))
         .where(F.col("phrase_freq") > 0)
@@ -98,13 +115,19 @@ def phrase_match(
     )
 
 
-def phrase_match_sql(phrase: str, slop: int = 0) -> str:
+def phrase_match_sql(phrase: str, slop: int = 0, ordered: bool = True) -> str:
     """DuckDB twin over the `documents` view (same chain algebra)."""
+    from solr_spark.query.positions import window_match_count_sql
+
     terms = tokenize_py(phrase)
     pos_exprs = [
         f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']" for t in terms
     ]
-    freq = chain_match_count_sql(pos_exprs, slop)
+    freq = (
+        chain_match_count_sql(pos_exprs, slop)
+        if ordered
+        else window_match_count_sql(pos_exprs, slop)
+    )
     return f"""
 WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents),
 hits AS (SELECT docid, ({freq}) AS phrase_freq FROM toks)

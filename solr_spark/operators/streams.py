@@ -41,6 +41,15 @@ def rollup(df: DataFrame, over: list[str], metrics: list[Column]) -> DataFrame:
     return df.groupBy(*over).agg(*metrics)
 
 
+def reduce_groups(df: DataFrame, by: list[str], fn, schema) -> DataFrame:
+    """reduce(by, group operation) — arbitrary per-group computation over
+    the group's full tuple set (ReducerStream.java:58 feeds each sorted
+    group to a pluggable operation). Spark shape: groupBy().applyInPandas
+    — the group arrives as one pandas frame, `fn(key, pdf) -> pdf`
+    returns any relation. Arrow-batched; shuffles once on the group key."""
+    return df.groupBy(*by).applyInPandas(fn, schema=schema)
+
+
 def inner_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     """innerJoin — merge join over sorted streams (InnerJoinStream.java:35);
     Catalyst's sort-merge join is the same physical plan, chosen only

@@ -85,6 +85,51 @@ def _chain_freq_udf(slop: int):
     return pandas_udf(chain_freq, "int")
 
 
+def window_match_count(pos_cols: list[Column], slop: int) -> Column:
+    """Order-INSENSITIVE sloppy phrase count (role of the reference's
+    sloppy PhraseQuery, parser/SolrQueryParserBase.java:547-554, whose
+    slop is an order-relaxing edit budget): anchor p (a position of
+    term 0) matches iff EVERY term has an occurrence inside the window
+    [p - slop, p + n - 1 + slop]. freq = number of matching anchors.
+    Deliberately window-based rather than Lucene's exact move-budget —
+    documented, deterministic, and identical in the DuckDB twin."""
+    return _window_freq_udf(slop, len(pos_cols))(F.array(*pos_cols))
+
+
+def _window_freq_udf(slop: int, n_terms: int):
+    from pyspark.sql.functions import pandas_udf
+
+    lo_off, hi_off = -slop, n_terms - 1 + slop
+
+    def window_freq(packed):
+        out = np.zeros(len(packed), dtype="int32")
+        for i, lists in enumerate(packed):
+            arrs = [np.asarray(a, dtype=np.int64) for a in lists]
+            anchors = arrs[0]
+            ok = np.ones(anchors.size, dtype=bool)
+            for pj in arrs[1:]:
+                lo = np.searchsorted(pj, anchors + lo_off, side="left")
+                hi = np.searchsorted(pj, anchors + hi_off, side="right")
+                ok &= hi > lo
+            out[i] = int(ok.sum())
+        return pd.Series(out)
+
+    window_freq.__annotations__ = {"packed": pd.Series, "return": pd.Series}
+    return pandas_udf(window_freq, "int")
+
+
+def window_match_count_sql(pos_exprs: list[str], slop: int) -> str:
+    """DuckDB twin of `window_match_count`."""
+    n = len(pos_exprs)
+    conds = " AND ".join(
+        f"len(list_filter({pe}, x -> x >= p - {slop} AND x <= p + {n - 1 + slop})) > 0"
+        for pe in pos_exprs[1:]
+    )
+    if not conds:
+        return f"len({pos_exprs[0]})"
+    return f"len(list_filter({pos_exprs[0]}, p -> {conds}))"
+
+
 def chain_match_count_sql(pos_exprs: list[str], slop: int = 0) -> str:
     """DuckDB twin of `chain_match_count` (nested list lambdas mirror
     Spark's higher-order functions, same backward DP)."""
@@ -98,7 +143,7 @@ def chain_match_count_sql(pos_exprs: list[str], slop: int = 0) -> str:
 
 
 def phrase_docids(
-    index: Index, words: list[str], slop: int = 0
+    index: Index, words: list[str], slop: int = 0, ordered: bool = True
 ) -> DataFrame:
     """(docid, phrase_freq) of docs containing the analyzed phrase,
     computed from the positions table alone (no corpus scan)."""
@@ -132,7 +177,11 @@ def phrase_docids(
     for tid in tids:
         joined = per_tid[tid] if joined is None else joined.join(per_tid[tid], "docid")
     pos_cols = [F.col(f"_p_{tid_of[t]}") for t in terms]
-    freq = chain_match_count(pos_cols, slop)
+    freq = (
+        chain_match_count(pos_cols, slop)
+        if ordered
+        else window_match_count(pos_cols, slop)
+    )
     return (
         joined.select("docid", freq.cast("int").alias("phrase_freq"))
         .where(F.col("phrase_freq") > 0)

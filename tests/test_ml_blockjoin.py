@@ -50,6 +50,46 @@ def test_textlogit_separates_classes(labeled_corpus):
     assert correct / total >= 0.99  # perfectly separable
 
 
+def test_ltr_rescore_orders_by_model(spark, labeled_corpus):
+    from solr_spark.operators.ml import ltr_rescore, textlogit_train
+
+    toks, labels = labeled_corpus
+    model, _ = textlogit_train(toks, labels, ["signal", "noise"])
+    cands = toks.select(
+        "docid",
+        F.array_contains("toks", "signal").cast("double").alias("f_0"),
+        F.array_contains("toks", "noise").cast("double").alias("f_1"),
+    ).limit(40)
+    # the model was trained on features named f_0/f_1 via textlogit_train
+    top = ltr_rescore(cands, model, ["f_0", "f_1"], k=10).collect()
+    assert len(top) == 10
+    labs = {r.docid: r.label for r in labels.collect()}
+    # all top-rescored docs are positives (perfectly separable)
+    assert all(labs[r.docid] == 1 for r in top)
+    scores = [r.ltr_score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_reduce_groups_arbitrary_operation(spark):
+    """reduce() with a non-SQL group operation: per-group trimmed mean."""
+    import pandas as pd
+
+    from solr_spark.operators.streams import reduce_groups
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(10)]
+    rows.append(("a", 1000.0))  # outlier the trim must drop
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def trimmed_mean(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["v"].sort_values()
+        trim = max(1, len(s) // 10)
+        return pd.DataFrame({"g": [key[0]], "tmean": [s.iloc[trim:-trim].mean()]})
+
+    got = {r.g: r.tmean for r in reduce_groups(df, ["g"], trimmed_mean, "g string, tmean double").collect()}
+    assert abs(got["a"] - 5.0) < 1e-9  # outlier trimmed
+    assert abs(got["b"] - 4.5) < 1e-9
+
+
 def test_blockjoin_parent_child_roundtrip(spark):
     parents = spark.createDataFrame(
         [(1, "A"), (2, "B"), (3, "A")], "pid long, pclass string"

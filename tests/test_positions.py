@@ -77,6 +77,64 @@ def test_chain_sql_twin_matches(spark):
         assert spark_f == duck_f, (text, terms, slop, spark_f, duck_f)
 
 
+def test_unordered_window_semantics(spark):
+    from solr_spark.operators.phrase import phrase_freq_col
+
+    def wfreq(toks, terms, slop):
+        df = spark.createDataFrame([(toks,)], "toks array<string>")
+        return df.select(
+            phrase_freq_col(F.col("toks"), terms, slop, ordered=False).alias("f")
+        ).collect()[0]["f"]
+
+    toks = "a x c b".split()
+    # reversed order matches within the window; ordered would reject
+    assert wfreq(toks, ["a", "b", "c"], 2) == 1
+    assert wfreq(toks, ["a", "b", "c"], 0) == 0  # b@4 outside [1, 3]
+    # anchor 'e'@3, 'q'@1: distance 2 needs slop >= 2 in window terms
+    assert wfreq("q w e".split(), ["e", "q"], 2) == 1
+    assert wfreq("q w e".split(), ["e", "q"], 1) == 0
+
+
+def test_unordered_sql_twin(spark):
+    import duckdb
+
+    from solr_spark.operators.phrase import phrase_freq_col
+    from solr_spark.query.positions import window_match_count_sql
+
+    con = duckdb.connect()
+    cases = [("a x c b", ["a", "b", "c"], 2), ("m n o p", ["o", "m"], 1),
+             ("z z y", ["z", "y"], 0)]
+    for text, terms, slop in cases:
+        toks = text.split()
+        spark_f = (
+            spark.createDataFrame([(toks,)], "toks array<string>")
+            .select(phrase_freq_col(F.col("toks"), terms, slop, ordered=False).alias("f"))
+            .collect()[0]["f"]
+        )
+        pos_exprs = [
+            f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']"
+            for t in terms
+        ]
+        arr = "[" + ",".join(f"'{t}'" for t in toks) + "]"
+        sql = f"SELECT ({window_match_count_sql(pos_exprs, slop)}) AS f FROM (SELECT {arr} AS toks)"
+        assert spark_f == con.execute(sql).fetchone()[0], (text, terms, slop)
+
+
+def test_indexed_unordered_equals_inline(spark, corpus, index):
+    from solr_spark.operators.phrase import phrase_match
+
+    inline = phrase_match(
+        corpus.join(index.docs().select("docid", "repo", "path", "commit"),
+                    ["repo", "path", "commit"]),
+        "import return", id_col="docid", text_col="content",
+        slop=1, ordered=False,
+    )
+    indexed = phrase_docids(index, ["import", "return"], slop=1, ordered=False)
+    a = sorted((r.docid, r.phrase_freq) for r in inline.collect())
+    b = sorted((r.docid, r.phrase_freq) for r in indexed.collect())
+    assert a == b and a
+
+
 def test_positions_table_layout(index):
     assert index.meta["has_positions"]
     pos = index.positions()
