@@ -375,6 +375,8 @@ def build_index(
     # single-chunk fast path: write docs and bucket-partitioned postings
     # straight to their final layout (no stage copy, one shuffle less)
     single = num_chunks == 1
+    laid: DataFrame | None = None  # single-chunk: layout-shuffled postings
+    doc_agg = None
     for chunk in range(num_chunks):
         manifest = os.path.join(paths.checkpoints, f"chunk_{chunk}.json")
         if resume and os.path.exists(manifest):
@@ -392,14 +394,28 @@ def build_index(
             "bucket", tid_bucket_col("tid", num_buckets)
         )
         if single:
-            # ONE file per bucket, sorted by tid: a query's per-job cost
-            # is dominated by file listing + footer reads when each
-            # bucket holds (write-tasks) files, and unsorted files defeat
-            # row-group pruning — sorted files give tight tid min/max
-            # stats so the `tid IN (...)` pushdown skips row groups
-            # (round-2 measurement: 512-file layout cost ~1 s/job on a
-            # 250k-row metadata scan)
-            _write_bucketed(chunk_post, post_dir, num_buckets, ("tid", "docid"))
+            # ONE layout shuffle, reused three times: the (bucket,
+            # tid-salt) exchange + per-file tid sort below is the SAME
+            # distribution the postings write, the df/cttf term
+            # aggregation and the block encode all consume, so it runs
+            # once and is persisted (MEMORY_AND_DISK) instead of being
+            # paid as three separate full-postings shuffles/scans.
+            # Layout rationale (unchanged from _write_bucketed): one
+            # file per bucket sorted by tid -> small listing/footer
+            # cost and tight row-group tid min/max for `tid IN (...)`
+            # pushdown (round-2 measurement: a 512-file layout cost
+            # ~1 s/job on a 250k-row metadata scan).
+            fsalt = F.pmod(
+                F.xxhash64(F.col("tid"), F.lit(7)), F.lit(FILES_PER_BUCKET)
+            )
+            laid = (
+                chunk_post.repartition(
+                    num_buckets * FILES_PER_BUCKET, F.col("bucket"), fsalt
+                )
+                .sortWithinPartitions("tid", "docid")
+                .persist()
+            )
+            laid.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
         else:
             chunk_post.write.mode("overwrite").parquet(post_dir)
         _term_dict_from_docs(docs_tok).write.mode("overwrite").parquet(dict_dir)
@@ -416,6 +432,12 @@ def build_index(
                 _write_bucketed(chunk_pos, pos_dir, num_buckets, ("tid", "docid"))
             else:
                 chunk_pos.write.mode("overwrite").parquet(pos_dir)
+        if single:
+            # fold the corpus stats (n_docs, avgdl) into the cached
+            # tokenize pass instead of a separate docs-parquet scan job
+            doc_agg = docs_tok.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("total_len")
+            ).collect()[0]
         docs_tok.unpersist()
         man = {
             "chunk": chunk,
@@ -433,17 +455,16 @@ def build_index(
 
     # ---- phase 2: finalize (global stats, bucketed layout, blocks) ----
     if single:
-        docs = spark.read.parquet(paths.docs)
-        postings = spark.read.parquet(paths.postings)
+        postings = laid
+        agg = doc_agg
     else:
         docs = spark.read.parquet(os.path.join(paths.stage, "docs_c*"))
         postings = spark.read.parquet(os.path.join(paths.stage, "post_c*"))
         docs.write.mode("overwrite").parquet(paths.docs)
         docs = spark.read.parquet(paths.docs)
-
-    agg = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("total_len")
-    ).collect()[0]
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("total_len")
+        ).collect()[0]
     n_docs = int(agg["n"])
     avgdl = float(agg["total_len"]) / n_docs if n_docs else 0.0
 
@@ -471,7 +492,7 @@ def build_index(
             .withColumn("_is_head", F.lit(True))
         )
         salted = (
-            spark.read.parquet(paths.postings)
+            (laid if single else spark.read.parquet(paths.postings))
             .join(F.broadcast(head_tids), "tid", "left")
             .withColumn(
                 "salt",
@@ -482,14 +503,25 @@ def build_index(
             )
             .drop("_is_head")
         )
-        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         from solr_spark.index.blocks import BLOCK_SIZE
 
         bsz = block_size or BLOCK_SIZE
-        blocks = (
-            salted.repartition(shuffle_parts, "tid", "salt")
-            .sortWithinPartitions("tid", "salt", "docid")
-            .mapInPandas(make_block_encoder(avgdl, bsz), schema=BLOCKS_SCHEMA)
+        if single:
+            # the cached layout shuffle already holds each tid wholly
+            # inside one partition; the head-term salt only reorders rows
+            # WITHIN a partition, so a local re-sort replaces the full
+            # postings shuffle the chunked path pays below. Encode
+            # parallelism = num_buckets * FILES_PER_BUCKET tasks — the
+            # same width as the postings write; num_buckets is the
+            # cluster-size scaling knob.
+            sorted_post = salted.sortWithinPartitions("tid", "salt", "docid")
+        else:
+            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            sorted_post = salted.repartition(
+                shuffle_parts, "tid", "salt"
+            ).sortWithinPartitions("tid", "salt", "docid")
+        blocks = sorted_post.mapInPandas(
+            make_block_encoder(avgdl, bsz), schema=BLOCKS_SCHEMA
         )
         # encode at full width, then compact to one tid-sorted file per
         # bucket (same listing/footer + row-group-pruning rationale as
@@ -548,6 +580,8 @@ def build_index(
         .parquet(paths.term_stats)
     )
 
+    if laid is not None:
+        laid.unpersist()
     meta = {
         "n_docs": n_docs,
         "avgdl": avgdl,
