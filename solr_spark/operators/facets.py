@@ -161,3 +161,58 @@ def stats_facet(df: DataFrame, col: str) -> DataFrame:
         davg(c, "mean_v"),
         dstddev(c, "stddev_v"),
     )
+
+
+def relatedness_facet(
+    df: DataFrame,
+    field: str,
+    fg_pred: Column,
+    limit: int = 10,
+    min_pop: float = 0.0,
+) -> DataFrame:
+    """Semantic-knowledge-graph relatedness() agg per bucket
+    (solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java:696):
+
+        bg_prob = bg_count / bg_size
+        z = (fg_count - fg_size*bg_prob) / sqrt(fg_size*bg_prob*(1-bg_prob))
+        relatedness = 0.2 * sum over (off, sc) in
+          {(-80,50),(-30,30),(0,30),(30,30),(80,50)} of
+            (z+off) / (sc + |z+off|)
+
+    fg/bg popularities are fg_count/bg_size and bg_count/bg_size (the
+    reference intentionally uses the BACKGROUND size for both —
+    RelatednessAgg.java:489-492), rounded to 5 digits like the reference.
+    Background = the whole frame; foreground = rows matching fg_pred.
+    One hash aggregation (fg flag folded into the same groupBy) — no
+    second pass over the corpus for the foreground.
+    """
+    sizes = df.agg(
+        F.count(F.lit(1)).alias("bg"),
+        F.sum(F.when(fg_pred, 1).otherwise(0)).alias("fg"),
+    ).collect()[0]
+    bg_size, fg_size = float(sizes["bg"]), float(sizes["fg"])
+    per = df.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("bg_count"),
+        F.sum(F.when(fg_pred, 1).otherwise(0)).cast("long").alias("fg_count"),
+    )
+    bg_prob = F.col("bg_count") / F.lit(bg_size)
+    num = F.col("fg_count") - F.lit(fg_size) * bg_prob
+    denom_raw = F.sqrt(F.lit(fg_size) * bg_prob * (F.lit(1.0) - bg_prob))
+    denom = F.when(denom_raw == 0.0, F.lit(1e-10)).otherwise(denom_raw)
+    z = num / denom
+    rel = F.lit(0.0)
+    for off, sc in ((-80.0, 50.0), (-30.0, 30.0), (0.0, 30.0), (30.0, 30.0), (80.0, 50.0)):
+        rel = rel + F.lit(0.2) * (z + F.lit(off)) / (F.lit(sc) + F.abs(z + F.lit(off)))
+    out = per.select(
+        "value",
+        "fg_count",
+        "bg_count",
+        F.round(F.col("fg_count") / F.lit(bg_size), 5).alias("fg_pop"),
+        F.round(F.col("bg_count") / F.lit(bg_size), 5).alias("bg_pop"),
+        F.round(rel, 5).alias("relatedness"),
+    )
+    if min_pop > 0.0:
+        out = out.where(
+            (F.col("fg_pop") >= min_pop) & (F.col("bg_pop") >= min_pop)
+        )
+    return out.orderBy(F.desc("relatedness"), F.asc("value")).limit(limit)

@@ -50,6 +50,44 @@ def gather_nodes(
     return reached.orderBy("hop", "node")
 
 
+def score_nodes(
+    nodes: DataFrame,
+    corpus_freq: DataFrame,
+    num_docs: int,
+    count_col: str = "count",
+) -> DataFrame:
+    """scoreNodes() — tf-idf relevance of gathered graph nodes
+    (solrj/src/java/org/apache/solr/client/solrj/io/stream/ScoreNodesStream.java:241):
+
+        nodeScore = (ln(termFreq) + 1) * (ln((numDocs+1)/(docFreq+1)) + 1)
+
+    `nodes`: (node, <count_col>) — traversal frequency (the stream's
+    count(*) field). `corpus_freq`: (node, df) — global frequency of the
+    node, the docFreq the reference fetches from the index's terms
+    component. The df table is vocabulary-sized -> broadcast; no
+    full-corpus shuffle at query time."""
+    return (
+        nodes.join(F.broadcast(corpus_freq), "node", "left")
+        .select(
+            "node",
+            F.col(count_col).cast("long").alias("termFreq"),
+            F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("docFreq"),
+            F.round(
+                (F.log(F.col(count_col).cast("double")) + 1.0)
+                * (
+                    F.log(
+                        (F.lit(float(num_docs)) + 1.0)
+                        / (F.coalesce(F.col("df"), F.lit(0)).cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                4,
+            ).alias("nodeScore"),
+        )
+        .orderBy(F.desc("nodeScore"), "node")
+    )
+
+
 def bfs_shortest_path(
     edges: DataFrame, src: int, max_hops: int = 6
 ) -> DataFrame:

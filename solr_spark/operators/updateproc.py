@@ -1,0 +1,184 @@
+"""Update-processor chain + copyField document construction.
+
+Role of the reference's update request processor chain
+(solr/core/src/java/org/apache/solr/update/processor/UpdateRequestProcessorChain.java:59
+runs an ordered factory list over every incoming document; 71 factories
+ship in update/processor/) and schema copyField fan-out
+(solr/core/src/java/org/apache/solr/schema/IndexSchema.java:220
+copyFields map, CopyField.java): each processor is a DataFrame -> DataFrame
+column transform, a chain is their composition, and the whole pipeline
+stays inside whole-stage codegen (no UDFs, no shuffles — processors are
+narrow per-row maps, exactly like the reference's per-doc chain).
+
+Factories with inherently non-deterministic output in the reference
+(TimestampUpdateProcessorFactory = NOW, UUIDUpdateProcessorFactory =
+random UUID) take the value/derivation explicitly so pipelines stay
+replayable — at 100 TB a retried partition must produce identical rows.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Processor = Callable[[DataFrame], DataFrame]
+
+
+def copy_fields(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Apply copyField rules (source glob -> dest). Multiple sources
+    landing in one dest build a multi-valued (array) column, matching
+    the reference's multiValued dest semantics; a single source copies
+    as a scalar. Unknown sources are skipped (schema-less leniency)."""
+    dests: dict[str, list[str]] = {}
+    for pattern, dest in rules:
+        for c in df.columns:
+            if fnmatch.fnmatchcase(c, pattern):
+                dests.setdefault(dest, []).append(c)
+    for dest, srcs in dests.items():
+        if len(srcs) == 1 and dest not in df.columns:
+            df = df.withColumn(dest, F.col(srcs[0]))
+        else:
+            vals = [F.col(s).cast("string") for s in srcs]
+            if dest in df.columns:
+                vals.insert(0, F.col(dest).cast("string"))
+            df = df.withColumn(
+                dest, F.filter(F.array(*vals), lambda v: v.isNotNull())
+            )
+    return df
+
+
+# ---- processor factories (each returns a Processor) ----
+
+
+def trim_fields(*cols: str) -> Processor:
+    """TrimFieldUpdateProcessorFactory."""
+
+    def run(df):
+        for c in cols:
+            df = df.withColumn(c, F.trim(F.col(c)))
+        return df
+
+    return run
+
+
+def remove_blank(*cols: str) -> Processor:
+    """RemoveBlankFieldUpdateProcessorFactory: '' -> null."""
+
+    def run(df):
+        for c in cols:
+            df = df.withColumn(
+                c, F.when(F.trim(F.col(c)) == "", None).otherwise(F.col(c))
+            )
+        return df
+
+    return run
+
+
+def regex_replace(col: str, pattern: str, replacement: str) -> Processor:
+    """RegexReplaceProcessorFactory."""
+    return lambda df: df.withColumn(
+        col, F.regexp_replace(F.col(col), pattern, replacement)
+    )
+
+
+def html_strip(col: str) -> Processor:
+    """HTMLStripFieldUpdateProcessorFactory (tag removal)."""
+    return lambda df: df.withColumn(
+        col, F.regexp_replace(F.col(col), r"<[^>]*>", "")
+    )
+
+
+def clone_field(src: str, dst: str) -> Processor:
+    """CloneFieldUpdateProcessorFactory."""
+    return lambda df: df.withColumn(dst, F.col(src))
+
+
+def concat_fields(dst: str, cols: list[str], sep: str = " ") -> Processor:
+    """ConcatFieldUpdateProcessorFactory (dest = joined values)."""
+    return lambda df: df.withColumn(
+        dst, F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+    )
+
+
+def count_field_values(src: str, dst: str) -> Processor:
+    """CountFieldValuesUpdateProcessorFactory (multi-valued arity)."""
+    return lambda df: df.withColumn(
+        dst,
+        F.when(F.col(src).isNull(), 0).otherwise(F.size(F.col(src))).cast("int"),
+    )
+
+
+def dedupe_values(col: str) -> Processor:
+    """UniqFieldsUpdateProcessorFactory: distinct values of an array field."""
+    return lambda df: df.withColumn(col, F.array_distinct(F.col(col)))
+
+
+def truncate_field(col: str, max_len: int) -> Processor:
+    """TruncateFieldUpdateProcessorFactory."""
+    return lambda df: df.withColumn(col, F.substring(F.col(col), 1, max_len))
+
+
+def default_value(col: str, value) -> Processor:
+    """DefaultValueUpdateProcessorFactory."""
+    return lambda df: df.withColumn(col, F.coalesce(F.col(col), F.lit(value)))
+
+
+def timestamp_field(col: str, value: str) -> Processor:
+    """TimestampUpdateProcessorFactory — the reference stamps NOW; the
+    ingest timestamp is passed in explicitly (one per batch) so retried
+    partitions stay deterministic."""
+    return lambda df: df.withColumn(
+        col, F.coalesce(F.col(col) if col in df.columns else F.lit(None), F.lit(value)).cast("timestamp")
+    )
+
+
+def uuid_field(dst: str, from_cols: list[str]) -> Processor:
+    """UUIDUpdateProcessorFactory — derived (content-addressed) instead
+    of random: md5 of the key fields formatted as a v4-shaped UUID."""
+
+    def run(df):
+        h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in from_cols]))
+        return df.withColumn(
+            dst,
+            F.concat_ws(
+                "-",
+                F.substring(h, 1, 8),
+                F.substring(h, 9, 4),
+                F.substring(h, 13, 4),
+                F.substring(h, 17, 4),
+                F.substring(h, 21, 12),
+            ),
+        )
+
+    return run
+
+
+def parse_numeric(col: str, dtype: str = "double") -> Processor:
+    """ParseDoubleFieldUpdateProcessorFactory family (unparseable -> null)."""
+    return lambda df: df.withColumn(col, F.col(col).cast(dtype))
+
+
+def field_length(src: str, dst: str) -> Processor:
+    """FieldLengthUpdateProcessorFactory."""
+    return lambda df: df.withColumn(dst, F.length(F.col(src)).cast("int"))
+
+
+def min_field(col: str, floor_value) -> Processor:
+    """MinFieldValueUpdateProcessorFactory-shaped clamp."""
+    return lambda df: df.withColumn(col, F.greatest(F.col(col), F.lit(floor_value)))
+
+
+def max_field(col: str, ceil_value) -> Processor:
+    """MaxFieldValueUpdateProcessorFactory-shaped clamp."""
+    return lambda df: df.withColumn(col, F.least(F.col(col), F.lit(ceil_value)))
+
+
+def apply_chain(df: DataFrame, processors: list[Processor]) -> DataFrame:
+    """Run the ordered chain (UpdateRequestProcessorChain.createProcessor
+    composition order)."""
+    for p in processors:
+        df = p(df)
+    return df

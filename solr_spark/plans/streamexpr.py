@@ -1,0 +1,277 @@
+"""Streaming-expression parser + evaluator: the eval() role.
+
+The reference's streaming expressions are a Lisp-ish function language
+parsed by StreamExpressionParser and dispatched through the Lang.java
+registry (solrj/src/java/org/apache/solr/client/solrj/io/Lang.java:45-373);
+`eval()` (EvalStream.java:38) compiles a tuple-supplied expression string
+and streams its result. Here the same surface compiles to a DataFrame:
+each stream function maps onto the operators in
+solr_spark/operators/streams.py, so the evaluated plan is a normal
+Catalyst plan (pushdown/broadcast/AQE all apply — the expression language
+is sugar, not an interpreter in the data path).
+
+Supported functions (one per reference stream class):
+  search(tbl, q="f1:v1 f2:v2", fl="a,b", sort="a asc")   SearchStream
+  select(stream, "a", "b as c")                          SelectStream
+  top(n=5, stream, sort="x desc")                        RankStream
+  unique(stream, over="a,b")                             UniqueStream
+  rollup(stream, over="a", sum(x), count(*), ...)        RollupStream
+  innerJoin(l, r, on="k")                                InnerJoinStream
+  hashJoin(l, r, on="k")                                 HashJoinStream
+  intersect(l, r, on="k")                                IntersectStream
+  complement(l, r, on="k")                               ComplementStream
+  merge(s1, s2, on="a asc")                              MergeStream
+  fetch(tbl, stream, on="k", fl="x,y")                   FetchStream
+  priority(high, low)                                    PriorityStream
+
+Metrics inside rollup: sum/avg/min/max(col), count(*).
+q= filters are conjunctive `field:value` pairs (+ bare `*:*`); ranges
+`field:[a TO b]` are typed off the column.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOK = re.compile(
+    r"\s*(?:(?P<str>\"[^\"]*\")"
+    r"|(?P<num>-?\d+\.?\d*)"
+    r"|(?P<name>[A-Za-z_][A-Za-z0-9_.]*)"
+    r"|(?P<punct>[(),=*]))"
+)
+
+
+class StreamExprError(ValueError):
+    pass
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOK.match(s, i)
+        if not m:
+            if s[i:].strip() == "":
+                break
+            raise StreamExprError(f"bad stream expression at {s[i:]!r}")
+        i = m.end()
+        for k in ("str", "num", "name", "punct"):
+            if m.group(k) is not None:
+                out.append((k, m.group(k)))
+                break
+    return out
+
+
+class Call:
+    def __init__(self, name: str):
+        self.name = name
+        self.args: list = []  # Call | str(ident) | float | quoted str
+        self.kwargs: dict[str, object] = {}
+
+    def __repr__(self):
+        return f"{self.name}({self.args}, {self.kwargs})"
+
+
+def parse_expr(s: str) -> Call:
+    toks = _lex(s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def value():
+        nonlocal pos
+        k, v = peek()
+        pos += 1
+        if k == "str":
+            return ("lit", v[1:-1])
+        if k == "num":
+            return ("lit", float(v) if "." in v else int(v))
+        if k == "punct" and v == "*":
+            return ("ident", "*")
+        if k == "name":
+            nk, nv = peek()
+            if nk == "punct" and nv == "(":
+                pos -= 1
+                return call()
+            if nk == "punct" and nv == "=":
+                pos += 1
+                return ("kw", v, value())
+            return ("ident", v)
+        raise StreamExprError(f"unexpected token {v!r}")
+
+    def call() -> Call:
+        nonlocal pos
+        k, name = peek()
+        if k != "name":
+            raise StreamExprError(f"expected function name, got {name!r}")
+        pos += 1
+        k, v = peek()
+        if not (k == "punct" and v == "("):
+            raise StreamExprError(f"expected '(' after {name}")
+        pos += 1
+        node = Call(name)
+        k, v = peek()
+        if not (k == "punct" and v == ")"):
+            while True:
+                a = value()
+                if isinstance(a, tuple) and a[0] == "kw":
+                    node.kwargs[a[1]] = a[2]
+                else:
+                    node.args.append(a)
+                k, v = peek()
+                if k == "punct" and v == ",":
+                    pos += 1
+                    continue
+                break
+        k, v = peek()
+        if not (k == "punct" and v == ")"):
+            raise StreamExprError(f"expected ')' closing {name}")
+        pos += 1
+        return node
+
+    node = call()
+    if pos != len(toks):
+        raise StreamExprError(f"trailing input in {s!r}")
+    return node
+
+
+# ---- evaluation ----
+
+_RANGE = re.compile(r"^\[(\S+)\s+TO\s+(\S+)\]$")
+
+
+_CLAUSE = re.compile(r"\S+:\[[^\]]*\]|\S+")
+
+
+def _q_filter(df: DataFrame, q: str) -> DataFrame:
+    # split on whitespace but keep `field:[a TO b]` ranges whole
+    for clause in _CLAUSE.findall(q):
+        if clause == "*:*":
+            continue
+        if ":" not in clause:
+            raise StreamExprError(f"q clause {clause!r} must be field:value")
+        fld, val = clause.split(":", 1)
+        m = _RANGE.match(val)
+        col = F.col(fld)
+        if m:
+            lo, hi = m.group(1), m.group(2)
+            dt = dict(df.dtypes).get(fld, "string")
+            if lo != "*":
+                df = df.where(col >= F.lit(lo).cast(dt))
+            if hi != "*":
+                df = df.where(col <= F.lit(hi).cast(dt))
+        else:
+            df = df.where(col.cast("string") == val)
+    return df
+
+
+def _sort_cols(spec) -> list[Column]:
+    out = []
+    for part in str(_unlit(spec)).split(","):
+        bits = part.split()
+        c = F.col(bits[0])
+        out.append(c.desc() if len(bits) > 1 and bits[1].lower() == "desc" else c.asc())
+    return out
+
+
+def _unlit(v):
+    return v[1] if isinstance(v, tuple) else v
+
+
+def _fields(spec) -> list[str]:
+    return [f.strip() for f in str(_unlit(spec)).split(",") if f.strip()]
+
+
+def _metric(node: Call) -> Column:
+    arg = node.args[0][1] if node.args else "*"
+    name = node.name.lower()
+    if name == "count":
+        return F.count(F.lit(1)).alias("count(*)")
+    fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}.get(name)
+    if fn is None:
+        raise StreamExprError(f"unknown metric {node.name!r}")
+    return fn(F.col(arg)).alias(f"{name}({arg})")
+
+
+def eval_expr(expr: str | Call, tables: dict[str, DataFrame]) -> DataFrame:
+    """Evaluate a streaming expression against named tables (the
+    collection registry)."""
+    node = parse_expr(expr) if isinstance(expr, str) else expr
+    return _eval(node, tables)
+
+
+def _eval(node, tables) -> DataFrame:
+    if isinstance(node, tuple):
+        if node[0] == "ident" and node[1] in tables:
+            return tables[node[1]]
+        raise StreamExprError(f"not a stream: {node!r}")
+    from solr_spark.operators import streams as S
+
+    name = node.name
+    kw = node.kwargs
+    if name == "search":
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        fl = _fields(kw["fl"]) if "fl" in kw else df.columns
+        sort = _sort_cols(kw["sort"]) if "sort" in kw else []
+        return S.search(df, None, sort, fl) if sort else df.select(*fl)
+    if name == "select":
+        df = _eval(node.args[0], tables)
+        cols = []
+        for a in node.args[1:]:
+            spec = str(_unlit(a))
+            if " as " in spec:
+                src, dst = spec.split(" as ")
+                cols.append(F.col(src.strip()).alias(dst.strip()))
+            else:
+                cols.append(F.col(spec.strip()))
+        return df.select(*cols)
+    if name == "top":
+        df = _eval(node.args[0], tables)
+        return S.top(df, _sort_cols(kw["sort"]), int(_unlit(kw["n"])))
+    if name == "unique":
+        return S.unique(_eval(node.args[0], tables), _fields(kw["over"]))
+    if name == "rollup":
+        df = _eval(node.args[0], tables)
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Call)]
+        return S.rollup(df, _fields(kw["over"]), metrics)
+    if name in ("innerJoin", "hashJoin", "intersect", "complement", "merge"):
+        left = _eval(node.args[0], tables)
+        right = _eval(node.args[1], tables)
+        if name == "innerJoin":
+            return S.inner_join(left, right, _fields(kw["on"]))
+        if name == "hashJoin":
+            return S.hash_join(left, right, _fields(kw["on"]))
+        if name == "intersect":
+            return S.intersect_on(left, right, _fields(kw["on"]))
+        if name == "complement":
+            return S.complement_on(left, right, _fields(kw["on"]))
+        return S.merge_streams([left, right], _sort_cols(kw["on"]))
+    if name == "fetch":
+        tbl = node.args[0][1]
+        df = _eval(node.args[1], tables)
+        return S.fetch(df, tables[tbl], _fields(kw["on"]), _fields(kw["fl"]))
+    if name == "priority":
+        return priority_stream(
+            _eval(node.args[0], tables), _eval(node.args[1], tables)
+        )
+    raise StreamExprError(f"unknown stream function {name!r}")
+
+
+def priority_stream(high: DataFrame, low: DataFrame) -> DataFrame:
+    """priority() — high-priority tuples drain before low
+    (solrj/src/java/org/apache/solr/client/solrj/io/stream/PriorityStream.java:46
+    schedules the high stream's tasks first). Batch shape: tag + stable
+    order; consumers see all high rows before any low row."""
+    return (
+        high.withColumn("_priority", F.lit(0))
+        .unionByName(low.withColumn("_priority", F.lit(1)))
+        .orderBy("_priority")
+    )

@@ -126,3 +126,63 @@ def bm25_topk(
             .orderBy(F.desc("score"), F.asc("docid"))
         )
     return result
+
+
+def realtime_get(
+    index: Index,
+    docids: list[int],
+    tlog: DataFrame | None = None,
+    version_col: str = "_version_",
+) -> DataFrame:
+    """Real-time get: fetch docs by id, seeing UNCOMMITTED updates first.
+
+    The reference answers /get from the in-memory update log before
+    falling back to the last commit point
+    (solr/core/src/java/org/apache/solr/handler/component/RealTimeGetComponent.java:110-180
+    consults UpdateLog.lookup, then the searcher). Spark shape: `tlog` is
+    the not-yet-published micro-batch (docid, <doc fields>, _version_);
+    the LATEST tlog row per docid (max version) overlays the committed
+    docs table, and a tlog row with all payload fields null is a delete
+    tombstone. Both sides are pruned to the requested ids before the
+    join, so the lookup is k-row work, not a corpus scan.
+    """
+    from pyspark.sql.window import Window
+
+    committed = index.docs().where(F.col("docid").isin(list(docids)))
+    if tlog is None:
+        return committed.orderBy("docid")
+    fields = [c for c in committed.columns if c != "docid"]
+    deleted = "_deleted_" if "_deleted_" in tlog.columns else None
+    latest = (
+        tlog.where(F.col("docid").isin(list(docids)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("docid").orderBy(F.desc(version_col))
+            ),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    overlaid = committed.join(
+        latest.select(
+            "docid",
+            F.lit(True).alias("_in_tlog"),
+            (F.col(deleted) if deleted else F.lit(False)).alias("_tomb"),
+            *[F.col(c).alias(f"_t_{c}") for c in fields],
+        ),
+        "docid",
+        "full",
+    )
+    in_tlog = F.coalesce(F.col("_in_tlog"), F.lit(False))
+    out = (
+        overlaid.where(~F.coalesce(F.col("_tomb"), F.lit(False)))
+        .select(
+            "docid",
+            *[
+                F.when(in_tlog, F.col(f"_t_{c}")).otherwise(F.col(c)).alias(c)
+                for c in fields
+            ],
+            in_tlog.alias("_from_tlog"),
+        )
+    )
+    return out.orderBy("docid")

@@ -1,0 +1,257 @@
+"""Round-2 breadth operators: function-query registry, update-processor
+chain, streaming-expression eval, scoreNodes, relatedness, realtime get."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.functions.valuesources import FuncParseError, frange, parse_func
+from solr_spark.operators import updateproc as UP
+from solr_spark.operators.facets import relatedness_facet
+from solr_spark.operators.graph import score_nodes
+from solr_spark.plans.streamexpr import StreamExprError, eval_expr, parse_expr
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "alpha"), (2, -4.0, "beta"), (3, 0.5, None), (4, 100.0, "alpha")],
+        "id long, x double, tag string",
+    )
+
+
+# ---- function queries ----
+
+def test_func_arith_and_registry(nums):
+    rows = {
+        r["id"]: r
+        for r in nums.select(
+            "id",
+            parse_func("add(mul(2,x),1)").alias("a"),
+            parse_func("recip(abs(x),1,1000,1000)").alias("r"),
+            parse_func("map(x,0,50,0)").alias("m"),
+            parse_func("if(exists(tag),strdist(tag,'alpha'),-1)").alias("s"),
+            parse_func("max(x,0)").alias("mx"),
+            parse_func("def(tag,'missing')").alias("d"),
+        ).collect()
+    }
+    assert rows[1]["a"] == 21.0
+    assert rows[2]["a"] == -7.0
+    assert abs(rows[1]["r"] - 1000.0 / 1010.0) < 1e-12
+    assert rows[1]["m"] == 0.0 and rows[4]["m"] == 100.0  # outside range -> x
+    assert rows[1]["s"] == 1.0 and rows[3]["s"] == -1.0
+    assert 0.0 < rows[2]["s"] < 1.0  # beta vs alpha
+    assert rows[2]["mx"] == 0.0
+    assert rows[3]["d"] == "missing"
+
+
+def test_func_log_is_base10_and_trig(nums):
+    r = nums.where(F.col("id") == 1).select(
+        parse_func("log(x)").alias("l"),
+        parse_func("ln(x)").alias("n"),
+        parse_func("hypot(3,4)").alias("h"),
+        parse_func("div(pi(),2)").alias("p"),
+    ).collect()[0]
+    assert abs(r["l"] - 1.0) < 1e-12
+    assert abs(r["n"] - math.log(10.0)) < 1e-12
+    assert r["h"] == 5.0
+    assert abs(r["p"] - math.pi / 2) < 1e-12
+
+
+def test_func_parse_errors():
+    for bad in ("nope(1)", "add(1", "add(1,)", "map(x,1)", "1 2"):
+        with pytest.raises(FuncParseError):
+            parse_func(bad)
+
+
+def test_frange(nums):
+    got = sorted(
+        r["id"]
+        for r in nums.where(
+            frange(parse_func("abs(x)"), lower=0.5, upper=10.0, incu=False)
+        ).collect()
+    )
+    assert got == [2, 3]  # 10.0 excluded (incu=False), 0.5 included
+
+
+# ---- update processor chain + copyField ----
+
+def test_copy_fields_and_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "  <b>Hello</b> ", "en", None), (2, "", "fr", "x")],
+        "id long, body string, lang string, note string",
+    )
+    out = UP.apply_chain(
+        df,
+        [
+            UP.html_strip("body"),
+            UP.trim_fields("body"),
+            UP.remove_blank("body"),
+            UP.clone_field("lang", "lang_copy"),
+            UP.concat_fields("key", ["id", "lang"], sep="|"),
+            UP.default_value("note", "n/a"),
+            UP.field_length("lang", "lang_len"),
+            UP.uuid_field("uid", ["id", "lang"]),
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["body"] == "Hello" and rows[2]["body"] is None
+    assert rows[1]["lang_copy"] == "en"
+    assert rows[1]["key"] == "1|en"
+    assert rows[2]["note"] == "x" and rows[1]["note"] == "n/a"
+    assert rows[1]["lang_len"] == 2
+    import re
+
+    assert re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", rows[1]["uid"])
+    # deterministic: same key fields -> same uuid
+    again = UP.uuid_field("uid", ["id", "lang"])(df).collect()
+    assert {r["id"]: r["uid"] for r in again}[1] == rows[1]["uid"]
+
+    fan = UP.copy_fields(df, [("body", "text_all"), ("lang", "text_all"), ("note", "note_copy")])
+    r1 = fan.where(F.col("id") == 1).collect()[0]
+    assert r1["text_all"] == ["  <b>Hello</b> ", "en"]  # multi-src -> array
+    assert r1["note_copy"] is None  # single src copies scalar
+
+
+def test_chain_clamps_and_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, ["a", "b", "a"]), (2, 50.0, ["c"])],
+        "id long, v double, tags array<string>",
+    )
+    out = UP.apply_chain(
+        df,
+        [
+            UP.min_field("v", 10.0),
+            UP.max_field("v", 40.0),
+            UP.dedupe_values("tags"),
+            UP.count_field_values("tags", "n_tags"),
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["v"] == 10.0 and rows[2]["v"] == 40.0
+    assert rows[1]["tags"] == ["a", "b"] and rows[1]["n_tags"] == 2
+
+
+# ---- streaming expressions ----
+
+def test_stream_expr_search_rollup(spark):
+    t = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 5.0), ("b", 4, 7.0), ("c", 5, 1.0)],
+        "k string, id long, v double",
+    )
+    got = eval_expr(
+        'rollup(search(t, q="k:[a TO b]", fl="k,v", sort="k asc"), over="k", sum(v), count(*))',
+        {"t": t},
+    ).orderBy("k").collect()
+    assert [(r["k"], r["sum(v)"], r["count(*)"]) for r in got] == [
+        ("a", 30.0, 2),
+        ("b", 12.0, 2),
+    ]
+
+
+def test_stream_expr_joins_and_top(spark):
+    l = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k long, a string")
+    r = spark.createDataFrame([(2, 20), (3, 30), (4, 40)], "k long, b int")
+    tables = {"l": l, "r": r}
+    inner = eval_expr('innerJoin(search(l), search(r), on="k")', tables)
+    assert sorted(x["k"] for x in inner.collect()) == [2, 3]
+    comp = eval_expr('complement(search(l), search(r), on="k")', tables)
+    assert [x["k"] for x in comp.collect()] == [1]
+    topd = eval_expr('top(search(r), n=2, sort="b desc")', tables).collect()
+    assert [x["k"] for x in topd] == [4, 3]
+    sel = eval_expr('select(search(l), "k", "a as alias")', tables)
+    assert sel.columns == ["k", "alias"]
+    merged = eval_expr('merge(search(l, fl="k"), select(search(r), "k"), on="k asc")', tables)
+    assert [x["k"] for x in merged.collect()] == [1, 2, 2, 3, 3, 4]
+
+
+def test_stream_expr_priority(spark):
+    hi = spark.createDataFrame([(1,)], "id long")
+    lo = spark.createDataFrame([(2,), (3,)], "id long")
+    rows = eval_expr("priority(search(hi), search(lo))", {"hi": hi, "lo": lo}).collect()
+    assert rows[0]["id"] == 1 and rows[0]["_priority"] == 0
+    assert {r["id"] for r in rows[1:]} == {2, 3}
+
+
+def test_stream_expr_errors(spark):
+    t = spark.createDataFrame([(1,)], "k long")
+    for bad in ('bogus(search(t))', 'search(missing)', 'search(t', 'top(search(t))'):
+        with pytest.raises((StreamExprError, KeyError)):
+            eval_expr(bad, {"t": t}).collect()
+    assert parse_expr('rollup(search(t), over="k", count(*))').name == "rollup"
+
+
+# ---- scoreNodes ----
+
+def test_score_nodes_formula(spark):
+    nodes = spark.createDataFrame([(10, 4), (20, 1)], "node long, count long")
+    freq = spark.createDataFrame([(10, 99), (20, 1)], "node long, df long")
+    rows = {r["node"]: r for r in score_nodes(nodes, freq, num_docs=1000).collect()}
+    exp10 = (math.log(4) + 1.0) * (math.log(1001 / 100) + 1.0)
+    exp20 = (math.log(1) + 1.0) * (math.log(1001 / 2) + 1.0)
+    assert abs(rows[10]["nodeScore"] - round(exp10, 4)) < 1e-9
+    assert abs(rows[20]["nodeScore"] - round(exp20, 4)) < 1e-9
+
+
+# ---- relatedness ----
+
+def test_relatedness_matches_reference_formula(spark):
+    # fg = rows with y=1; buckets over tag
+    data = [("a", 1)] * 30 + [("a", 0)] * 10 + [("b", 1)] * 5 + [("b", 0)] * 55
+    df = spark.createDataFrame(data, "tag string, y int")
+    got = {
+        r["value"]: r
+        for r in relatedness_facet(df, "tag", F.col("y") == 1, limit=10).collect()
+    }
+
+    def ref(fg_c, fg_s, bg_c, bg_s):
+        bg_prob = bg_c / bg_s
+        num = fg_c - fg_s * bg_prob
+        den = math.sqrt(fg_s * bg_prob * (1 - bg_prob)) or 1e-10
+        z = num / den
+        s = lambda x, off, sc: (x + off) / (sc + abs(x + off))
+        return round(
+            0.2 * (s(z, -80, 50) + s(z, -30, 30) + s(z, 0, 30) + s(z, 30, 30) + s(z, 80, 50)),
+            5,
+        )
+
+    assert got["a"]["fg_count"] == 30 and got["a"]["bg_count"] == 40
+    assert abs(got["a"]["relatedness"] - ref(30, 35, 40, 100)) < 1e-9
+    assert abs(got["b"]["relatedness"] - ref(5, 35, 60, 100)) < 1e-9
+    assert got["a"]["relatedness"] > got["b"]["relatedness"]
+
+
+# ---- realtime get ----
+
+def test_realtime_get_overlay(spark, tmp_path):
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.engine import realtime_get
+    from solr_spark.sources.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 50, seed=3)
+    idx = build_index(spark, corpus, str(tmp_path / "rtg_idx"), num_buckets=4,
+                      build_blocks=False)
+    fields = [c for c in idx.docs().columns if c != "docid"]
+    base3 = idx.docs().where(F.col("docid") == 3).collect()[0]
+
+    # tlog: update doc 1 twice (v2 wins), delete doc 2, add doc 999
+    tlog = idx.docs().where(F.col("docid").isin([1, 2])).select(
+        "docid", *fields
+    )
+    upd1 = tlog.where(F.col("docid") == 1).withColumn("repo", F.lit("tlog_v1")).withColumn("_version_", F.lit(1)).withColumn("_deleted_", F.lit(False))
+    upd2 = tlog.where(F.col("docid") == 1).withColumn("repo", F.lit("tlog_v2")).withColumn("_version_", F.lit(2)).withColumn("_deleted_", F.lit(False))
+    tomb = tlog.where(F.col("docid") == 2).withColumn("_version_", F.lit(1)).withColumn("_deleted_", F.lit(True))
+    new = upd2.withColumn("docid", F.lit(999)).withColumn("repo", F.lit("brand_new"))
+    full_tlog = upd1.unionByName(upd2).unionByName(tomb).unionByName(new)
+
+    got = {r["docid"]: r for r in realtime_get(idx, [1, 2, 3, 999], full_tlog).collect()}
+    assert got[1]["repo"] == "tlog_v2" and got[1]["_from_tlog"]
+    assert 2 not in got  # tombstoned
+    assert got[3]["repo"] == base3["repo"] and not got[3]["_from_tlog"]
+    assert got[999]["repo"] == "brand_new" and got[999]["_from_tlog"]
+    # without a tlog: plain committed lookup
+    plain = realtime_get(idx, [1, 2])
+    assert sorted(r["docid"] for r in plain.collect()) == [1, 2]
