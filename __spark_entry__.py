@@ -981,6 +981,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["reduce_order_gaps"] = reduce_entry
 
+    # --- edismax: qf field boosts + tiebreaker + mm + boost function ---
+    def edismax_entry(s, d):
+        from solr_spark.functions.valuesources import parse_func
+        from solr_spark.query.edismax import edismax_inline
+
+        return edismax_inline(
+            _docs(s, d),
+            "table spark en",
+            {"text": 1.0, "lang": 3.0, "source": 2.0},
+            tie=0.3,
+            mm=2,
+            bf=parse_func("log(max(n_chars,1))"),
+            k=10,
+            id_col="doc_id",
+        )
+
+    q["edismax_qf_tie"] = edismax_entry
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -1569,6 +1587,18 @@ scored AS (
         SELECT o_custkey, count(*)::BIGINT AS n_orders,
                coalesce(max(gap), 0)::BIGINT AS max_gap_days
         FROM g GROUP BY 1 ORDER BY o_custkey"""
+
+    # --- edismax ---
+    from solr_spark.query.edismax import edismax_sql
+
+    o["edismax_qf_tie"] = edismax_sql(
+        "table spark en",
+        {"text": 1.0, "lang": 3.0, "source": 2.0},
+        tie=0.3,
+        mm=2,
+        sql_bf="log10(greatest(n_chars, 1)::DOUBLE)",
+        k=10,
+    )
 
     # no oracle (rows-only check): ann_cosine_lsh, hll_users_by_type
     # (approximate sketches are engine-specific; their bounded twins

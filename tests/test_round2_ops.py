@@ -255,3 +255,35 @@ def test_realtime_get_overlay(spark, tmp_path):
     # without a tlog: plain committed lookup
     plain = realtime_get(idx, [1, 2])
     assert sorted(r["docid"] for r in plain.collect()) == [1, 2]
+
+
+# ---- edismax ----
+
+def test_edismax_tie_and_mm(spark):
+    from solr_spark.query.edismax import edismax_inline
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "alpha"),   # matches alpha in both fields
+            (1, "alpha alpha", "other"),  # alpha only in f1
+            (2, "gamma", "alpha"),        # alpha only in f2
+            (3, "beta", "other"),         # beta only (1 term)
+        ],
+        "id long, f1 string, f2 string",
+    )
+    q = "alpha beta"
+    # mm=2 keeps only doc 0 (matches both terms across fields)
+    got = edismax_inline(docs, q, {"f1": 1.0, "f2": 1.0}, mm=2, id_col="id")
+    assert [r["docid"] for r in got.collect()] == [0]
+    # tie=0 -> per-term max only; tie=1 -> max + (sum - max) == sum
+    t0 = {r["docid"]: r["score"] for r in
+          edismax_inline(docs, "alpha", {"f1": 1.0, "f2": 1.0}, tie=0.0, id_col="id").collect()}
+    t1 = {r["docid"]: r["score"] for r in
+          edismax_inline(docs, "alpha", {"f1": 1.0, "f2": 1.0}, tie=1.0, id_col="id").collect()}
+    # doc 0 matches alpha in both fields: tie=1 strictly raises its score
+    assert t1[0] > t0[0]
+    # docs 1/2 match in one field only: tie has no effect
+    assert t1[1] == t0[1] and t1[2] == t0[2]
+    # field boost dominates: boosting f2 lifts doc 2 above doc 1
+    boosted = edismax_inline(docs, "alpha", {"f1": 1.0, "f2": 10.0}, id_col="id")
+    assert boosted.collect()[0]["docid"] in (0, 2)
