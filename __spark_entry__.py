@@ -690,6 +690,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sigterms_indexed"] = sigterms_indexed
 
+    def spell_indexed(s, d):
+        return R.spell_suggest_indexed(_gate_index(s, d), "sparc", 2, 5)
+
+    q["spell_indexed"] = spell_indexed
+
+    def mlt_indexed(s, d):
+        text = (
+            _docs(s, d).where(F.col("doc_id") == 0).select("text").head()["text"]
+        )
+        return _round4_topk(
+            R.more_like_this_indexed(
+                _gate_index(s, d), text, exclude_docid=0, top_terms=5, k=100
+            ),
+            10,
+        )
+
+    q["mlt_indexed"] = mlt_indexed
+
     # --- block join / uniqueBlock (nested docs; orders=parents,
     # --- lineitem=children on the o_orderkey root) ---
     def blockjoin_parents(s, d):
@@ -998,6 +1016,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["edismax_qf_tie"] = edismax_entry
+
+    def edismax_pf_entry(s, d):
+        from solr_spark.query.edismax import edismax_inline
+
+        return edismax_inline(
+            _docs(s, d),
+            "fast merge",
+            {"text": 1.0},
+            pf={"text": 2.0},
+            ps=1,
+            k=10,
+            id_col="doc_id",
+        )
+
+    q["edismax_pf"] = edismax_pf_entry
 
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
@@ -1442,6 +1475,10 @@ scored AS (
     o["phrase_indexed"] = _pm_sql("fast merge")
     o["terms_indexed"] = G.terms_top_df_sql(20)
     o["sigterms_indexed"] = G.significant_terms_sql("spark", 3, 15)
+    # dictionary-backed spell/MLT agree with their corpus-derived twins by
+    # construction (term_stats df == per-term distinct-doc count)
+    o["spell_indexed"] = o["spell_suggest"]
+    o["mlt_indexed"] = o["mlt_doc0"]
 
     # --- block join / uniqueBlock ---
     o["blockjoin_parents"] = """
@@ -1598,6 +1635,9 @@ scored AS (
         mm=2,
         sql_bf="log10(greatest(n_chars, 1)::DOUBLE)",
         k=10,
+    )
+    o["edismax_pf"] = edismax_sql(
+        "fast merge", {"text": 1.0}, pf={"text": 2.0}, ps=1, k=10
     )
 
     # no oracle (rows-only check): ann_cosine_lsh, hll_users_by_type

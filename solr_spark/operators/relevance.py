@@ -165,3 +165,56 @@ def interesting_terms(
         key=lambda x: (-x[1], x[0]),
     )
     return [t for t, _ in scored[:top_terms]]
+
+
+def spell_suggest_indexed(
+    index, word: str, max_dist: int = 2, limit: int = 5
+) -> DataFrame:
+    """DirectSolrSpellChecker over the PREBUILT dictionary
+    (solr/core/src/java/org/apache/solr/spelling/DirectSolrSpellChecker.java:40
+    consults the index's FST term dictionary, never the corpus): nearest
+    terms by (edit distance, -df, term). A term_stats scan only —
+    vocabulary-sized work at any corpus scale."""
+    return (
+        index.term_stats()
+        .select("term", F.col("df").cast("long").alias("df"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+        .where(F.col("dist") <= max_dist)
+        .orderBy("dist", F.desc("df"), "term")
+        .limit(limit)
+        .select("term", "df", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def more_like_this_indexed(index, doc_text: str, exclude_docid: int | None = None,
+                           top_terms: int = 5, k: int = 10) -> DataFrame:
+    """MoreLikeThis with index-backed stats (MoreLikeThisHandler -> MLT
+    term selection): the source doc's terms are analyzed driver-side (one
+    doc), their df comes from the term_stats dictionary seek — NOT a
+    corpus-wide re-aggregation (the round-1 scale hole in
+    interesting_terms) — and the interesting-term OR query runs through
+    the indexed BM25 engine. Corpus-sized work is only the final scoring
+    scan over the selected terms' postings partitions."""
+    from solr_spark.analysis.analyzer import tokenize_py
+    from solr_spark.functions.bm25 import idf_py
+    from solr_spark.query.engine import bm25_topk
+
+    tfs: dict[str, int] = {}
+    for t in tokenize_py(doc_text):
+        tfs[t] = tfs.get(t, 0) + 1
+    stats = index.term_stats_for(list(tfs))
+    n_docs = int(index.meta["n_docs"])
+    scored = sorted(
+        (
+            (t, round(tfs[t] * idf_py(int(s["df"]), n_docs), 6))
+            for t, s in stats.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    picked = [t for t, _ in scored[:top_terms]]
+    if not picked:
+        return index.spark.createDataFrame([], "docid long, score double")
+    out = bm25_topk(index, " ".join(picked), k=k + (1 if exclude_docid is not None else 0))
+    if exclude_docid is not None:
+        out = out.where(F.col("docid") != exclude_docid)
+    return out.orderBy(F.desc(F.round("score", 9)), F.asc("docid")).limit(k)

@@ -39,10 +39,17 @@ def edismax_inline(
     tie: float = 0.0,
     mm: int = 1,
     bf: Column | None = None,
+    pf: dict[str, float] | None = None,
+    ps: int = 0,
     k: int = 10,
     id_col: str = "docid",
 ) -> DataFrame:
-    """Top-k edismax over in-row text fields (index-free gate shape)."""
+    """Top-k edismax over in-row text fields (index-free gate shape).
+
+    pf/ps: phrase-field boosts (ExtendedDismaxQParser.java pf param) —
+    docs where the analyzed query appears as a phrase (slop ps) in a pf
+    field gain boost * (sum of the phrase terms' idf in that field)
+    * tf_part(phrase_freq), the Lucene PhraseQuery scoring shape."""
     spark = docs.sparkSession
     qterms = analyze_query(qtext)
     if not qterms:
@@ -105,6 +112,58 @@ def edismax_inline(
     if mm > 1:
         agg = agg.where(F.col("_nm") >= mm)
     out = agg.select("docid", "score")
+    if pf:
+        from solr_spark.analysis.analyzer import tokenize_py
+        from solr_spark.operators.phrase import phrase_freq_col
+
+        seq = tokenize_py(qtext)
+        for fld, boost in pf.items():
+            ptok = docs.select(
+                F.col(id_col).cast("long").alias("docid"),
+                tokens_col(fld).alias("_toks"),
+            ).select(
+                "docid",
+                "_toks",
+                quantize_col(F.size("_toks")).cast("int").alias("dl_q"),
+                F.size("_toks").alias("doclen"),
+            )
+            pmeta = ptok.agg(
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            )
+            ptf = (
+                ptok.select("docid", F.explode("_toks").alias("term"))
+                .join(qrel.select("term"), "term")
+                .groupBy("docid", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            pidf = (
+                ptf.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("double").alias("df"))
+                .crossJoin(pmeta.select("n_docs"))
+                .agg(F.sum(idf_col(F.col("df"), F.col("n_docs"))).alias("idf_sum"))
+            )
+            hits = ptok.select(
+                "docid",
+                "dl_q",
+                phrase_freq_col(F.col("_toks"), seq, ps).alias("pfreq"),
+            ).where(F.col("pfreq") > 0)
+            pc = (
+                hits.crossJoin(F.broadcast(pmeta.select("avgdl")))
+                .crossJoin(F.broadcast(pidf))
+                .select(
+                    "docid",
+                    (
+                        F.lit(float(boost))
+                        * F.col("idf_sum")
+                        * tf_part_col(F.col("pfreq"), F.col("dl_q"), F.col("avgdl"))
+                    ).alias("_pc"),
+                )
+            )
+            out = out.join(pc, "docid", "left").select(
+                "docid",
+                (F.col("score") + F.coalesce(F.col("_pc"), F.lit(0.0))).alias("score"),
+            )
     if bf is not None:
         bfd = docs.select(
             F.col(id_col).cast("long").alias("docid"), bf.cast("double").alias("_bf")
@@ -126,6 +185,8 @@ def edismax_sql(
     tie: float = 0.0,
     mm: int = 1,
     sql_bf: str | None = None,
+    pf: dict[str, float] | None = None,
+    ps: int = 0,
     k: int = 10,
     table: str = "documents",
     id_expr: str = "doc_id",
@@ -170,13 +231,57 @@ def edismax_sql(
         )
     union = "\nUNION ALL\n".join(branches)
     bf_join = ""
-    bf_add = ""
+    extra_add = ""
     if sql_bf is not None:
         bf_join = (
             f"JOIN (SELECT {id_expr}::BIGINT AS docid, ({sql_bf})::DOUBLE AS _bf "
             f"FROM {table}) bfv USING (docid)"
         )
-        bf_add = " + bfv._bf"
+        extra_add += " + bfv._bf"
+    pf_joins = []
+    if pf:
+        from solr_spark.analysis.analyzer import tokenize_py
+        from solr_spark.query.positions import chain_match_count_sql
+
+        seq = tokenize_py(qtext)
+        for i, (fld, boost) in enumerate(pf.items()):
+            pos_exprs = [
+                f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']"
+                for t in seq
+            ]
+            freq = chain_match_count_sql(pos_exprs, ps)
+            pf_joins.append(
+                f"""LEFT JOIN (
+  WITH ptoks AS (
+    SELECT {id_expr}::BIGINT AS docid, {tokens_sql(fld)} AS toks FROM {table}
+  ),
+  pdl AS (
+    SELECT docid, {quantize_sql('len(toks)')} AS dl_q, len(toks) AS doclen
+    FROM ptoks
+  ),
+  pmeta AS (
+    SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl
+    FROM pdl
+  ),
+  ptf AS (
+    SELECT docid, term FROM (SELECT docid, unnest(toks) AS term FROM ptoks)
+    WHERE term IN ({terms_in}) GROUP BY docid, term
+  ),
+  pidf AS (
+    SELECT sum({idf_sql('df', 'n_docs')}) AS idf_sum
+    FROM (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term)
+    CROSS JOIN pmeta
+  ),
+  phits AS (SELECT docid, ({freq}) AS pfreq FROM ptoks)
+  SELECT phits.docid,
+         {float(boost)} * pidf.idf_sum
+           * {tf_part_sql('phits.pfreq', 'pdl.dl_q', 'pmeta.avgdl')} AS _pc
+  FROM phits JOIN pdl USING (docid) CROSS JOIN pmeta CROSS JOIN pidf
+  WHERE phits.pfreq > 0
+) pfv{i} USING (docid)"""
+            )
+            extra_add += f" + coalesce(pfv{i}._pc, 0.0)"
+    pf_join_sql = "\n".join(pf_joins)
     return f"""
 WITH allc AS (
 {union}
@@ -190,8 +295,9 @@ agg AS (
   SELECT docid, sum(tscore) AS score, count(*) AS nm
   FROM per_term GROUP BY docid
 )
-SELECT docid, round(score{bf_add}, 4) AS score
+SELECT docid, round(score{extra_add}, 4) AS score
 FROM agg {bf_join}
+{pf_join_sql}
 WHERE nm >= {mm}
-ORDER BY round(score{bf_add}, 4) DESC, docid LIMIT {k}
+ORDER BY round(score{extra_add}, 4) DESC, docid LIMIT {k}
 """
