@@ -1032,6 +1032,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edismax_pf"] = edismax_pf_entry
 
+    def edismax_pf2_entry(s, d):
+        from solr_spark.query.edismax import edismax_inline
+
+        return edismax_inline(
+            _docs(s, d),
+            "fast merge sort",
+            {"text": 1.0},
+            pf2={"text": 1.5},
+            ps=0,
+            k=10,
+            id_col="doc_id",
+        )
+
+    q["edismax_pf2_shingles"] = edismax_pf2_entry
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -1638,6 +1653,9 @@ scored AS (
     )
     o["edismax_pf"] = edismax_sql(
         "fast merge", {"text": 1.0}, pf={"text": 2.0}, ps=1, k=10
+    )
+    o["edismax_pf2_shingles"] = edismax_sql(
+        "fast merge sort", {"text": 1.0}, pf2={"text": 1.5}, ps=0, k=10
     )
 
     # no oracle (rows-only check): ann_cosine_lsh, hll_users_by_type

@@ -49,8 +49,10 @@ def run_level(cores: int) -> dict:
         text=True,
         env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        check=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-8000:])
+        raise RuntimeError(f"bench.py exited {out.returncode} at {cores} cores")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -31,6 +31,29 @@ from solr_spark.functions.smallfloat import quantize_col, quantize_sql
 from solr_spark.query.engine import analyze_query
 
 
+def _shingles(seq: list[str], ng: int | None) -> list[list[str]]:
+    """Subphrases for a pf tier: the whole query (pf), or consecutive
+    pairs/triples (pf2/pf3, ExtendedDismaxQParser.java addShingledPhraseQueries).
+    Phrases need >= 2 terms."""
+    if len(seq) < 2:
+        return []
+    if ng is None or ng >= len(seq):
+        return [list(seq)]
+    return [list(seq[i : i + ng]) for i in range(len(seq) - ng + 1)]
+
+
+def _pf_specs(
+    pf: dict[str, float] | None,
+    pf2: dict[str, float] | None,
+    pf3: dict[str, float] | None,
+) -> list[tuple[str, float, int | None]]:
+    out: list[tuple[str, float, int | None]] = []
+    for d, n in ((pf, None), (pf2, 2), (pf3, 3)):
+        if d:
+            out.extend((fld, boost, n) for fld, boost in d.items())
+    return out
+
+
 def edismax_inline(
     docs: DataFrame,
     qtext: str,
@@ -40,6 +63,8 @@ def edismax_inline(
     mm: int = 1,
     bf: Column | None = None,
     pf: dict[str, float] | None = None,
+    pf2: dict[str, float] | None = None,
+    pf3: dict[str, float] | None = None,
     ps: int = 0,
     k: int = 10,
     id_col: str = "docid",
@@ -112,12 +137,16 @@ def edismax_inline(
     if mm > 1:
         agg = agg.where(F.col("_nm") >= mm)
     out = agg.select("docid", "score")
-    if pf:
+    pf_specs = _pf_specs(pf, pf2, pf3)
+    if pf_specs:
         from solr_spark.analysis.analyzer import tokenize_py
         from solr_spark.operators.phrase import phrase_freq_col
 
         seq = tokenize_py(qtext)
-        for fld, boost in pf.items():
+        for fld, boost, ng in pf_specs:
+            subs = _shingles(seq, ng)
+            if not subs:
+                continue
             ptok = docs.select(
                 F.col(id_col).cast("long").alias("docid"),
                 tokens_col(fld).alias("_toks"),
@@ -137,28 +166,37 @@ def edismax_inline(
                 .groupBy("docid", "term")
                 .agg(F.count(F.lit(1)).alias("tf"))
             )
-            pidf = (
-                ptf.groupBy("term")
-                .agg(F.count(F.lit(1)).cast("double").alias("df"))
-                .crossJoin(pmeta.select("n_docs"))
-                .agg(F.sum(idf_col(F.col("df"), F.col("n_docs"))).alias("idf_sum"))
+            pdf = ptf.groupBy("term").agg(
+                F.count(F.lit(1)).cast("double").alias("df")
             )
-            hits = ptok.select(
-                "docid",
-                "dl_q",
-                phrase_freq_col(F.col("_toks"), seq, ps).alias("pfreq"),
-            ).where(F.col("pfreq") > 0)
-            pc = (
-                hits.crossJoin(F.broadcast(pmeta.select("avgdl")))
-                .crossJoin(F.broadcast(pidf))
-                .select(
-                    "docid",
-                    (
-                        F.lit(float(boost))
-                        * F.col("idf_sum")
-                        * tf_part_col(F.col("pfreq"), F.col("dl_q"), F.col("avgdl"))
-                    ).alias("_pc"),
+            freq_cols = [
+                phrase_freq_col(F.col("_toks"), sub, ps).alias(f"_f{i}")
+                for i, sub in enumerate(subs)
+            ]
+            any_f = (
+                F.greatest(*[F.col(f"_f{i}") for i in range(len(subs))])
+                if len(subs) > 1
+                else F.col("_f0")
+            )
+            hits = ptok.select("docid", "dl_q", *freq_cols).where(any_f > 0)
+            pc = hits.crossJoin(F.broadcast(pmeta.select("avgdl", "n_docs")))
+            contrib = F.lit(0.0)
+            for i, sub in enumerate(subs):
+                pidf_i = (
+                    pdf.where(F.col("term").isin(list(sub)))
+                    .crossJoin(pmeta.select(F.col("n_docs").alias("_n")))
+                    .agg(
+                        F.sum(idf_col(F.col("df"), F.col("_n"))).alias(
+                            f"_idf{i}"
+                        )
+                    )
                 )
+                pc = pc.crossJoin(F.broadcast(pidf_i))
+                contrib = contrib + F.coalesce(
+                    F.col(f"_idf{i}"), F.lit(0.0)
+                ) * tf_part_col(F.col(f"_f{i}"), F.col("dl_q"), F.col("avgdl"))
+            pc = pc.select(
+                "docid", (F.lit(float(boost)) * contrib).alias("_pc")
             )
             out = out.join(pc, "docid", "left").select(
                 "docid",
@@ -186,6 +224,8 @@ def edismax_sql(
     mm: int = 1,
     sql_bf: str | None = None,
     pf: dict[str, float] | None = None,
+    pf2: dict[str, float] | None = None,
+    pf3: dict[str, float] | None = None,
     ps: int = 0,
     k: int = 10,
     table: str = "documents",
@@ -239,17 +279,40 @@ def edismax_sql(
         )
         extra_add += " + bfv._bf"
     pf_joins = []
-    if pf:
+    pf_specs = _pf_specs(pf, pf2, pf3)
+    if pf_specs:
         from solr_spark.analysis.analyzer import tokenize_py
         from solr_spark.query.positions import chain_match_count_sql
 
         seq = tokenize_py(qtext)
-        for i, (fld, boost) in enumerate(pf.items()):
-            pos_exprs = [
-                f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']"
-                for t in seq
-            ]
-            freq = chain_match_count_sql(pos_exprs, ps)
+        for j, (fld, boost, ng) in enumerate(pf_specs):
+            subs = _shingles(seq, ng)
+            if not subs:
+                continue
+            freq_cols = []
+            idf_ctes = []
+            contrib_terms = []
+            for i, sub in enumerate(subs):
+                pos_exprs = [
+                    f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']"
+                    for t in sub
+                ]
+                freq_cols.append(f"({chain_match_count_sql(pos_exprs, ps)}) AS f{i}")
+                sub_in = ",".join(f"'{t}'" for t in sub)
+                idf_ctes.append(
+                    f"""pidf{i} AS (
+    SELECT sum({idf_sql('df', 'n_docs')}) AS idf_sum{i}
+    FROM (SELECT term, count(*)::DOUBLE AS df FROM ptf
+          WHERE term IN ({sub_in}) GROUP BY term)
+    CROSS JOIN pmeta
+  )"""
+                )
+                contrib_terms.append(
+                    f"coalesce(pidf{i}.idf_sum{i}, 0.0) * "
+                    + tf_part_sql(f"phits.f{i}", "pdl.dl_q", "pmeta.avgdl")
+                )
+            idf_cross = " ".join(f"CROSS JOIN pidf{i}" for i in range(len(subs)))
+            any_hit = " OR ".join(f"phits.f{i} > 0" for i in range(len(subs)))
             pf_joins.append(
                 f"""LEFT JOIN (
   WITH ptoks AS (
@@ -267,20 +330,15 @@ def edismax_sql(
     SELECT docid, term FROM (SELECT docid, unnest(toks) AS term FROM ptoks)
     WHERE term IN ({terms_in}) GROUP BY docid, term
   ),
-  pidf AS (
-    SELECT sum({idf_sql('df', 'n_docs')}) AS idf_sum
-    FROM (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY term)
-    CROSS JOIN pmeta
-  ),
-  phits AS (SELECT docid, ({freq}) AS pfreq FROM ptoks)
+  {",".join(idf_ctes)},
+  phits AS (SELECT docid, {", ".join(freq_cols)} FROM ptoks)
   SELECT phits.docid,
-         {float(boost)} * pidf.idf_sum
-           * {tf_part_sql('phits.pfreq', 'pdl.dl_q', 'pmeta.avgdl')} AS _pc
-  FROM phits JOIN pdl USING (docid) CROSS JOIN pmeta CROSS JOIN pidf
-  WHERE phits.pfreq > 0
-) pfv{i} USING (docid)"""
+         {float(boost)} * ({" + ".join(contrib_terms)}) AS _pc
+  FROM phits JOIN pdl USING (docid) CROSS JOIN pmeta {idf_cross}
+  WHERE {any_hit}
+) pfv{j} USING (docid)"""
             )
-            extra_add += f" + coalesce(pfv{i}._pc, 0.0)"
+            extra_add += f" + coalesce(pfv{j}._pc, 0.0)"
     pf_join_sql = "\n".join(pf_joins)
     return f"""
 WITH allc AS (

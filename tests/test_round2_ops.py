@@ -287,3 +287,25 @@ def test_edismax_tie_and_mm(spark):
     # field boost dominates: boosting f2 lifts doc 2 above doc 1
     boosted = edismax_inline(docs, "alpha", {"f1": 1.0, "f2": 10.0}, id_col="id")
     assert boosted.collect()[0]["docid"] in (0, 2)
+
+
+def test_edismax_pf2_shingles(spark):
+    from solr_spark.query.edismax import _shingles, edismax_inline
+
+    assert _shingles(["a", "b", "c"], 2) == [["a", "b"], ["b", "c"]]
+    assert _shingles(["a", "b", "c"], None) == [["a", "b", "c"]]
+    assert _shingles(["a"], 2) == []
+    docs = spark.createDataFrame(
+        [(0, "x a b c y"), (1, "a x b x c"), (2, "c b a")],
+        "id long, f1 string",
+    )
+    # doc 0 has both bigrams adjacent; pf2 must rank it first
+    got = edismax_inline(
+        docs, "a b c", {"f1": 1.0}, pf2={"f1": 5.0}, id_col="id"
+    ).collect()
+    assert got[0]["docid"] == 0
+    base = {r["docid"]: r["score"] for r in
+            edismax_inline(docs, "a b c", {"f1": 1.0}, id_col="id").collect()}
+    boosted = {r["docid"]: r["score"] for r in got}
+    assert boosted[0] > base[0]      # shingle hits add score
+    assert boosted[1] == base[1]     # no adjacent bigrams -> unchanged
