@@ -226,6 +226,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "day",
         [F.count(F.lit(1)).alias("cnt"), dsum(F.col("value"), "sum_value")],
     )
+    def stream_timeseries_daily(s, d):
+        """Structured Streaming batch-equivalence gate: the watermarked
+        windowed count (streaming/topic.py windowed_counts) drained with
+        Trigger.AvailableNow over the same events parquet must equal the
+        batch GROUP BY — the driver-runnable correctness check for the
+        streaming path (TopicStream/DaemonStream role)."""
+        import tempfile
+        import uuid
+
+        from solr_spark.streaming.topic import topic_stream, windowed_counts
+
+        import os
+
+        schema = s.read.parquet(f"{d}/events.parquet").schema
+        # FileStreamSource wants a directory; expose the table file in one
+        src_dir = tempfile.mkdtemp(prefix="gate_ts_src_")
+        os.symlink(
+            os.path.abspath(f"{d}/events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = topic_stream(s, src_dir, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")  # NTZ -> watermarkable
+        )
+        agg = windowed_counts(
+            stream, "ts", window="1 day", watermark="2 days",
+            keys=["event_type"],
+        )
+        name = "gate_stream_ts_" + uuid.uuid4().hex[:8]
+        qy = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gate_ts_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        return (
+            s.table(name)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "bucket_ts"
+                ),
+                "event_type",
+                "cnt",
+            )
+            .orderBy("bucket_ts", "event_type")
+        )
+
+    q["stream_timeseries_daily"] = stream_timeseries_daily
+
     q["cursor_page_orders"] = lambda s, d: S.cursor_page(
         _t(s, d, "orders").select("o_orderkey", "o_totalprice"),
         [("o_totalprice", False), ("o_orderkey", True)],
@@ -646,6 +697,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ltr_rescore_top10"] = ltr_rescore_entry
 
+    def ltr_fixed_entry(s, d):
+        """Fixed-weight linear rescorer over the BM25 top-50 — the same
+        LTRRescorer shape as ltr_rescore_top10 but with pinned weights,
+        so the full rescore pipeline is value-checked by the DuckDB twin
+        (trained-model variant keeps the rows-only check)."""
+        docs = _docs(s, d)
+        head = (
+            bm25_inline_scores(docs, "table spark", id_col="doc_id", text_col="text")
+            .select("docid", F.round("s", 4).alias("s4"))
+            .orderBy(F.desc("s4"), "docid")
+            .limit(50)
+        )
+        feats = head.join(
+            docs.select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.col("n_chars").cast("double").alias("f_len"),
+            ),
+            "docid",
+        )
+        return (
+            feats.select(
+                "docid",
+                F.round(
+                    F.col("s4") + F.lit(0.002) * F.col("f_len"), 4
+                ).alias("ltr_score"),
+            )
+            .orderBy(F.desc("ltr_score"), "docid")
+            .limit(10)
+        )
+
+    q["ltr_fixed_rescore"] = ltr_fixed_entry
+
     # --- REAL indexed engine (builder -> postings/blocks/positions) ---
     def bm25_indexed(qtext, k=10, mode="OR", wand=False):
         def run(s, d):
@@ -771,6 +854,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ML.textlogit_classify(_tok(s, d), _labels(s, d), feats)
 
     q["textlogit_confusion"] = textlogit_entry
+
+    def textlogit_totals_entry(s, d):
+        """Oracle-able twin of textlogit_confusion: per-label doc totals
+        (exactly checkable against the documents table) plus an overall
+        accuracy-floor boolean for the trained model."""
+        conf = textlogit_entry(s, d)
+        overall = conf.agg(
+            (
+                F.sum(F.when(F.col("label") == F.col("prediction"), F.col("cnt")).otherwise(F.lit(0)))
+                / F.sum("cnt")
+                >= 0.5
+            ).alias("acc_ok")
+        )
+        return (
+            conf.groupBy("label")
+            .agg(F.sum("cnt").alias("n_docs"))
+            .crossJoin(F.broadcast(overall))
+            .orderBy("label")
+        )
+
+    q["textlogit_label_totals"] = textlogit_totals_entry
 
     # --- multi-fragment highlighting (token offsets) ---
     def highlight_frags_entry(s, d):
@@ -1142,6 +1246,10 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS cnt,
                {dsum_sql('value')} AS sum_value
         FROM events GROUP BY 1 ORDER BY bucket_ts"""
+    o["stream_timeseries_daily"] = """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY bucket_ts, event_type"""
     o["cursor_page_orders"] = """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice < 400000.0
@@ -1535,6 +1643,20 @@ scored AS (
     o["hll_error_ok"] = """
         SELECT event_type, true AS within_bound
         FROM events GROUP BY event_type ORDER BY event_type"""
+    o["textlogit_label_totals"] = """
+        SELECT (lang = 'en')::BIGINT AS label, count(*)::BIGINT AS n_docs,
+               true AS acc_ok
+        FROM documents GROUP BY 1 ORDER BY 1"""
+    o["ltr_fixed_rescore"] = f"""
+        WITH {scored_cte(['table', 'spark'])},
+        head AS (
+          SELECT docid, round(s, 4) AS s4 FROM scored
+          ORDER BY round(s, 4) DESC, docid LIMIT 50
+        )
+        SELECT head.docid,
+               round(s4 + 0.002 * d.n_chars, 4) AS ltr_score
+        FROM head JOIN documents d ON d.doc_id = head.docid
+        ORDER BY ltr_score DESC, head.docid LIMIT 10"""
 
     # --- function-query registry ---
     o["func_parsed_showcase"] = """
