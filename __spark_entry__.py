@@ -90,6 +90,45 @@ def _gate_index(spark, sf_dir):
     return idx
 
 
+def _gate_index_mf(spark, sf_dir):
+    """Cached MULTI-FIELD gate index over documents (fields text + lang:
+    per-field postings, tid = hash(field, term)) — lets edismax qf run
+    against the real index instead of the inline path."""
+    import hashlib
+    import os
+    import shutil
+
+    from solr_spark.index.builder import Index, build_index
+
+    key = ("mf", sf_dir)
+    if key in _GATE_IDX:
+        return _GATE_IDX[key]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/solr_spark_gate/index_mf_{tag}"
+    meta = os.path.join(root, "meta.json")
+    if not os.path.exists(meta):
+        tmp = f"{root}.build_{os.getpid()}"
+        d = _t(spark, sf_dir, "documents")
+        corpus = d.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            "text",
+            "lang",
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        )
+        build_index(
+            spark, corpus, tmp, num_buckets=8, fields=["text", "lang"]
+        )
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    idx = Index.load(spark, root)
+    _GATE_IDX[key] = idx
+    return idx
+
+
 def _round4_topk(df, k=10):
     """Gate determinism contract: order by ROUNDED score + docid (cross-
     engine float noise breaks raw-score ties differently)."""
@@ -1151,6 +1190,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edismax_pf2_shingles"] = edismax_pf2_entry
 
+    def edismax_indexed_entry(s, d):
+        """edismax qf over the REAL multi-field index (one bucket-pruned
+        postings scan, tid = hash(field, term)); oracled by the same
+        DuckDB twin as the inline path — indexed and inline per-field
+        BM25 must agree exactly."""
+        from solr_spark.query.edismax import edismax_indexed
+
+        return edismax_indexed(
+            _gate_index_mf(s, d),
+            "merge en",
+            {"text": 1.0, "lang": 2.0},
+            tie=0.1,
+            k=10,
+        )
+
+    q["edismax_indexed_qf"] = edismax_indexed_entry
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -1778,6 +1834,9 @@ scored AS (
     )
     o["edismax_pf2_shingles"] = edismax_sql(
         "fast merge sort", {"text": 1.0}, pf2={"text": 1.5}, ps=0, k=10
+    )
+    o["edismax_indexed_qf"] = edismax_sql(
+        "merge en", {"text": 1.0, "lang": 2.0}, tie=0.1, k=10
     )
 
     # no oracle (rows-only check): ann_cosine_lsh, hll_users_by_type

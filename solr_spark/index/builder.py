@@ -268,21 +268,84 @@ class Index:
             out[r["term"]] = d
         return out
 
+    def term_stats_fielded(
+        self, pairs: list[tuple[str, str]]
+    ) -> dict[tuple[str, str], dict]:
+        """{(field, term): {tid, df, cttf}} on a multi-field index —
+        the per-field dictionary seek (one scan covers every qf field;
+        bucket pruning is by term, the field filter rides the same scan)."""
+        if not pairs:
+            return {}
+        terms = sorted({t for _, t in pairs})
+        flds = sorted({f for f, _ in pairs})
+        want = set(pairs)
+        rows = (
+            self.term_stats()
+            .where(F.col("bucket").isin(self.buckets_for(terms)))
+            .where(F.col("term").isin(terms))
+            .where(F.col("field").isin(flds))
+            .collect()
+        )
+        return {
+            (r["field"], r["term"]): {
+                "tid": r["tid"], "df": r["df"], "cttf": r["cttf"],
+            }
+            for r in rows
+            if (r["field"], r["term"]) in want
+        }
 
-def _analyze_docs(corpus: DataFrame) -> DataFrame:
-    """corpus (+docid) -> docs with tokens materialized once."""
-    toks = tokens_col("content")
-    return corpus.select(
-        "docid",
-        *[c for c in ("repo", "path", "commit", "lang") if c in corpus.columns],
-        F.sha2(F.col("content"), 256).alias("sha256"),
-        toks.alias("_tokens"),
-    ).withColumn("doclen", F.size("_tokens")).withColumn(
-        "dl_q", quantize_col("doclen").cast("int")
+
+def _analyze_docs(corpus: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """corpus (+docid) -> docs with tokens materialized once.
+
+    Multi-field mode (`fields`): one token array per field plus per-field
+    doclen/dl_q — each field is its own inverted index with its own
+    length norms, the Solr per-field analysis model
+    (solr/core/src/java/org/apache/solr/schema/IndexSchema.java fields +
+    FieldType analyzers; per-field norms in the Lucene similarity).
+    """
+    if not fields:
+        toks = tokens_col("content")
+        return corpus.select(
+            "docid",
+            *[c for c in ("repo", "path", "commit", "lang") if c in corpus.columns],
+            F.sha2(F.col("content"), 256).alias("sha256"),
+            toks.alias("_tokens"),
+        ).withColumn("doclen", F.size("_tokens")).withColumn(
+            "dl_q", quantize_col("doclen").cast("int")
+        )
+    passthrough = [
+        c
+        for c in ("repo", "path", "commit", "lang")
+        if c in corpus.columns and c not in fields
+    ]
+    sha_src = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(f), F.lit("")) for f in fields]
     )
+    out = corpus.select(
+        "docid",
+        *passthrough,
+        F.sha2(sha_src, 256).alias("sha256"),
+        *[tokens_col(f).alias(f"_tokens_{i}") for i in range(len(fields))
+          for f in [fields[i]]],
+    )
+    total = None
+    for i in range(len(fields)):
+        out = out.withColumn(f"doclen_{i}", F.size(f"_tokens_{i}")).withColumn(
+            f"dl_q_{i}", quantize_col(F.col(f"doclen_{i}")).cast("int")
+        )
+        c = F.col(f"doclen_{i}")
+        total = c if total is None else total + c
+    return out.withColumn("doclen", total)
 
 
-def _postings_from_docs(docs_tok: DataFrame) -> DataFrame:
+def _token_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c.startswith("_tokens")]
+
+
+def _postings_from_docs(
+    docs_tok: DataFrame, fields: list[str] | None = None
+) -> DataFrame:
     """(docid, _tokens, dl_q) -> (tid, docid, tf, dl_q).
 
     The term string is hashed to a 64-bit tid BEFORE the groupBy, so the
@@ -290,40 +353,86 @@ def _postings_from_docs(docs_tok: DataFrame) -> DataFrame:
     the small term dictionary only). Partial (map-side) aggregation is
     automatic; dl_q rides in the key (constant per docid) so scoring
     needs no join back to docs.
+
+    Multi-field mode: tid = xxhash64(field, term), so the field lives
+    INSIDE the 64-bit key — postings/positions keep the exact single-
+    field schema and shuffle width (no field column in any exchange);
+    dl_q carries the FIELD's quantized length (per-field norms).
     """
-    return (
-        docs_tok.select("docid", "dl_q", F.explode("_tokens").alias("term"))
-        .select("docid", "dl_q", F.xxhash64("term").alias("tid"))
-        .groupBy("tid", "docid", "dl_q")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    if not fields:
+        return (
+            docs_tok.select("docid", "dl_q", F.explode("_tokens").alias("term"))
+            .select("docid", "dl_q", F.xxhash64("term").alias("tid"))
+            .groupBy("tid", "docid", "dl_q")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+    tall = None
+    for i, f in enumerate(fields):
+        part = docs_tok.select(
+            "docid",
+            F.col(f"dl_q_{i}").alias("dl_q"),
+            F.explode(f"_tokens_{i}").alias("term"),
+        ).select(
+            "docid", "dl_q", F.xxhash64(F.lit(f), F.col("term")).alias("tid")
+        )
+        tall = part if tall is None else tall.unionByName(part)
+    return tall.groupBy("tid", "docid", "dl_q").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
     )
 
 
-def _positions_from_docs(docs_tok: DataFrame) -> DataFrame:
+def _positions_from_docs(
+    docs_tok: DataFrame, fields: list[str] | None = None
+) -> DataFrame:
     """(docid, _tokens) -> (tid, docid, positions array<int>) — 1-based
     token positions, sorted. Same tid keying/bucketing as postings so
     phrase queries prune partitions identically. Positions are optional
     (OMIT_TF_POSITIONS analogue): ~2-3x the postings shuffle volume."""
-    return (
-        docs_tok.select("docid", F.posexplode("_tokens").alias("pos", "term"))
-        .select(
+    if not fields:
+        tall = docs_tok.select(
+            "docid", F.posexplode("_tokens").alias("pos", "term")
+        ).select(
             "docid",
             (F.col("pos") + F.lit(1)).cast("int").alias("pos"),
             F.xxhash64("term").alias("tid"),
         )
-        .groupBy("tid", "docid")
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    else:
+        tall = None
+        for i, f in enumerate(fields):
+            part = docs_tok.select(
+                "docid", F.posexplode(f"_tokens_{i}").alias("pos", "term")
+            ).select(
+                "docid",
+                (F.col("pos") + F.lit(1)).cast("int").alias("pos"),
+                F.xxhash64(F.lit(f), F.col("term")).alias("tid"),
+            )
+            tall = part if tall is None else tall.unionByName(part)
+    return tall.groupBy("tid", "docid").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
     )
 
 
-def _term_dict_from_docs(docs_tok: DataFrame) -> DataFrame:
+def _term_dict_from_docs(
+    docs_tok: DataFrame, fields: list[str] | None = None
+) -> DataFrame:
     """(docid, _tokens) -> distinct (term, tid) dictionary (small: one
     row per vocabulary term; map-side partial distinct keeps the shuffle
-    tiny relative to postings)."""
-    return (
-        docs_tok.select(F.explode("_tokens").alias("term"))
-        .distinct()
-        .select("term", F.xxhash64("term").alias("tid"))
+    tiny relative to postings). Multi-field: (field, term, tid) — the
+    dictionary is the ONLY table that stores the field string."""
+    if not fields:
+        return (
+            docs_tok.select(F.explode("_tokens").alias("term"))
+            .distinct()
+            .select("term", F.xxhash64("term").alias("tid"))
+        )
+    tall = None
+    for i, f in enumerate(fields):
+        part = docs_tok.select(
+            F.lit(f).alias("field"), F.explode(f"_tokens_{i}").alias("term")
+        )
+        tall = part if tall is None else tall.unionByName(part)
+    return tall.distinct().select(
+        "field", "term", F.xxhash64(F.col("field"), F.col("term")).alias("tid")
     )
 
 
@@ -341,12 +450,22 @@ def build_index(
     build_positions: bool = False,
     block_size: int | None = None,
     keep_stage: bool = False,
+    fields: list[str] | None = None,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
 
     If the corpus has no `docid` column one is assigned deterministically
     (sort rank over (repo, path, commit)).
+
+    `fields`: index several text columns as independent per-field
+    inverted indexes (tid = hash(field, term); per-field norms) — the
+    schema-fields model that lets edismax/qf run against the REAL index.
+    Block-max metadata is single-field only (the block encoder bakes one
+    avgdl into tf_part), so multi-field builds skip blocks; the flat
+    scoring path serves every field.
     """
+    if fields:
+        build_blocks = False
     paths = IndexPaths(out_dir)
     if not resume and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
@@ -385,12 +504,12 @@ def build_index(
         if num_chunks > 1:
             part = corpus.where(F.pmod(F.col("docid"), F.lit(num_chunks)) == chunk)
         tick = time.time()
-        docs_tok = _analyze_docs(part).persist()
+        docs_tok = _analyze_docs(part, fields).persist()
         docs_dir = paths.docs if single else os.path.join(paths.stage, f"docs_c{chunk}")
         post_dir = paths.postings if single else os.path.join(paths.stage, f"post_c{chunk}")
         dict_dir = os.path.join(paths.stage, f"dict_c{chunk}")
-        docs_tok.drop("_tokens").write.mode("overwrite").parquet(docs_dir)
-        chunk_post = _postings_from_docs(docs_tok).withColumn(
+        docs_tok.drop(*_token_cols(docs_tok)).write.mode("overwrite").parquet(docs_dir)
+        chunk_post = _postings_from_docs(docs_tok, fields).withColumn(
             "bucket", tid_bucket_col("tid", num_buckets)
         )
         if single:
@@ -418,14 +537,14 @@ def build_index(
             laid.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
         else:
             chunk_post.write.mode("overwrite").parquet(post_dir)
-        _term_dict_from_docs(docs_tok).write.mode("overwrite").parquet(dict_dir)
+        _term_dict_from_docs(docs_tok, fields).write.mode("overwrite").parquet(dict_dir)
         if build_positions:
             pos_dir = (
                 paths.positions
                 if single
                 else os.path.join(paths.stage, f"pos_c{chunk}")
             )
-            chunk_pos = _positions_from_docs(docs_tok).withColumn(
+            chunk_pos = _positions_from_docs(docs_tok, fields).withColumn(
                 "bucket", tid_bucket_col("tid", num_buckets)
             )
             if single:
@@ -433,10 +552,16 @@ def build_index(
             else:
                 chunk_pos.write.mode("overwrite").parquet(pos_dir)
         if single:
-            # fold the corpus stats (n_docs, avgdl) into the cached
-            # tokenize pass instead of a separate docs-parquet scan job
+            # fold the corpus stats (n_docs, avgdl — per field in multi-
+            # field mode) into the cached tokenize pass instead of a
+            # separate docs-parquet scan job
             doc_agg = docs_tok.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("total_len")
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doclen").alias("total_len"),
+                *[
+                    F.sum(f"doclen_{i}").alias(f"total_len_{i}")
+                    for i in range(len(fields or ()))
+                ],
             ).collect()[0]
         docs_tok.unpersist()
         man = {
@@ -463,10 +588,23 @@ def build_index(
         docs.write.mode("overwrite").parquet(paths.docs)
         docs = spark.read.parquet(paths.docs)
         agg = docs.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("total_len")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doclen").alias("total_len"),
+            *[
+                F.sum(f"doclen_{i}").alias(f"total_len_{i}")
+                for i in range(len(fields or ()))
+            ],
         ).collect()[0]
     n_docs = int(agg["n"])
     avgdl = float(agg["total_len"]) / n_docs if n_docs else 0.0
+    avgdl_by_field = (
+        {
+            f: (float(agg[f"total_len_{i}"]) / n_docs if n_docs else 0.0)
+            for i, f in enumerate(fields)
+        }
+        if fields
+        else None
+    )
 
     term_dict = spark.read.parquet(os.path.join(paths.stage, "dict_c*")).distinct()
     postings_agg = postings.groupBy("tid").agg(
@@ -593,6 +731,9 @@ def build_index(
         "has_blocks": bool(build_blocks and n_docs),
         "has_positions": bool(build_positions and n_docs),
     }
+    if fields:
+        meta["fields"] = list(fields)
+        meta["avgdl_by_field"] = avgdl_by_field
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=2)
     if not keep_stage:

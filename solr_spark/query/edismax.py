@@ -26,9 +26,83 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from solr_spark.analysis.analyzer import tokens_col, tokens_sql
-from solr_spark.functions.bm25 import idf_col, idf_sql, tf_part_col, tf_part_sql
+from solr_spark.functions.bm25 import idf_col, idf_py, idf_sql, tf_part_col, tf_part_sql
 from solr_spark.functions.smallfloat import quantize_col, quantize_sql
 from solr_spark.query.engine import analyze_query
+
+
+def edismax_indexed(
+    index,
+    qtext: str,
+    fields: dict[str, float],
+    *,
+    tie: float = 0.0,
+    mm: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """edismax against a multi-field REAL index (build_index(fields=...)).
+
+    ONE bucket-pruned postings scan covers every (qf field, query term)
+    pair — the field lives inside the tid, so no per-field subplan or
+    extra scan exists; the broadcast query relation carries each pair's
+    boost, idf (per-field df), and per-field avgdl, and the per-(doc,
+    term) max-over-fields fold applies the DisjunctionMaxQuery tie
+    semantics exactly as edismax_inline. Same dictionary seek cost as a
+    single-field query times the number of distinct terms."""
+    spark = index.spark
+    qterms = analyze_query(qtext)
+    if not qterms:
+        return spark.createDataFrame([], "docid long, score double")
+    stats = index.term_stats_fielded(
+        [(f, t) for f in fields for t in qterms]
+    )
+    if not stats:
+        return spark.createDataFrame([], "docid long, score double")
+    n_docs = index.meta["n_docs"]
+    avg = index.meta["avgdl_by_field"]
+    rows = [
+        (
+            s["tid"],
+            float(fields[f]) * float(qterms[t]),
+            idf_py(int(s["df"]), n_docs),
+            t,
+            float(avg[f]),
+        )
+        for (f, t), s in stats.items()
+    ]
+    qrel = spark.createDataFrame(
+        rows, "tid long, w double, idf double, term string, avgdl double"
+    )
+    tids = [r[0] for r in rows]
+    postings = (
+        index.postings()
+        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+        .where(F.col("tid").isin(tids))
+    )
+    contrib = postings.join(F.broadcast(qrel), "tid").select(
+        "docid",
+        "term",
+        (
+            F.col("w")
+            * F.col("idf")
+            * tf_part_col(F.col("tf"), F.col("dl_q"), F.col("avgdl"))
+        ).alias("c"),
+    )
+    per_term = contrib.groupBy("docid", "term").agg(
+        (
+            F.max("c") + F.lit(float(tie)) * (F.sum("c") - F.max("c"))
+        ).alias("tscore")
+    )
+    agg = per_term.groupBy("docid").agg(
+        F.sum("tscore").alias("score"), F.count(F.lit(1)).alias("_nm")
+    )
+    if mm > 1:
+        agg = agg.where(F.col("_nm") >= mm)
+    return (
+        agg.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
+        .limit(k)
+        .select("docid", F.round("score", 4).alias("score"))
+    )
 
 
 def _shingles(seq: list[str], ng: int | None) -> list[list[str]]:

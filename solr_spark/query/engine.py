@@ -40,7 +40,9 @@ def analyze_query(qtext: str) -> dict[str, int]:
     return counts
 
 
-def _scored_postings(index: Index, qterms: dict[str, int]) -> tuple[DataFrame, int]:
+def _scored_postings(
+    index: Index, qterms: dict[str, int], field: str | None = None
+) -> tuple[DataFrame, int]:
     """Postings of the query terms with per-(term,doc) contributions.
 
     Phase A (tiny, bucket-pruned term_stats scan): resolve term -> (tid,
@@ -54,8 +56,19 @@ def _scored_postings(index: Index, qterms: dict[str, int]) -> tuple[DataFrame, i
     """
     spark = index.spark
     n_docs = index.meta["n_docs"]
-    avgdl = index.meta["avgdl"]
-    stats = index.term_stats_for(list(qterms))
+    if index.meta.get("fields"):
+        # multi-field index: per-field dictionary + per-field norms
+        fld = field or index.meta["fields"][0]
+        avgdl = index.meta["avgdl_by_field"][fld]
+        stats = {
+            t: s
+            for (_, t), s in index.term_stats_fielded(
+                [(fld, t) for t in qterms]
+            ).items()
+        }
+    else:
+        avgdl = index.meta["avgdl"]
+        stats = index.term_stats_for(list(qterms))
     if not stats:
         return spark.createDataFrame([], "docid long, contrib double"), 0
     qrel = spark.createDataFrame(
@@ -88,6 +101,7 @@ def bm25_topk(
     k: int = 10,
     mode: str = "OR",
     with_payload: bool = False,
+    field: str | None = None,
 ) -> DataFrame:
     """Top-k (docid, score) for an analyzed free-text query.
 
@@ -98,7 +112,7 @@ def bm25_topk(
     """
     qterms = analyze_query(qtext)
     scored, n_present = (
-        _scored_postings(index, qterms) if qterms else (None, 0)
+        _scored_postings(index, qterms, field) if qterms else (None, 0)
     )
     if n_present == 0 or (mode == "AND" and n_present < len(qterms)):
         result = index.spark.createDataFrame([], "docid long, score double")

@@ -309,3 +309,58 @@ def test_edismax_pf2_shingles(spark):
     boosted = {r["docid"]: r["score"] for r in got}
     assert boosted[0] > base[0]      # shingle hits add score
     assert boosted[1] == base[1]     # no adjacent bigrams -> unchanged
+
+
+# ---- multi-field index + indexed edismax ----
+
+def test_multifield_index_edismax(spark, tmp_path):
+    from solr_spark.index.builder import Index, build_index
+    from solr_spark.query.edismax import edismax_indexed, edismax_inline
+    from solr_spark.query.engine import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"r{i}", f"p{i}", f"c{i}",
+             ["alpha beta gamma delta", "beta beta epsilon", "gamma alpha",
+              "zeta eta theta alpha", "beta gamma"][i % 5] + f" tok{i % 7}",
+             ["en alpha", "ja beta", "en gamma", "de zeta", "en beta"][i % 5])
+            for i in range(60)
+        ],
+        "docid long, repo string, path string, commit string, "
+        "text string, head string",
+    )
+    idx = build_index(
+        spark, docs, str(tmp_path / "mf"), num_buckets=4,
+        fields=["text", "head"], build_positions=True,
+    )
+    assert idx.meta["fields"] == ["text", "head"]
+    assert not idx.meta["has_blocks"]  # blocks are single-field only
+    assert set(idx.meta["avgdl_by_field"]) == {"text", "head"}
+
+    # per-field norms differ: same term scores differently per field
+    t = bm25_topk(idx, "alpha", k=5, field="text").collect()
+    h = bm25_topk(idx, "alpha", k=5, field="head").collect()
+    assert t and h and t[0]["score"] != h[0]["score"]
+
+    # indexed edismax == inline edismax (per-field df/avgdl/dl_q identical)
+    for q, qf, kw in [
+        ("alpha beta", {"text": 1.0, "head": 2.0}, {"tie": 0.1}),
+        ("alpha zeta", {"text": 1.0, "head": 1.5}, {"mm": 2}),
+        ("epsilon", {"text": 3.0}, {}),
+    ]:
+        got = [(r["docid"], r["score"])
+               for r in edismax_indexed(idx, q, qf, k=8, **kw).collect()]
+        ref = [(r["docid"], round(r["score"], 4))
+               for r in edismax_inline(docs, q, qf, k=8, id_col="docid",
+                                       **kw).collect()]
+        assert got == ref, q
+
+    # absent terms -> empty frame, and a reloaded handle answers the same
+    assert edismax_indexed(idx, "zzznope", {"text": 1.0}).count() == 0
+    idx2 = Index.load(spark, str(tmp_path / "mf"))
+    assert (
+        edismax_indexed(idx2, "alpha beta", {"text": 1.0, "head": 2.0},
+                        tie=0.1, k=8).collect()
+        == edismax_indexed(idx, "alpha beta", {"text": 1.0, "head": 2.0},
+                           tie=0.1, k=8).collect()
+    )
