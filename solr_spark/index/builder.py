@@ -65,10 +65,17 @@ def _write_bucketed(
     the `tid IN (...)` pushdown skips row groups. A tid-derived salt
     keeps write parallelism at num_buckets*FILES_PER_BUCKET while every
     tid's rows land in ONE file of its bucket. Scaling knob at cluster
-    size = num_buckets."""
+    size = num_buckets.
+
+    The bucket is a pure function of tid, so the exchange keys on the
+    DERIVED expressions and the column is projected back only after the
+    shuffle — 4 bytes/row that never ride the wire."""
+    bexpr = tid_bucket_col("tid", num_buckets)
     salt = F.pmod(F.xxhash64(F.col("tid"), F.lit(7)), F.lit(FILES_PER_BUCKET))
     (
-        df.repartition(num_buckets * FILES_PER_BUCKET, F.col("bucket"), salt)
+        df.drop("bucket")
+        .repartition(num_buckets * FILES_PER_BUCKET, bexpr, salt)
+        .withColumn("bucket", bexpr)
         .sortWithinPartitions(*[F.col(c) for c in sort_cols])
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -509,9 +516,7 @@ def build_index(
         post_dir = paths.postings if single else os.path.join(paths.stage, f"post_c{chunk}")
         dict_dir = os.path.join(paths.stage, f"dict_c{chunk}")
         docs_tok.drop(*_token_cols(docs_tok)).write.mode("overwrite").parquet(docs_dir)
-        chunk_post = _postings_from_docs(docs_tok, fields).withColumn(
-            "bucket", tid_bucket_col("tid", num_buckets)
-        )
+        chunk_post = _postings_from_docs(docs_tok, fields)
         if single:
             # ONE layout shuffle, reused three times: the (bucket,
             # tid-salt) exchange + per-file tid sort below is the SAME
@@ -523,14 +528,19 @@ def build_index(
             # file per bucket sorted by tid -> small listing/footer
             # cost and tight row-group tid min/max for `tid IN (...)`
             # pushdown (round-2 measurement: a 512-file layout cost
-            # ~1 s/job on a 250k-row metadata scan).
+            # ~1 s/job on a 250k-row metadata scan). The bucket and
+            # file-salt both derive from tid, so the exchange keys on
+            # the expressions and bucket is projected back AFTER the
+            # shuffle — the column never rides the wire.
+            bexpr = tid_bucket_col("tid", num_buckets)
             fsalt = F.pmod(
                 F.xxhash64(F.col("tid"), F.lit(7)), F.lit(FILES_PER_BUCKET)
             )
             laid = (
                 chunk_post.repartition(
-                    num_buckets * FILES_PER_BUCKET, F.col("bucket"), fsalt
+                    num_buckets * FILES_PER_BUCKET, bexpr, fsalt
                 )
+                .withColumn("bucket", bexpr)
                 .sortWithinPartitions("tid", "docid")
                 .persist()
             )
@@ -544,9 +554,7 @@ def build_index(
                 if single
                 else os.path.join(paths.stage, f"pos_c{chunk}")
             )
-            chunk_pos = _positions_from_docs(docs_tok, fields).withColumn(
-                "bucket", tid_bucket_col("tid", num_buckets)
-            )
+            chunk_pos = _positions_from_docs(docs_tok, fields)
             if single:
                 _write_bucketed(chunk_pos, pos_dir, num_buckets, ("tid", "docid"))
             else:
