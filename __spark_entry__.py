@@ -104,7 +104,7 @@ def _gate_index_mf(spark, sf_dir):
     if key in _GATE_IDX:
         return _GATE_IDX[key]
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/solr_spark_gate/index_mf_{tag}"
+    root = f"/tmp/solr_spark_gate/index_mfp_{tag}"
     meta = os.path.join(root, "meta.json")
     if not os.path.exists(meta):
         tmp = f"{root}.build_{os.getpid()}"
@@ -117,7 +117,8 @@ def _gate_index_mf(spark, sf_dir):
             F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
         )
         build_index(
-            spark, corpus, tmp, num_buckets=8, fields=["text", "lang"]
+            spark, corpus, tmp, num_buckets=8, fields=["text", "lang"],
+            build_positions=True,
         )
         os.makedirs(os.path.dirname(root), exist_ok=True)
         try:
@@ -1207,6 +1208,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edismax_indexed_qf"] = edismax_indexed_entry
 
+    def edismax_indexed_pf_entry(s, d):
+        """pf phrase boost on the REAL index: phrase freqs come from the
+        bucket-pruned positions table (no corpus re-tokenize), scored
+        with the same per-field BM25 shape as the inline twin."""
+        from solr_spark.query.edismax import edismax_indexed
+
+        return edismax_indexed(
+            _gate_index_mf(s, d),
+            "fast merge",
+            {"text": 1.0},
+            pf={"text": 2.0},
+            ps=1,
+            k=10,
+        )
+
+    q["edismax_indexed_pf"] = edismax_indexed_pf_entry
+
     # --- text analysis ---
     q["token_counts"] = lambda s, d: TS.token_counts(_tok(s, d))
     q["text_quality"] = lambda s, d: TS.quality_score(
@@ -1837,6 +1855,9 @@ scored AS (
     )
     o["edismax_indexed_qf"] = edismax_sql(
         "merge en", {"text": 1.0, "lang": 2.0}, tie=0.1, k=10
+    )
+    o["edismax_indexed_pf"] = edismax_sql(
+        "fast merge", {"text": 1.0}, pf={"text": 2.0}, ps=1, k=10
     )
 
     # no oracle (rows-only check): ann_cosine_lsh, hll_users_by_type

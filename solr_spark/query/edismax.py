@@ -38,6 +38,10 @@ def edismax_indexed(
     *,
     tie: float = 0.0,
     mm: int = 1,
+    pf: dict[str, float] | None = None,
+    pf2: dict[str, float] | None = None,
+    pf3: dict[str, float] | None = None,
+    ps: int = 0,
     k: int = 10,
 ) -> DataFrame:
     """edismax against a multi-field REAL index (build_index(fields=...)).
@@ -98,8 +102,67 @@ def edismax_indexed(
     )
     if mm > 1:
         agg = agg.where(F.col("_nm") >= mm)
+    out = agg.select("docid", "score")
+    pf_specs = _pf_specs(pf, pf2, pf3)
+    if pf_specs:
+        if not index.meta.get("has_positions"):
+            raise ValueError("pf boosts need build_positions=True")
+        from solr_spark.analysis.analyzer import tokenize_py
+        from solr_spark.query.positions import phrase_docids
+
+        seq = tokenize_py(qtext)
+        for fld, boost, ng in pf_specs:
+            subs = _shingles(seq, ng)
+            if not subs:
+                continue
+            fst = index.term_stats_fielded(
+                [(fld, t) for t in {t for sub in subs for t in sub}]
+            )
+            avgdl_f = float(avg[fld])
+            # per-sub phrase freqs from the positions table, outer-merged
+            # per docid (a doc may match only some shingles, as inline)
+            hits = None
+            idf_of = []
+            for i, sub in enumerate(subs):
+                idf_of.append(
+                    sum(
+                        idf_py(int(fst[(fld, t)]["df"]), n_docs)
+                        for t in set(sub)
+                        if (fld, t) in fst
+                    )
+                )
+                fdf = phrase_docids(index, list(sub), slop=ps, field=fld).select(
+                    "docid", F.col("phrase_freq").alias(f"_f{i}")
+                )
+                hits = fdf if hits is None else hits.join(fdf, "docid", "full")
+            # dl_q of each hit doc IN this field (any posting row of the
+            # field's phrase terms carries it; phrase hits guarantee one)
+            ftids = [s["tid"] for s in fst.values()]
+            dlq = (
+                index.postings()
+                .where(F.col("bucket").isin(index.pbuckets_for(ftids)))
+                .where(F.col("tid").isin(ftids))
+                .groupBy("docid")
+                .agg(F.max("dl_q").alias("dl_q"))
+            )
+            contrib = F.lit(0.0)
+            for i in range(len(subs)):
+                contrib = contrib + F.lit(idf_of[i]) * tf_part_col(
+                    F.coalesce(F.col(f"_f{i}"), F.lit(0)).cast("double"),
+                    F.col("dl_q"),
+                    F.lit(avgdl_f),
+                )
+            pc = hits.join(dlq, "docid").select(
+                "docid", (F.lit(float(boost)) * contrib).alias("_pc")
+            )
+            out = out.join(pc, "docid", "left").select(
+                "docid",
+                (F.col("score") + F.coalesce(F.col("_pc"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
     return (
-        agg.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
+        out.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
         .limit(k)
         .select("docid", F.round("score", 4).alias("score"))
     )

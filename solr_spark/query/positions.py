@@ -143,10 +143,17 @@ def chain_match_count_sql(pos_exprs: list[str], slop: int = 0) -> str:
 
 
 def phrase_docids(
-    index: Index, words: list[str], slop: int = 0, ordered: bool = True
+    index: Index,
+    words: list[str],
+    slop: int = 0,
+    ordered: bool = True,
+    field: str | None = None,
 ) -> DataFrame:
     """(docid, phrase_freq) of docs containing the analyzed phrase,
-    computed from the positions table alone (no corpus scan)."""
+    computed from the positions table alone (no corpus scan). On a
+    multi-field index `field` selects whose positions to match (tid =
+    hash(field, term), so the scan prunes to that field's partitions
+    for free)."""
     spark = index.spark
     terms: list[str] = []
     for w in words:
@@ -154,7 +161,12 @@ def phrase_docids(
     empty = spark.createDataFrame([], "docid long, phrase_freq int")
     if not terms:
         return empty
-    stats = index.term_stats_for(sorted(set(terms)))
+    if index.meta.get("fields"):
+        fld = field or index.meta["fields"][0]
+        fstats = index.term_stats_fielded([(fld, t) for t in set(terms)])
+        stats = {t: s for (_, t), s in fstats.items()}
+    else:
+        stats = index.term_stats_for(sorted(set(terms)))
     if any(t not in stats for t in terms):
         return empty  # a phrase term absent from the corpus
     tid_of = {t: stats[t]["tid"] for t in set(terms)}

@@ -342,11 +342,16 @@ def test_multifield_index_edismax(spark, tmp_path):
     h = bm25_topk(idx, "alpha", k=5, field="head").collect()
     assert t and h and t[0]["score"] != h[0]["score"]
 
-    # indexed edismax == inline edismax (per-field df/avgdl/dl_q identical)
+    # indexed edismax == inline edismax (per-field df/avgdl/dl_q identical);
+    # pf tiers read the positions table, never the corpus
     for q, qf, kw in [
         ("alpha beta", {"text": 1.0, "head": 2.0}, {"tie": 0.1}),
         ("alpha zeta", {"text": 1.0, "head": 1.5}, {"mm": 2}),
         ("epsilon", {"text": 3.0}, {}),
+        ("alpha beta", {"text": 1.0}, {"pf": {"text": 2.0}, "ps": 1}),
+        ("alpha beta gamma", {"text": 1.0}, {"pf2": {"text": 1.5}}),
+        ("alpha beta gamma", {"text": 1.0, "head": 1.5},
+         {"pf3": {"text": 2.5}, "ps": 1, "tie": 0.05}),
     ]:
         got = [(r["docid"], r["score"])
                for r in edismax_indexed(idx, q, qf, k=8, **kw).collect()]
