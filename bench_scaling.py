@@ -51,8 +51,15 @@ def run_level(cores: int) -> dict:
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     if out.returncode != 0:
-        sys.stderr.write(out.stderr[-8000:])
-        raise RuntimeError(f"bench.py exited {out.returncode} at {cores} cores")
+        # keep the FULL subprocess stderr: the root error (e.g. an
+        # executor OOM) scrolls far above the shutdown noise
+        errfile = f"/tmp/bench_scaling_fail_{cores}.log"
+        with open(errfile, "w") as f:
+            f.write(out.stderr)
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(
+            f"bench.py exited {out.returncode} at {cores} cores (full stderr: {errfile})"
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -166,3 +166,100 @@ def lsh_recall_at_k(
     hits = exact.join(approx, "vec_id", "left_semi").count()
     spark = emb.sparkSession
     return spark.createDataFrame([(k, hits / float(k))], "k long, recall double")
+
+
+# ----------------------------------------------------------------- IVF
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids for IVF (inverted-file ANN): k-means
+    over the embedding column. At 100 TB train on a sample
+    (`sample_fraction`) — centroid quality needs thousands of points per
+    cell, not the corpus — and persist the centroids with the table.
+    Returns plain Python lists so the query side needs no model object.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = emb.select(array_to_vector(_as_double("embedding")).alias("features"))
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(df)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add the nearest-centroid `cell` column (squared-L2 argmin as a
+    pure JVM expression: array_min over (dist, idx) structs — struct
+    ordering compares dist first, idx breaks exact ties low). At scale
+    this runs ONCE at ingest and the table is written partitioned by
+    cell, so probing reads n_probe/n_cells of the data."""
+    e = _as_double("embedding")
+    cells = F.array(
+        *[
+            F.struct(
+                _sqdist(e, F.array(*[F.lit(v) for v in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cell", F.array_min(cells)["i"].cast("int"))
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the `n_probe` cells whose
+    centroids are nearest the query (driver-side argsort over a tiny
+    list), exact cosine inside them. The alternative scale path beside
+    the LSH tables: recall degrades gracefully with n_probe/n_cells and
+    the probed fraction is an explicit knob."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells, seed)
+    dists = sorted(
+        (sum((a - b) ** 2 for a, b in zip(query_vec, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    probes = [i for _, i in dists[: max(1, n_probe)]]
+    cand = ivf_assign(emb, centroids).where(F.col("cell").isin(probes)).drop("cell")
+    return cosine_topk(cand, query_vec, k, id_col)
+
+
+def ivf_recall_at_k(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    **ivf_kwargs,
+) -> DataFrame:
+    """(k, recall) of the IVF path vs exact brute force — same bounded
+    contract as lsh_recall_at_k."""
+    exact = cosine_topk(emb, query_vec, k, id_col).select("vec_id")
+    approx = cosine_topk_ivf(emb, query_vec, k, id_col=id_col, **ivf_kwargs).select(
+        "vec_id"
+    )
+    hits = exact.join(approx, "vec_id", "left_semi").count()
+    return emb.sparkSession.createDataFrame(
+        [(k, hits / float(k))], "k long, recall double"
+    )

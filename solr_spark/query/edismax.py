@@ -38,6 +38,7 @@ def edismax_indexed(
     *,
     tie: float = 0.0,
     mm: int = 1,
+    bf: Column | None = None,
     pf: dict[str, float] | None = None,
     pf2: dict[str, float] | None = None,
     pf3: dict[str, float] | None = None,
@@ -161,6 +162,13 @@ def edismax_indexed(
                     "score"
                 ),
             )
+    if bf is not None:
+        # additive function boost over stored fields — k-winner-sized
+        # lookup against the docs table, same shape as edismax_inline
+        bfd = index.docs().select("docid", bf.cast("double").alias("_bf"))
+        out = out.join(bfd, "docid").select(
+            "docid", (F.col("score") + F.col("_bf")).alias("score")
+        )
     return (
         out.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
         .limit(k)

@@ -19,7 +19,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
     executors: int | None = None,
-    executor_mem_mb: int = 12288,
+    executor_mem_mb: int | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -35,6 +35,10 @@ def get_spark(
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if executor_mem_mb is None:
+        # larger corpora need bigger executor heaps (the 2M-doc scaling
+        # study OOMed 12g executors); env knob keeps bench runs tunable
+        executor_mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "12288"))
     if executors is None:
         e = os.environ.get("SPARK_GRAFT_EXECUTORS")
         executors = int(e) if e else None

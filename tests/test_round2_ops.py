@@ -369,3 +369,43 @@ def test_multifield_index_edismax(spark, tmp_path):
         == edismax_indexed(idx, "alpha beta", {"text": 1.0, "head": 2.0},
                            tie=0.1, k=8).collect()
     )
+
+
+# ---- IVF ANN ----
+
+def test_ivf_cosine_topk(spark):
+    import hashlib
+    import struct
+
+    from solr_spark.operators import similarity as SIM
+
+    def vec(i, dim=8):
+        out = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).digest()
+            (u,) = struct.unpack("<I", h[:4])
+            out.append((u / 2**32) * 2.0 - 1.0)
+        return out
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    q = vec(7)
+    cents = SIM.train_ivf_centroids(emb, n_cells=6, seed=1)
+    assert len(cents) == 6 and len(cents[0]) == 8
+    # every row gets a valid cell
+    cells = SIM.ivf_assign(emb, cents).select("cell").distinct().collect()
+    assert all(0 <= r["cell"] < 6 for r in cells)
+    # probing ALL cells == exact brute force
+    exact = SIM.cosine_topk(emb, q, k=10).collect()
+    full = SIM.cosine_topk_ivf(emb, q, k=10, centroids=cents, n_probe=6).collect()
+    assert [(r["vec_id"], r["sim"]) for r in full] == [
+        (r["vec_id"], r["sim"]) for r in exact
+    ]
+    # partial probe: bounded recall, and the query's own cell is probed
+    rec = SIM.ivf_recall_at_k(
+        emb, q, k=10, centroids=cents, n_probe=2
+    ).collect()[0]
+    assert 0.0 <= rec["recall"] <= 1.0
+    assert SIM.cosine_topk_ivf(emb, vec(7), k=1, centroids=cents,
+                               n_probe=1).collect()[0]["vec_id"] == 7
