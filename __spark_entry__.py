@@ -1020,6 +1020,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_parsed_showcase"] = func_parsed
 
+    def func_parsed_v2(s, d):
+        """Round-2b ValueSources: linear/compare/scale/ord (whole-frame
+        window, as in Solr)/geodist haversine — all parsed from the
+        public function-query syntax."""
+        from solr_spark.functions.valuesources import parse_func
+
+        return (
+            _docs(s, d)
+            .select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.round(parse_func("linear(n_chars,2,10)").cast("double"), 4).alias("lin"),
+                parse_func("gt(n_chars,300)").alias("big"),
+                F.round(parse_func("scale(n_chars,0,100)"), 4).alias("scaled"),
+                parse_func("ord(n_chars)").cast("long").alias("ordv"),
+                F.round(
+                    parse_func("geodist(48.8566,2.3522,40.7128,-74.006)"), 2
+                ).alias("paris_nyc"),
+            )
+            .orderBy("docid")
+        )
+
+    q["func_parsed_v2"] = func_parsed_v2
+
     # --- update processor chain over orders ---
     def update_chain(s, d):
         from solr_spark.operators import updateproc as UP
@@ -1747,6 +1770,20 @@ scored AS (
         ORDER BY ltr_score DESC, head.docid LIMIT 10"""
 
     # --- function-query registry ---
+    o["func_parsed_v2"] = """
+        SELECT doc_id::BIGINT AS docid,
+               round((2.0 * n_chars + 10.0)::DOUBLE, 4) AS lin,
+               n_chars > 300 AS big,
+               round((n_chars - min(n_chars) OVER ())::DOUBLE
+                     / (max(n_chars) OVER () - min(n_chars) OVER ())::DOUBLE
+                     * 100.0, 4) AS scaled,
+               dense_rank() OVER (ORDER BY n_chars)::BIGINT AS ordv,
+               round(2.0 * 6371.0087714 * asin(sqrt(
+                   pow(sin(radians(40.7128 - 48.8566) / 2.0), 2)
+                   + cos(radians(48.8566)) * cos(radians(40.7128))
+                     * pow(sin(radians(-74.006 - 2.3522) / 2.0), 2))), 2)
+                 AS paris_nyc
+        FROM documents ORDER BY docid"""
     o["func_parsed_showcase"] = """
         SELECT doc_id::BIGINT AS docid,
                round(1000.0 / (abs(n_chars - 300) + 1000.0), 4) AS recip_d,

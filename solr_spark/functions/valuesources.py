@@ -21,9 +21,27 @@ analogue, and unknown names raise):
   consts:     pi, e
   compare:    min, max
   logic:      if, exists, not, and, or, xor, def
-  mapping:    map(x,min,max,target[,default])
+  mapping:    map(x,min,max,target[,default]), linear(x,m,c),
+              scale(x,minT,maxT) (global min/max via an unpartitioned
+              window — two-pass in Solr too; see note on scale below)
+  compare:    gt, lt, gte, lte, eq (booleans, ValueSourceParser.java
+              ComparisonBoolFunction registrations)
+  ordinals:   ord(x), rord(x) — dense rank of the value in the sorted
+              value space (unpartitioned window, like scale)
+  time:       ms(a[,b]) — epoch millis of a, or a-b millis
+  geo:        geodist(lat1,lon1,lat2,lon2) — haversine km (the sfield
+              form needs a schema; the 4-arg form is the primitive)
   strings:    strdist(a,b,edit), concat
-  fields:     bare name -> column; numeric literal; 'quoted' literal
+  fields:     bare name -> column; field(name); numeric literal;
+              'quoted' literal
+  index ctx:  docfreq(field,'term'), totaltermfreq(field,'term'),
+              idf(field,'term'), numdocs() — resolved at parse time
+              against the term dictionary via parse_func(expr, index=)
+
+scale/ord/rord use a WHOLE-FRAME window (single partition): correct and
+exactly Solr's semantics (which also needs a full pass for min/max /
+ordinals), but at 100 TB precompute the aggregate separately and
+broadcast it instead of putting these in a hot path.
 """
 
 from __future__ import annotations
@@ -114,6 +132,101 @@ _REGISTRY: dict[str, tuple[int, int, object]] = {
     "map": (4, 5, _map_fn),
     "strdist": (2, 3, _strdist),
     "concat": (2, 99, lambda a: F.concat(*a)),
+    "linear": (3, 3, lambda a: a[1] * a[0] + a[2]),  # linear(x,m,c)=m*x+c
+    "gt": (2, 2, lambda a: a[0] > a[1]),
+    "lt": (2, 2, lambda a: a[0] < a[1]),
+    "gte": (2, 2, lambda a: a[0] >= a[1]),
+    "lte": (2, 2, lambda a: a[0] <= a[1]),
+    "eq": (2, 2, lambda a: a[0] == a[1]),
+    "field": (1, 1, lambda a: a[0]),
+    "ms": (1, 2, lambda a: _ms(a)),
+    "geodist": (4, 4, lambda a: _geodist(*a)),
+    "scale": (3, 3, lambda a: _scale(*a)),
+    "ord": (1, 1, lambda a: _ord(a[0], asc=True)),
+    "rord": (1, 1, lambda a: _ord(a[0], asc=False)),
+}
+
+#: Solr's earth mean radius (GeoUtils / DistanceUtils), km
+_EARTH_RADIUS_KM = 6371.0087714
+
+
+def _ms(args):
+    # ms(a) = epoch millis; ms(a,b) = millis(a) - millis(b)
+    def millis(x):
+        return F.unix_millis(x.cast("timestamp"))
+
+    if len(args) == 1:
+        return millis(args[0])
+    return millis(args[0]) - millis(args[1])
+
+
+def _geodist(lat1, lon1, lat2, lon2):
+    rad = math.pi / 180.0
+    dphi = (lat2 - lat1) * rad / 2.0
+    dlmb = (lon2 - lon1) * rad / 2.0
+    h = F.sin(dphi) * F.sin(dphi) + (
+        F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return F.lit(2.0 * _EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def _scale(x, lo, hi):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    mn, mx = F.min(x).over(w), F.max(x).over(w)
+    mid = (lo + hi) / F.lit(2.0)
+    return F.when(mx == mn, mid).otherwise(
+        (x - mn) / (mx - mn) * (hi - lo) + lo
+    )
+
+
+def _ord(x, asc: bool):
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(x if asc else F.desc(x))
+    return F.when(x.isNull(), F.lit(0)).otherwise(F.dense_rank().over(w))
+
+
+def _need_str(raw, fn, i):
+    if raw is None or raw[0] not in ("sq", "dq", "name"):
+        raise FuncParseError(f"{fn}() arg {i + 1} must be a literal name/string")
+    return raw[1]
+
+
+def _ctx_docstat(key: str):
+    def build(raws, index):
+        fld = _need_str(raws[0], key, 0)
+        term = _need_str(raws[1], key, 1)
+        if index.meta.get("fields"):
+            st = index.term_stats_fielded([(fld, term)]).get((fld, term))
+        else:
+            st = index.term_stats_for([term]).get(term)
+        if st is None:
+            val = 0.0
+        elif key == "docfreq":
+            val = float(st["df"])
+        elif key == "totaltermfreq":
+            val = float(st["cttf"])
+        else:  # idf
+            from solr_spark.functions.bm25 import idf_py
+
+            val = idf_py(int(st["df"]), index.meta["n_docs"])
+        return F.lit(val)
+
+    return build
+
+
+#: index-context functions: builder(raw_token_args, index) -> Column;
+#: the per-term stats are a driver-side dictionary seek resolved at
+#: PARSE time (the reference reads the same numbers from the term dict,
+#: ValueSourceParser.java docfreq/ttf/idf registrations)
+_CTX_REGISTRY: dict[str, tuple[int, int, object]] = {
+    "docfreq": (2, 2, _ctx_docstat("docfreq")),
+    "totaltermfreq": (2, 2, _ctx_docstat("totaltermfreq")),
+    "ttf": (2, 2, _ctx_docstat("totaltermfreq")),
+    "idf": (2, 2, _ctx_docstat("idf")),
+    "numdocs": (0, 0, lambda raws, index: F.lit(float(index.meta["n_docs"]))),
 }
 
 
@@ -152,11 +265,14 @@ def _tokenize(expr: str) -> list[tuple[str, str]]:
     return out
 
 
-def parse_func(expr: str) -> Column:
+def parse_func(expr: str, index=None) -> Column:
     """Compile a Solr function-query expression to a Column.
 
     Bare names resolve to columns; `name(...)` resolves through the
-    registry; numbers and quoted strings are literals.
+    registry; numbers and quoted strings are literals. Pass `index`
+    (an Index handle) to enable the index-context functions
+    (docfreq/totaltermfreq/idf/numdocs) — their term stats resolve at
+    parse time through the dictionary seek.
     """
     toks = _tokenize(expr)
     pos = 0
@@ -179,10 +295,16 @@ def parse_func(expr: str) -> Column:
             if nk == "punct" and nv == "(":
                 pos += 1
                 args: list[Column] = []
+                raws: list[tuple[str, str] | None] = []
                 k2, v2 = peek()
                 if not (k2 == "punct" and v2 == ")"):
                     while True:
+                        start = pos
                         args.append(parse_value())
+                        # raw token kept when the arg was a single token
+                        # (literal or bare name) — context functions
+                        # need the VALUE, not a Column
+                        raws.append(toks[start] if pos == start + 1 else None)
                         k2, v2 = peek()
                         if k2 == "punct" and v2 == ",":
                             pos += 1
@@ -193,6 +315,17 @@ def parse_func(expr: str) -> Column:
                     raise FuncParseError(f"expected ')' in {expr!r}")
                 pos += 1
                 name = v.lower()
+                if name in _CTX_REGISTRY:
+                    lo, hi, builder = _CTX_REGISTRY[name]
+                    if not (lo <= len(args) <= hi):
+                        raise FuncParseError(
+                            f"{v}() takes {lo}..{hi} args, got {len(args)}"
+                        )
+                    if index is None:
+                        raise FuncParseError(
+                            f"{v}() needs an index: parse_func(expr, index=...)"
+                        )
+                    return builder(raws, index)
                 if name not in _REGISTRY:
                     raise FuncParseError(f"unknown function {v!r}")
                 lo, hi, builder = _REGISTRY[name]

@@ -409,3 +409,73 @@ def test_ivf_cosine_topk(spark):
     assert 0.0 <= rec["recall"] <= 1.0
     assert SIM.cosine_topk_ivf(emb, vec(7), k=1, centroids=cents,
                                n_probe=1).collect()[0]["vec_id"] == 7
+
+
+# ---- round-2b function queries ----
+
+def test_func_linear_compare_ord_scale(nums):
+    rows = {
+        r["id"]: r
+        for r in nums.select(
+            "id",
+            parse_func("linear(x,2,1)").alias("lin"),
+            parse_func("gt(x,0)").alias("g"),
+            parse_func("eq(id,2)").alias("q"),
+            parse_func("scale(x,0,1)").alias("sc"),
+            parse_func("ord(x)").alias("o"),
+            parse_func("rord(x)").alias("ro"),
+            parse_func("field(x)").alias("fx"),
+        ).collect()
+    }
+    assert rows[1]["lin"] == 21.0 and rows[2]["lin"] == -7.0
+    assert rows[1]["g"] is True and rows[2]["g"] is False
+    assert rows[2]["q"] is True and rows[1]["q"] is False
+    # x: -4, 0.5, 10, 100 -> scale to [0,1]
+    assert abs(rows[2]["sc"] - 0.0) < 1e-12 and abs(rows[4]["sc"] - 1.0) < 1e-12
+    assert abs(rows[1]["sc"] - (10.0 + 4.0) / 104.0) < 1e-12
+    assert [rows[i]["o"] for i in (2, 3, 1, 4)] == [1, 2, 3, 4]
+    assert [rows[i]["ro"] for i in (4, 1, 3, 2)] == [1, 2, 3, 4]
+    assert rows[1]["fx"] == 10.0
+
+
+def test_func_geodist_and_ms(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", "2024-01-01 00:00:00")], "id long, a string, b string"
+    )
+    r = df.select(
+        parse_func("geodist(48.8566,2.3522,51.5074,-0.1278)").alias("paris_london"),
+        parse_func("ms(a,b)").alias("diff"),
+        parse_func("ms(a)").alias("ep"),
+    ).collect()[0]
+    assert abs(r["paris_london"] - 343.5) < 2.0  # km, haversine
+    assert r["diff"] == 86400000
+    assert r["ep"] == 1704153600000  # 2024-01-02 UTC
+
+
+def test_func_index_context(spark, tmp_path):
+    from solr_spark.index.builder import build_index
+
+    docs = spark.createDataFrame(
+        [(i, f"r{i}", f"p{i}", f"c{i}", ["alpha beta", "alpha", "gamma"][i % 3])
+         for i in range(9)],
+        "docid long, repo string, path string, commit string, content string",
+    )
+    idx = build_index(spark, docs, str(tmp_path / "ctx"), num_buckets=2,
+                      build_blocks=False)
+    one = spark.range(1)
+    r = one.select(
+        parse_func("docfreq(content,'alpha')", index=idx).alias("df"),
+        parse_func("ttf(content,'alpha')", index=idx).alias("ttf"),
+        parse_func("idf(content,'alpha')", index=idx).alias("idf"),
+        parse_func("numdocs()", index=idx).alias("n"),
+        parse_func("docfreq(content,'zzz')", index=idx).alias("missing"),
+    ).collect()[0]
+    assert r["df"] == 6.0 and r["ttf"] == 6.0 and r["n"] == 9.0
+    import math as m
+
+    assert abs(r["idf"] - m.log(1.0 + (9 - 6 + 0.5) / (6 + 0.5))) < 1e-9
+    assert r["missing"] == 0.0
+    with pytest.raises(FuncParseError):
+        parse_func("docfreq(content,'alpha')")  # no index context
+    with pytest.raises(FuncParseError):
+        parse_func("docfreq(add(1,2),'alpha')", index=idx)  # non-literal arg
