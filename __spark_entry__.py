@@ -673,6 +673,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["atomic_update_merge"] = atomic_update_merge
 
+    def atomic_array_ops_entry(s, d):
+        """Atomic add/remove/removeregex on a multivalued field (the ops
+        beside set/inc): one broadcast join, pure array expressions."""
+        from solr_spark.operators.updateproc import (
+            arr_add, arr_remove, arr_remove_regex,
+        )
+
+        base = (
+            _docs(s, d)
+            .where(F.col("doc_id") < 20)
+            .select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.array("lang", "source").alias("tags"),
+            )
+        )
+        upd = s.createDataFrame(
+            [(0, "extra", None, None), (1, None, "en", None),
+             (2, None, None, "^w"), (3, "en", "en", None)],
+            "docid long, add_v string, rem_v string, rex string",
+        )
+        merged = base.join(F.broadcast(upd), "docid", "left")
+        tags = arr_remove_regex(
+            arr_remove(arr_add(F.col("tags"), F.col("add_v")), F.col("rem_v")),
+            F.col("rex"),
+        )
+        return merged.select(
+            "docid", F.array_join(F.array_sort(tags), "|").alias("tags")
+        ).orderBy("docid")
+
+    q["atomic_array_ops"] = atomic_array_ops_entry
+
     def highlight_entry(s, d):
         from solr_spark.operators.highlight import highlight
 
@@ -817,6 +848,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.spell_suggest_indexed(_gate_index(s, d), "sparc", 2, 5)
 
     q["spell_indexed"] = spell_indexed
+
+    def suggest_infix(s, d):
+        return R.suggest_infix_indexed(_gate_index(s, d), "or", limit=10)
+
+    q["suggest_infix_indexed"] = suggest_infix
+
+    def facet_meta_entry(s, d):
+        """numBuckets/allBuckets/missing facet metadata; nulls are
+        synthesized deterministically (the harness tables have none)."""
+        ev = _t(s, d, "events").withColumn(
+            "props_n",
+            F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("event_type")),
+        )
+        return FA.facet_meta(ev, "props_n")
+
+    q["facet_meta_events"] = facet_meta_entry
 
     def mlt_indexed(s, d):
         text = (
@@ -1680,6 +1728,36 @@ scored AS (
     o["phrase_match_slop2"] = phrase_match_sql("fast merge", slop=2)
     o["phrase_unordered_slop2"] = phrase_match_sql("merge fast", slop=2, ordered=False)
 
+    o["atomic_array_ops"] = """
+        WITH upd(docid, add_v, rem_v, rex) AS (
+          VALUES (0, 'extra', NULL, NULL), (1, NULL, 'en', NULL),
+                 (2, NULL, NULL, '^w'), (3, 'en', 'en', NULL)
+        ),
+        base AS (
+          SELECT doc_id::BIGINT AS docid, [lang, source] AS tags
+          FROM documents WHERE doc_id < 20
+        ),
+        added AS (
+          SELECT b.docid,
+                 CASE WHEN u.add_v IS NULL THEN b.tags
+                      ELSE list_concat(b.tags, [u.add_v]) END AS t1,
+                 u.rem_v, u.rex
+          FROM base b LEFT JOIN upd u USING (docid)
+        ),
+        removed AS (
+          SELECT docid,
+                 CASE WHEN rem_v IS NULL THEN t1
+                      ELSE list_filter(t1, x -> x IS DISTINCT FROM rem_v)
+                 END AS t2,
+                 rex
+          FROM added
+        )
+        SELECT docid,
+               array_to_string(
+                 list_sort(CASE WHEN rex IS NULL THEN t2
+                      ELSE list_filter(t2, x -> NOT regexp_matches(x, rex))
+                 END), '|') AS tags
+        FROM removed ORDER BY docid"""
     o["atomic_update_merge"] = """
         WITH upd(o_orderkey, new_status, delta) AS (
           VALUES (1, 'X', 100.0), (2, 'Y', -50.0), (999999, 'Z', 1.0)
@@ -1711,6 +1789,18 @@ scored AS (
     # dictionary-backed spell/MLT agree with their corpus-derived twins by
     # construction (term_stats df == per-term distinct-doc count)
     o["spell_indexed"] = o["spell_suggest"]
+    o["suggest_infix_indexed"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        tf AS (SELECT unnest(toks) AS term FROM toks)
+        SELECT term, count(*)::BIGINT AS weight FROM tf
+        WHERE term LIKE '%or%' GROUP BY term
+        ORDER BY weight DESC, term LIMIT 10"""
+    o["facet_meta_events"] = """
+        SELECT count(DISTINCT CASE WHEN event_id % 7 = 0 THEN NULL
+                                   ELSE event_type END) AS num_buckets,
+               count(*) AS all_buckets_cnt,
+               count(*) FILTER (event_id % 7 = 0)::BIGINT AS missing_cnt
+        FROM events"""
     o["mlt_indexed"] = o["mlt_doc0"]
 
     # --- block join / uniqueBlock ---

@@ -216,3 +216,16 @@ def relatedness_facet(
             (F.col("fg_pop") >= min_pop) & (F.col("bg_pop") >= min_pop)
         )
     return out.orderBy(F.desc("relatedness"), F.asc("value")).limit(limit)
+
+
+def facet_meta(df: DataFrame, field: str) -> DataFrame:
+    """JSON Facet API bucket metadata beside the buckets themselves:
+    numBuckets (distinct values), allBuckets.count (every doc, bucketed
+    or not), missing.count (null field) — search/facet/FacetField.java
+    numBuckets/allBuckets/missing options."""
+    c = F.col(field)
+    return df.agg(
+        F.count_distinct(c).alias("num_buckets"),
+        F.count(F.lit(1)).alias("all_buckets_cnt"),
+        F.sum(c.isNull().cast("long")).alias("missing_cnt"),
+    )

@@ -218,3 +218,18 @@ def more_like_this_indexed(index, doc_text: str, exclude_docid: int | None = Non
     if exclude_docid is not None:
         out = out.where(F.col("docid") != exclude_docid)
     return out.orderBy(F.desc(F.round("score", 9)), F.asc("docid")).limit(k)
+
+
+def suggest_infix_indexed(index, infix: str, limit: int = 10) -> DataFrame:
+    """Infix suggester over the prebuilt term dictionary (role of
+    AnalyzingInfixSuggester, solr/core suggest/: substring-match
+    suggestions weighted by frequency). A term_stats-only scan —
+    vocabulary-sized, no corpus touch; weight = collection total term
+    frequency (cttf), the suggester's default weight source."""
+    return (
+        index.term_stats()
+        .where(F.col("term").contains(infix))
+        .select("term", F.col("cttf").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(limit)
+    )

@@ -182,3 +182,32 @@ def apply_chain(df: DataFrame, processors: list[Processor]) -> DataFrame:
     for p in processors:
         df = p(df)
     return df
+
+
+# ---- atomic update ops on multivalued fields ----
+# (AtomicUpdateDocumentMerger.java add/remove/removeregex beside the
+# set/inc merge the gate's atomic_update_merge entry shows; each op is a
+# pure Column so the merge stays one broadcast join + projection)
+
+def arr_add(base: Column, v: Column) -> Column:
+    """Solr atomic `add`: append (duplicates allowed); null update = no-op."""
+    return F.when(v.isNull(), base).otherwise(F.concat(base, F.array(v)))
+
+
+def arr_add_distinct(base: Column, v: Column) -> Column:
+    """Solr atomic `add-distinct`."""
+    return F.when(v.isNull(), base).otherwise(F.array_union(base, F.array(v)))
+
+
+def arr_remove(base: Column, v: Column) -> Column:
+    """Solr atomic `remove`: drop ALL occurrences of the value."""
+    return F.when(v.isNull(), base).otherwise(
+        F.filter(base, lambda x: ~x.eqNullSafe(v))
+    )
+
+
+def arr_remove_regex(base: Column, pattern: Column) -> Column:
+    """Solr atomic `removeregex`: drop elements matching the regex."""
+    return F.when(pattern.isNull(), base).otherwise(
+        F.filter(base, lambda x: ~F.regexp_like(x, pattern))
+    )

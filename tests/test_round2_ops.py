@@ -479,3 +479,28 @@ def test_func_index_context(spark, tmp_path):
         parse_func("docfreq(content,'alpha')")  # no index context
     with pytest.raises(FuncParseError):
         parse_func("docfreq(add(1,2),'alpha')", index=idx)  # non-literal arg
+
+
+# ---- atomic array ops ----
+
+def test_atomic_array_ops(spark):
+    from solr_spark.operators.updateproc import (
+        arr_add, arr_add_distinct, arr_remove, arr_remove_regex,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a"], "c", "a", "^b")],
+        "id long, tags array<string>, add_v string, rem_v string, rex string",
+    )
+    r = df.select(
+        arr_add(F.col("tags"), F.col("add_v")).alias("added"),
+        arr_add(F.col("tags"), F.lit(None).cast("string")).alias("add_noop"),
+        arr_add_distinct(F.col("tags"), F.lit("a")).alias("add_dist"),
+        arr_remove(F.col("tags"), F.col("rem_v")).alias("removed"),
+        arr_remove_regex(F.col("tags"), F.col("rex")).alias("rexed"),
+    ).collect()[0]
+    assert r["added"] == ["a", "b", "a", "c"]
+    assert r["add_noop"] == ["a", "b", "a"]
+    assert r["add_dist"] == ["a", "b"]       # array_union dedups
+    assert r["removed"] == ["b"]             # ALL occurrences dropped
+    assert r["rexed"] == ["a", "a"]
