@@ -359,6 +359,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash64"] = lambda s, d: D.simhash64(_tok(s, d)).orderBy("docid")
 
+    q["embedding_near_dups"] = lambda s, d: D.embedding_near_dups_exact(
+        _t(s, d, "embeddings"), 0.4
+    )
+
+    def embedding_nd_recall(s, d):
+        """LSH-bucketed near-dup recall vs the exact pair set (4 planes
+        x 8 tables measured 0.81/0.79 at sf0.01/sf0.1 — the harness
+        embeddings are isotropic, so threshold-0.4 'dups' are the
+        worst case for hyperplane collision; real >0.9 near-dups
+        collide far more often). n_exact is value-checked exactly."""
+        emb = _t(s, d, "embeddings")
+        ex = D.embedding_near_dups_exact(emb, 0.4).select("a", "b")
+        lsh = D.embedding_near_dups_lsh(
+            emb, 0.4, n_planes=4, n_tables=8
+        ).select("a", "b")
+        hits = ex.join(lsh, ["a", "b"], "left_semi").count()
+        n = ex.count()
+        return s.createDataFrame(
+            [(n, hits / float(n) >= 0.6)], "n_exact long, recall_ok boolean"
+        )
+
+    q["embedding_near_dups_recall"] = embedding_nd_recall
+
     # --- embedding similarity ---
     q["ann_cosine_topk"] = lambda s, d: SIM.cosine_topk(
         _t(s, d, "embeddings"), _qvec(s, d), k=10
@@ -1494,6 +1517,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.docid = b
         ORDER BY jaccard DESC, a, b LIMIT 20"""
 
+    o["embedding_near_dups"] = """
+        WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT x.id AS a, y.id AS b,
+               round(list_cosine_similarity(x.v, y.v), 4) AS sim
+        FROM e x JOIN e y ON x.id < y.id
+        WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.4
+        ORDER BY a, b"""
+    o["embedding_near_dups_recall"] = """
+        WITH e AS (SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT count(*)::BIGINT AS n_exact, true AS recall_ok
+        FROM e x JOIN e y ON x.id < y.id
+        WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.4"""
     o["ann_cosine_topk"] = """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -242,3 +242,92 @@ def simhash64(tok_df: DataFrame) -> DataFrame:
             nib = bit if nib is None else (nib + bit)
         nibbles.append(F.lower(F.conv(nib.cast("string"), 10, 16)))
     return agg.select("docid", F.concat(*nibbles).alias("simhash"))
+
+
+# ---- embedding-cosine near-duplicates ----
+
+def embedding_near_dups_exact(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """All (a, b, sim) pairs with cosine >= threshold — the EXACT
+    baseline (O(n^2) self-join): the oracle for the LSH-bucketed scale
+    path below, and fine for candidate sets that fit a broadcast. Never
+    run this on a full 100 TB corpus; that's what the bucketed variant
+    is for."""
+    from solr_spark.operators.similarity import _as_double, _dot, _norm
+
+    left = emb.select(
+        F.col(id_col).cast("long").alias("a"),
+        _as_double("embedding").alias("_ea"),
+        _norm(_as_double("embedding")).alias("_na"),
+    )
+    right = emb.select(
+        F.col(id_col).cast("long").alias("b"),
+        _as_double("embedding").alias("_eb"),
+        _norm(_as_double("embedding")).alias("_nb"),
+    )
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.select("a", "b", F.round(sim, 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH bucketing: candidates are pairs
+    sharing a bucket in ANY of L independent tables (cosine-similar
+    vectors collide with probability (1 - theta/pi)^n_planes per table),
+    then exact cosine inside the candidate set. The scale path: the join
+    is per-(table, bucket), never all-pairs — same shape as the MinHash
+    band join, and like it the per-bucket pair count is the skew knob
+    (lower n_planes -> bigger buckets -> more recall, more pairs)."""
+    from solr_spark.operators.similarity import (
+        _as_double, _dot, _norm, lsh_bucket,
+    )
+
+    if dim is None:
+        dim = len(emb.select("embedding").head()["embedding"])
+    cand = None
+    for t in range(n_tables):
+        s = seed + 7919 * t
+        b = lsh_bucket(emb, n_planes, s, dim=dim).select(
+            F.col(id_col).cast("long").alias("id"), "bucket"
+        )
+        p = (
+            b.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    e = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double("embedding").alias("_e"),
+        _norm(_as_double("embedding")).alias("_n"),
+    )
+    joined = (
+        cand.join(e.select(F.col("id").alias("a"), F.col("_e").alias("_ea"),
+                           F.col("_n").alias("_na")), "a")
+        .join(e.select(F.col("id").alias("b"), F.col("_e").alias("_eb"),
+                       F.col("_n").alias("_nb")), "b")
+    )
+    sim = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        joined.select("a", "b", F.round(sim, 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .orderBy("a", "b")
+    )

@@ -504,3 +504,37 @@ def test_atomic_array_ops(spark):
     assert r["add_dist"] == ["a", "b"]       # array_union dedups
     assert r["removed"] == ["b"]             # ALL occurrences dropped
     assert r["rexed"] == ["a", "a"]
+
+
+# ---- embedding-cosine near-dups ----
+
+def test_embedding_near_dups_planted(spark):
+    import hashlib
+    import struct
+
+    from solr_spark.operators import dedup as D
+
+    def vec(i, dim=8):
+        out = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).digest()
+            (u,) = struct.unpack("<I", h[:4])
+            out.append((u / 2**32) * 2.0 - 1.0)
+        return out
+
+    rows = [(i, vec(i)) for i in range(80)]
+    # plant two near-dup pairs: tiny perturbations of vectors 3 and 11
+    rows.append((100, [v + 0.01 for v in vec(3)]))
+    rows.append((101, [v - 0.01 for v in vec(11)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ex = D.embedding_near_dups_exact(emb, 0.95)
+    got = {(r["a"], r["b"]) for r in ex.collect()}
+    assert (3, 100) in got and (11, 101) in got
+    # LSH path finds high-sim planted pairs (they collide in nearly
+    # every table) and never reports a pair below threshold
+    lsh = D.embedding_near_dups_lsh(emb, 0.95, n_planes=4, n_tables=8)
+    lg = {(r["a"], r["b"]) for r in lsh.collect()}
+    assert (3, 100) in lg and (11, 101) in lg
+    assert lg <= got  # exact-rescored: no false positives vs exact set
+    assert all(r["sim"] >= 0.95 for r in lsh.collect())
