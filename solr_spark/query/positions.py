@@ -25,6 +25,8 @@ via `chain_match_count`): positions are 1-based token indexes;
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -178,16 +180,48 @@ def phrase_docids(
         .where(F.col("tid").isin(tids))
     )
     # pivot the j-th term's positions onto one row per docid; duplicate
-    # terms in the phrase reuse the same positions array
-    per_tid = {
-        tid: pos.where(F.col("tid") == tid).select(
-            "docid", F.col("positions").alias(f"_p_{tid}")
+    # terms in the phrase reuse the same positions array. The positions
+    # table stores FLAT (tid, docid, pos) rows (one build shuffle, not
+    # two — builder._positions_from_docs), so the arrays are assembled
+    # HERE, on the bucket-pruned scan of the query's terms only; older
+    # array-layout indexes are read as-is.
+    flat = "pos" in pos.columns
+    if flat:
+        # ONE groupBy assembles every term's array: collect_list(when)
+        # drops the nulls, so each _p_<tid> holds only that term's
+        # positions; docs missing ANY term are filtered (the join-chain
+        # semantics of the array layout, without t joins)
+        joined = (
+            pos.groupBy("docid")
+            .agg(
+                *[
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("tid") == tid, F.col("pos"))
+                        )
+                    ).alias(f"_p_{tid}")
+                    for tid in tids
+                ]
+            )
+            .where(
+                reduce(
+                    lambda a, b: a & b,
+                    [F.size(f"_p_{tid}") > 0 for tid in tids],
+                )
+            )
         )
-        for tid in tids
-    }
-    joined = None
-    for tid in tids:
-        joined = per_tid[tid] if joined is None else joined.join(per_tid[tid], "docid")
+    else:
+        per_tid = {
+            tid: pos.where(F.col("tid") == tid).select(
+                "docid", F.col("positions").alias(f"_p_{tid}")
+            )
+            for tid in tids
+        }
+        joined = None
+        for tid in tids:
+            joined = (
+                per_tid[tid] if joined is None else joined.join(per_tid[tid], "docid")
+            )
     pos_cols = [F.col(f"_p_{tid_of[t]}") for t in terms]
     freq = (
         chain_match_count(pos_cols, slop)

@@ -138,17 +138,17 @@ def test_indexed_unordered_equals_inline(spark, corpus, index):
 def test_positions_table_layout(index):
     assert index.meta["has_positions"]
     pos = index.positions()
-    # 1-based sorted positions; bucket = tid % num_buckets
-    row = pos.where(F.size("positions") >= 2).head()
-    assert row.positions == sorted(row.positions) and row.positions[0] >= 1
+    # FLAT (tid, docid, pos) rows: 1-based; bucket = tid % num_buckets
+    assert pos.where(F.col("pos") < 1).count() == 0
     from solr_spark.index.builder import tid_bucket_py
 
     sample = pos.select("tid", "bucket").limit(100).collect()
     assert all(r.bucket == tid_bucket_py(r.tid, index.meta["num_buckets"]) for r in sample)
-    # positions cardinality == postings cardinality (one row per term-doc)
-    assert pos.count() == index.postings().count()
-    # position-list length == tf for every posting
-    j = pos.select("tid", "docid", F.size("positions").alias("np")).join(
+    # one row per TOKEN: per-(tid, docid) row count == the posting's tf,
+    # and distinct (tid, docid) == postings cardinality
+    per = pos.groupBy("tid", "docid").agg(F.count(F.lit(1)).alias("np"))
+    assert per.count() == index.postings().count()
+    j = per.join(
         index.postings().select("tid", "docid", "tf"), ["tid", "docid"]
     )
     assert j.where(F.col("np") != F.col("tf")).count() == 0

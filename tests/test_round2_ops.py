@@ -538,3 +538,27 @@ def test_embedding_near_dups_planted(spark):
     assert (3, 100) in lg and (11, 101) in lg
     assert lg <= got  # exact-rescored: no false positives vs exact set
     assert all(r["sim"] >= 0.95 for r in lsh.collect())
+
+
+def test_multifield_chunked_build(spark, tmp_path):
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.edismax import edismax_indexed
+
+    docs = spark.createDataFrame(
+        [(i, f"r{i}", f"p{i}", f"c{i}",
+          ["alpha beta", "beta gamma", "gamma alpha"][i % 3],
+          ["en alpha", "ja beta"][i % 2])
+         for i in range(40)],
+        "docid long, repo string, path string, commit string, "
+        "text string, head string",
+    )
+    single = build_index(spark, docs, str(tmp_path / "s"), num_buckets=4,
+                         fields=["text", "head"])
+    chunked = build_index(spark, docs, str(tmp_path / "c"), num_buckets=4,
+                          fields=["text", "head"], num_chunks=3)
+    assert chunked.meta["avgdl_by_field"] == single.meta["avgdl_by_field"]
+    a = edismax_indexed(single, "alpha beta", {"text": 1.0, "head": 2.0},
+                        tie=0.1, k=10).collect()
+    b = edismax_indexed(chunked, "alpha beta", {"text": 1.0, "head": 2.0},
+                        tie=0.1, k=10).collect()
+    assert a == b
