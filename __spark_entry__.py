@@ -153,6 +153,28 @@ def _tok(spark, sf_dir):
 
 
 def _bm25(qtext, k=10, mode="OR"):
+    """Pinned-gate BM25 entries route through the REAL engine: builder ->
+    bucketed postings -> block-max metadata -> WAND (round-2 VERDICT item
+    #1 — the driver's pinned list previously executed the index-free
+    inline path, so the external oracle never verified the core engine).
+    bm25_topk_auto picks the pruned path when block metadata can help and
+    the exact flat path otherwise; both are proven rank-identical.
+    Overfetch at the engine's round-9 ordering, then apply the gate's
+    round-4 + docid determinism contract."""
+
+    def run(spark, sf_dir):
+        from solr_spark.query.wand import bm25_topk_auto
+
+        idx = _gate_index(spark, sf_dir)
+        return _round4_topk(bm25_topk_auto(idx, qtext, k=max(100, 2 * k), mode=mode), k)
+
+    return run
+
+
+def _bm25_inline(qtext, k=10, mode="OR"):
+    """The index-free inline twin (corpus re-tokenize per query) — kept
+    for the `*_inline` compare entries and tiny ad-hoc corpora."""
+
     def run(spark, sf_dir):
         return bm25_inline_topk(
             _docs(spark, sf_dir), qtext, k=k, mode=mode, id_col="doc_id", text_col="text"
@@ -172,11 +194,14 @@ def _qvec(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 with payload fetch on sf0.001."""
+    """Flagship: BM25 top-10 through the REAL engine (builder ->
+    postings/blocks -> WAND) with payload fetch on sf0.001."""
+    from solr_spark.query.wand import bm25_topk_auto
+
     sf_dir = "/root/testdata/sf0.001"
-    top = bm25_inline_topk(
-        _docs(spark, sf_dir), "spark hash window merge", k=10,
-        id_col="doc_id", text_col="text",
+    idx = _gate_index(spark, sf_dir)
+    top = _round4_topk(
+        bm25_topk_auto(idx, "spark hash window merge", k=100), 10
     )
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("docid"), "lang", "source", "n_chars"
@@ -195,6 +220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_absent_term"] = _bm25("zzzqqqnope", 10)
     q["bm25_and_with_absent"] = _bm25("table zzzqqqnope", 10, "AND")
     q["bm25_dup_terms"] = _bm25("spark spark window", 10)
+    # the index-free inline path stays externally oracled via its own entry
+    q["bm25_inline_or"] = _bm25_inline("spark hash window merge", 10)
 
     # --- term dictionary / relevance ---
     q["terms_top_df"] = lambda s, d: R.terms_component(_tok(s, d), limit=20)
@@ -832,8 +859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idx = _gate_index(s, d)
             fn = bm25_topk_wand if wand else bm25_topk
             # overfetch at the engine's round-9 ordering, then apply the
-            # gate's round-4 + docid determinism contract
-            return _round4_topk(fn(idx, qtext, k=max(100, k)), k)
+            # gate's round-4 + docid determinism contract (mode forwarded:
+            # pre-round-3 it was silently dropped — AND ran as OR)
+            return _round4_topk(fn(idx, qtext, k=max(100, k), mode=mode), k)
 
         return run
 
@@ -1363,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_absent_term"] = G.bm25_sql("zzzqqqnope", 10)
     o["bm25_and_with_absent"] = G.bm25_sql("table zzzqqqnope", 10, "AND")
     o["bm25_dup_terms"] = G.bm25_sql("spark spark window", 10)
+    o["bm25_inline_or"] = G.bm25_sql("spark hash window merge", 10)
 
     o["terms_top_df"] = G.terms_top_df_sql(20)
     o["significant_terms"] = G.significant_terms_sql("spark", 3, 15)

@@ -184,7 +184,10 @@ def _scale(x, lo, hi):
 def _ord(x, asc: bool):
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(x if asc else F.desc(x))
+    # nulls sort LAST so they never shift the non-null value space (Solr
+    # ord gives missing docs 0 without renumbering present values); the
+    # null rows themselves map to 0 via the when()
+    w = Window.orderBy(F.asc_nulls_last(x) if asc else F.desc_nulls_last(x))
     return F.when(x.isNull(), F.lit(0)).otherwise(F.dense_rank().over(w))
 
 

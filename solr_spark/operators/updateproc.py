@@ -190,13 +190,21 @@ def apply_chain(df: DataFrame, processors: list[Processor]) -> DataFrame:
 # pure Column so the merge stays one broadcast join + projection)
 
 def arr_add(base: Column, v: Column) -> Column:
-    """Solr atomic `add`: append (duplicates allowed); null update = no-op."""
-    return F.when(v.isNull(), base).otherwise(F.concat(base, F.array(v)))
+    """Solr atomic `add`: append (duplicates allowed); null update = no-op.
+
+    A null BASE (document missing the field) creates the field with the
+    added value — Solr's add on an absent field materializes it
+    (AtomicUpdateDocumentMerger.doAdd); F.concat would propagate null."""
+    return F.when(v.isNull(), base).otherwise(
+        F.when(base.isNull(), F.array(v)).otherwise(F.concat(base, F.array(v)))
+    )
 
 
 def arr_add_distinct(base: Column, v: Column) -> Column:
-    """Solr atomic `add-distinct`."""
-    return F.when(v.isNull(), base).otherwise(F.array_union(base, F.array(v)))
+    """Solr atomic `add-distinct` (same null-base semantics as add)."""
+    return F.when(v.isNull(), base).otherwise(
+        F.when(base.isNull(), F.array(v)).otherwise(F.array_union(base, F.array(v)))
+    )
 
 
 def arr_remove(base: Column, v: Column) -> Column:

@@ -30,8 +30,9 @@ def _expanded_docs(index: Index, term_pred: Column) -> DataFrame:
     The predicate runs on the term DICTIONARY (term_stats, which carries
     the strings); matching tids broadcast-join the postings — the
     dictionary-scan-then-postings-seek shape of Lucene's multiterm
-    rewrite."""
-    tids = index.term_stats().where(term_pred).select("tid")
+    rewrite. On multi-field indexes the dictionary scan is scoped to the
+    default field (a multiterm query targets one field in Solr)."""
+    tids = index.term_dictionary().where(term_pred).select("tid")
     post = index.postings().join(F.broadcast(tids), "tid")
     return post.select("docid").distinct().withColumn("score", F.lit(1.0))
 

@@ -73,10 +73,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # zstd shuffle compression: the invert/layout exchanges are
         # bandwidth-bound at high core counts — zstd's ratio cuts
-        # bus+spill traffic enough to buy 1.77x build throughput at 32
-        # cores on the 1M-doc bench (177 s vs 314 s with the lz4
-        # default; BENCH/BASELINE.md round 2). On a real cluster this
-        # also cuts network shuffle bytes.
+        # bus+spill traffic enough to buy a 1.77x 32-core 1M-doc build
+        # speedup vs the lz4 default in the round-2 A/B (clean-run
+        # tables: BENCH/BASELINE.md). On a real cluster this also cuts
+        # network shuffle bytes.
         .config("spark.io.compression.codec", "zstd")
         .config("spark.shuffle.compress", "true")
         .config("spark.shuffle.spill.compress", "true")

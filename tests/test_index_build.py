@@ -130,6 +130,32 @@ def test_resume_equals_fresh(spark, corpus, tmp_path):
     assert fresh.meta["n_docs"] == resumed.meta["n_docs"]
 
 
+def test_resume_single_chunk(spark, corpus, tmp_path):
+    """Round-2 ADVICE (medium): resume=True with num_chunks=1 and the
+    chunk already committed crashed with a NoneType subscript — phase 2
+    must fall back to the final docs/postings parquet when the (skipped)
+    chunk left no live layout shuffle."""
+    fresh = build_index(spark, corpus, str(tmp_path / "fresh1"), num_buckets=4)
+    out2 = str(tmp_path / "resume1")
+    build_index(spark, corpus, out2, num_buckets=4, keep_stage=True)
+    # simulate a crash AFTER phase 1 committed (docs/postings/manifest on
+    # disk) but BEFORE phase 2 finished: wipe only the phase-2 outputs
+    import shutil
+
+    shutil.rmtree(os.path.join(out2, "term_stats"))
+    shutil.rmtree(os.path.join(out2, "blocks"))
+    os.remove(os.path.join(out2, "meta.json"))
+    resumed = build_index(spark, corpus, out2, num_buckets=4, resume=True)
+    a = sorted(fresh.postings().select("tid", "docid", "tf").collect())
+    b = sorted(resumed.postings().select("tid", "docid", "tf").collect())
+    assert a == b
+    ta = sorted(fresh.term_stats().select("term", "df", "cttf").collect())
+    tb = sorted(resumed.term_stats().select("term", "df", "cttf").collect())
+    assert ta == tb
+    assert fresh.meta["n_docs"] == resumed.meta["n_docs"]
+    assert resumed.meta["has_blocks"]
+
+
 def test_checkpoint_manifests(spark, corpus, tmp_path):
     # chunked builds carry per-chunk lineage counts in their manifests
     idx = build_index(

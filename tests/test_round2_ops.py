@@ -506,6 +506,47 @@ def test_atomic_array_ops(spark):
     assert r["rexed"] == ["a", "a"]
 
 
+def test_atomic_add_creates_missing_field(spark):
+    """Solr's atomic add on a doc MISSING the field creates it with the
+    added value (round-2 ADVICE: F.concat propagated the null base)."""
+    from solr_spark.operators.updateproc import arr_add, arr_add_distinct
+
+    df = spark.createDataFrame(
+        [(1, None, "x")], "id long, tags array<string>, v string"
+    )
+    r = df.select(
+        arr_add(F.col("tags"), F.col("v")).alias("added"),
+        arr_add_distinct(F.col("tags"), F.col("v")).alias("add_dist"),
+        arr_add(F.col("tags"), F.lit(None).cast("string")).alias("noop"),
+    ).collect()[0]
+    assert r["added"] == ["x"]
+    assert r["add_dist"] == ["x"]
+    assert r["noop"] is None  # null update on a missing field stays a no-op
+
+
+def test_ord_rord_null_rows_do_not_shift_ranks(spark):
+    """Solr ord: missing docs read 0 and do NOT renumber the present
+    value space (round-2 ADVICE: nulls sorted first and shifted every
+    rank by one)."""
+    from solr_spark.functions.valuesources import parse_func
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 20.0)], "id long, x double"
+    )
+    rows = {
+        r["id"]: (r["o"], r["ro"])
+        for r in df.select(
+            "id",
+            parse_func("ord(x)").alias("o"),
+            parse_func("rord(x)").alias("ro"),
+        ).collect()
+    }
+    assert rows[2] == (0, 0)
+    assert rows[1] == (1, 3)
+    assert rows[4] == (2, 2)
+    assert rows[3] == (3, 1)
+
+
 # ---- embedding-cosine near-dups ----
 
 def test_embedding_near_dups_planted(spark):
