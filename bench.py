@@ -121,6 +121,19 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
         num_salts=8, build_blocks=False, build_positions=True,
     )
     queries["positions_build"] = round(time.time() - t, 3)
+    # the realistic deployment shape: ONE build producing postings +
+    # blocks + positions (what the gate index and a production user run;
+    # index_build + positions_build above double-pay tokenize/invert to
+    # stay comparable with earlier rounds)
+    full_dir = f"{base}/solr_spark_bench/index_full_{cores}"
+    shutil.rmtree(full_dir, ignore_errors=True)
+    t = time.time()
+    _bi(
+        spark, corpus, full_dir, num_buckets=16, salt_threshold=20000,
+        num_salts=8, build_blocks=True, build_positions=True,
+    )
+    queries["combined_build"] = round(time.time() - t, 3)
+    shutil.rmtree(full_dir, ignore_errors=True)
     t = time.time()
     phrase_docids(pos_index, ["json", "parser"], slop=0).count()
     queries["q_phrase_indexed"] = round(time.time() - t, 3)

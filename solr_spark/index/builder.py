@@ -613,30 +613,42 @@ def _build_index_impl(
         post_dir = paths.postings if single else os.path.join(paths.stage, f"post_c{chunk}")
         dict_dir = os.path.join(paths.stage, f"dict_c{chunk}")
         docs_tok.drop(*_token_cols(docs_tok)).write.mode("overwrite").parquet(docs_dir)
-        chunk_post = _postings_from_docs(docs_tok, fields)
+        # ONE layout shuffle, reused three times: the (bucket, tid-salt)
+        # exchange + per-file tid sort below is the SAME distribution the
+        # postings write, the df/cttf term aggregation and the block
+        # encode all consume, so it runs once and is persisted
+        # (MEMORY_AND_DISK) instead of being paid as three separate
+        # full-postings shuffles/scans. Layout rationale (unchanged from
+        # _write_bucketed): one file per bucket sorted by tid -> small
+        # listing/footer cost and tight row-group tid min/max for
+        # `tid IN (...)` pushdown (round-2 measurement: a 512-file
+        # layout cost ~1 s/job on a 250k-row metadata scan). The bucket
+        # and file-salt both derive from tid, so the exchange keys on
+        # the expressions and bucket is projected back AFTER the shuffle
+        # — the column never rides the wire.
+        bexpr = tid_bucket_col("tid", num_buckets)
+        fsalt = F.pmod(
+            F.xxhash64(F.col("tid"), F.lit(7)), F.lit(FILES_PER_BUCKET)
+        )
+        # NOTE on a rejected "fusion" (round-3, measured on a 200k-doc /
+        # 32-core A/B): deriving postings FROM the laid positions — so a
+        # positions-enabled build pays one token-volume exchange instead
+        # of running the invert too — LOSES on every variant tried:
+        # (a) partition-local run-length via mapInPandas costs a full
+        # positions Arrow round-trip through Python (+47 s vs the +10 s
+        # JVM invert); (b) JVM re-aggregation of the laid/written
+        # positions pays the same exchange volume as the invert PLUS a
+        # 48M-row re-scan (build 45-50 s vs 40.8 s). The invert's
+        # map-side partial agg already shrinks its exchange to postings
+        # volume, so the only duplicated work is a cheap codegen explode
+        # over the cached token arrays. A true single-exchange build
+        # needs NESTED per-(tid,docid) rows shuffled once (positions as
+        # arrays), which changes the on-disk flat layout the phrase path
+        # depends on — not worth it at the measured margins.
         if single:
-            # ONE layout shuffle, reused three times: the (bucket,
-            # tid-salt) exchange + per-file tid sort below is the SAME
-            # distribution the postings write, the df/cttf term
-            # aggregation and the block encode all consume, so it runs
-            # once and is persisted (MEMORY_AND_DISK) instead of being
-            # paid as three separate full-postings shuffles/scans.
-            # Layout rationale (unchanged from _write_bucketed): one
-            # file per bucket sorted by tid -> small listing/footer
-            # cost and tight row-group tid min/max for `tid IN (...)`
-            # pushdown (round-2 measurement: a 512-file layout cost
-            # ~1 s/job on a 250k-row metadata scan). The bucket and
-            # file-salt both derive from tid, so the exchange keys on
-            # the expressions and bucket is projected back AFTER the
-            # shuffle — the column never rides the wire.
-            bexpr = tid_bucket_col("tid", num_buckets)
-            fsalt = F.pmod(
-                F.xxhash64(F.col("tid"), F.lit(7)), F.lit(FILES_PER_BUCKET)
-            )
             laid = (
-                chunk_post.repartition(
-                    num_buckets * FILES_PER_BUCKET, bexpr, fsalt
-                )
+                _postings_from_docs(docs_tok, fields)
+                .repartition(num_buckets * FILES_PER_BUCKET, bexpr, fsalt)
                 .withColumn("bucket", bexpr)
                 .sortWithinPartitions("tid", "docid")
                 .persist()
@@ -644,21 +656,21 @@ def _build_index_impl(
             persisted.append(laid)
             laid.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
         else:
-            chunk_post.write.mode("overwrite").parquet(post_dir)
-        _term_dict_from_docs(docs_tok, fields).write.mode("overwrite").parquet(dict_dir)
-        if build_positions:
-            pos_dir = (
-                paths.positions
-                if single
-                else os.path.join(paths.stage, f"pos_c{chunk}")
+            _postings_from_docs(docs_tok, fields).write.mode("overwrite").parquet(
+                post_dir
             )
+        if build_positions:
             chunk_pos = _positions_from_docs(docs_tok, fields)
             if single:
                 _write_bucketed(
-                    chunk_pos, pos_dir, num_buckets, ("tid", "docid", "pos")
+                    chunk_pos, paths.positions, num_buckets,
+                    ("tid", "docid", "pos"),
                 )
             else:
-                chunk_pos.write.mode("overwrite").parquet(pos_dir)
+                chunk_pos.write.mode("overwrite").parquet(
+                    os.path.join(paths.stage, f"pos_c{chunk}")
+                )
+        _term_dict_from_docs(docs_tok, fields).write.mode("overwrite").parquet(dict_dir)
         if single:
             # fold the corpus stats (n_docs, avgdl — per field in multi-
             # field mode) into the cached tokenize pass instead of a

@@ -30,6 +30,32 @@ def index(spark, corpus, tmp_path_factory):
     )
 
 
+def test_derived_postings_equal_invert_path(spark, corpus, index, tmp_path):
+    """A positions-enabled build must produce postings/term_stats
+    row-identical to a plain build of the same corpus (the positions
+    table is strictly additive), blocks metadata included."""
+    plain = build_index(
+        spark, corpus, str(tmp_path / "plain"), num_buckets=4,
+        build_blocks=True, build_positions=False,
+    )
+    both = build_index(
+        spark, corpus, str(tmp_path / "both"), num_buckets=4,
+        build_blocks=True, build_positions=True,
+    )
+    cols = ["tid", "docid", "tf", "dl_q"]
+    a = sorted(plain.postings().select(*cols).collect())
+    b = sorted(both.postings().select(*cols).collect())
+    assert a == b
+    ta = sorted(plain.term_stats().select("term", "df", "cttf").collect())
+    tb = sorted(both.term_stats().select("term", "df", "cttf").collect())
+    assert ta == tb
+    # positions from the fused path still match the module index fixture
+    pa = sorted(index.positions().select("tid", "docid", "pos").collect())
+    pb = sorted(both.positions().select("tid", "docid", "pos").collect())
+    assert pa == pb
+    assert both.meta["has_blocks"] and both.meta["has_positions"]
+
+
 def _chain_freq(spark, toks: list[str], terms: list[str], slop: int) -> int:
     df = spark.createDataFrame([(toks,)], "toks array<string>")
     freq = phrase_freq_col(F.col("toks"), terms, slop)
