@@ -48,3 +48,36 @@ def test_ngram_jaccard_unfiltered_still_available(spark):
     rows = [(i, ["a", "b", "c", "d"]) for i in range(4)]
     got = ngram_jaccard_pairs(_tok_df(spark, rows), n=3, top=50, max_df=10**9)
     assert got.count() == 6  # all 4C2 pairs, jaccard 1.0
+
+
+def test_embedding_lsh_dense_bucket_emits_star_not_quadratic(spark):
+    """A dense near-dup cluster landing in ONE hyperplane bucket (100
+    identical vectors > max_bucket) must produce hub-spoke pairs (99,
+    hub = min id), not 100*99/2 — the embedding twin of the MAX_BAND
+    guard (round-2 VERDICT "What's wrong" #1); an under-cap genuine
+    near-dup pair must still surface all-pairs."""
+    from solr_spark.operators.dedup import embedding_near_dups_lsh
+
+    dim = 8
+    dense = [(i, [1.0, 0.5, -0.25, 0.75, -0.5, 0.3, 0.9, -0.1])
+             for i in range(100)]
+    # a small separate near-identical pair (must pair directly, a<->b)
+    other = [(200, [-1.0, 0.8, 0.6, -0.7, 0.2, -0.9, 0.4, 0.5]),
+             (201, [-1.0, 0.8, 0.6, -0.7, 0.2, -0.9, 0.4, 0.51])]
+    emb = spark.createDataFrame(
+        dense + other, "vec_id long, embedding array<double>"
+    )
+    got = embedding_near_dups_lsh(
+        emb, threshold=0.9, n_planes=4, n_tables=2, dim=dim
+    )
+    pairs = {(r.a, r.b) for r in got.collect()}
+    giant = {(a, b) for a, b in pairs if b < 200}
+    assert len(giant) == 99, len(giant)
+    assert all(a == 0 for a, _ in giant)  # hub = min id
+    assert (200, 201) in pairs
+    # permissive cap restores all-pairs for the dense cluster
+    full = embedding_near_dups_lsh(
+        emb, threshold=0.9, n_planes=4, n_tables=1, dim=dim,
+        max_bucket=10**6,
+    )
+    assert sum(1 for r in full.collect() if r.b < 200) == 100 * 99 // 2
