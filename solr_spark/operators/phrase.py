@@ -35,7 +35,8 @@ def term_positions_col(toks: Column, term: str) -> Column:
 
 
 def phrase_freq_col(
-    toks: Column, terms: list[str], slop: int = 0, ordered: bool = True
+    toks: Column, terms: list[str], slop: int = 0, ordered: bool = True,
+    window: bool = False,
 ) -> Column:
     """Number of phrase occurrences in the token array.
 
@@ -45,18 +46,27 @@ def phrase_freq_col(
     intermediate (see chain_match_count's note in query/positions.py);
     referencing the token column exactly once keeps it evaluated once
     per row no matter what CollapseProject inlines.
+
+    ordered=False = Lucene-exact edit-budget sloppy semantics
+    (query/positions.py sloppy_match_count); window=True opts into the
+    cheaper window approximation instead.
     """
-    return _phrase_freq_from_toks_udf(list(terms), slop, ordered)(toks)
+    return _phrase_freq_from_toks_udf(list(terms), slop, ordered, window)(toks)
 
 
-def _phrase_freq_from_toks_udf(terms: list[str], slop: int, ordered: bool = True):
+def _phrase_freq_from_toks_udf(
+    terms: list[str], slop: int, ordered: bool = True, window: bool = False
+):
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from solr_spark.query.positions import _dup_groups, _sloppy_count_anchors
+
     s1 = slop + 1
     n = len(terms)
     lo_off, hi_off = -slop, n - 1 + slop
+    dup_groups = _dup_groups(terms)
 
     def freq(toks):
         out = np.zeros(len(toks), dtype="int32")
@@ -72,7 +82,7 @@ def _phrase_freq_from_toks_udf(terms: list[str], slop: int, ordered: bool = True
                     hi = np.searchsorted(b, pj + s1, side="right")
                     b = pj[hi > lo]
                 out[i] = b.size
-            else:
+            elif window:
                 anchors = arrs[0]
                 ok = np.ones(anchors.size, dtype=bool)
                 for pj in arrs[1:]:
@@ -80,6 +90,10 @@ def _phrase_freq_from_toks_udf(terms: list[str], slop: int, ordered: bool = True
                     hi = np.searchsorted(pj, anchors + hi_off, side="right")
                     ok &= hi > lo
                 out[i] = int(ok.sum())
+            else:
+                out[i] = _sloppy_count_anchors(
+                    [a.astype(np.int64) for a in arrs], slop, dup_groups
+                )
         return pd.Series(out)
 
     # real type objects: `from __future__ import annotations` stringifies
@@ -95,11 +109,13 @@ def phrase_match(
     text_col: str = "content",
     slop: int = 0,
     ordered: bool = True,
+    window: bool = False,
 ) -> DataFrame:
     """(docid, phrase_freq) for docs containing the analyzed phrase.
 
-    ordered=False switches to the order-insensitive window semantics
-    (see query/positions.py window_match_count)."""
+    ordered=False switches to Lucene's exact edit-budget unordered
+    semantics (query/positions.py sloppy_match_count); window=True opts
+    into the cheaper window approximation instead."""
     from solr_spark.analysis.analyzer import tokens_col
 
     terms = tokenize_py(phrase)
@@ -107,7 +123,7 @@ def phrase_match(
         return docs.sparkSession.createDataFrame([], "docid long, phrase_freq int")
     toks = tokens_col(text_col)
     d = docs.select(F.col(id_col).cast("long").alias("docid"), toks.alias("_toks"))
-    freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered)
+    freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered, window)
     return (
         d.select("docid", freq.cast("int").alias("phrase_freq"))
         .where(F.col("phrase_freq") > 0)
@@ -115,19 +131,32 @@ def phrase_match(
     )
 
 
-def phrase_match_sql(phrase: str, slop: int = 0, ordered: bool = True) -> str:
-    """DuckDB twin over the `documents` view (same chain algebra)."""
-    from solr_spark.query.positions import window_match_count_sql
+def phrase_match_sql(
+    phrase: str, slop: int = 0, ordered: bool = True, window: bool = False
+) -> str:
+    """DuckDB twin over the `documents` view (same matching algebra as
+    phrase_match for each mode). The exact sloppy twin covers
+    distinct-term phrases only (repeated terms need the distinctness
+    assignment list lambdas cannot express)."""
+    from solr_spark.query.positions import (
+        sloppy_match_count_sql,
+        window_match_count_sql,
+    )
 
     terms = tokenize_py(phrase)
     pos_exprs = [
         f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']" for t in terms
     ]
-    freq = (
-        chain_match_count_sql(pos_exprs, slop)
-        if ordered
-        else window_match_count_sql(pos_exprs, slop)
-    )
+    if ordered:
+        freq = chain_match_count_sql(pos_exprs, slop)
+    elif window:
+        freq = window_match_count_sql(pos_exprs, slop)
+    else:
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                "exact sloppy SQL twin requires distinct phrase terms"
+            )
+        freq = sloppy_match_count_sql(pos_exprs, slop)
     return f"""
 WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents),
 hits AS (SELECT docid, ({freq}) AS phrase_freq FROM toks)

@@ -19,8 +19,10 @@ via `chain_match_count`): positions are 1-based token indexes;
   step advancing at most slop+1 positions (each term matches AFTER the
   previous term's matched position — the round-1 "independent windows"
   bug let later terms match before earlier ones, ADVICE.md item 2)
-- unordered=False only; Lucene's unordered sloppy phrase is an
-  edit-distance relaxation we do not reproduce.
+- unordered sloppy (round-3): Lucene's exact edit-budget acceptance
+  (`sloppy_match_count`: adjusted-position spread <= slop, repeated
+  terms on distinct positions), plus the cheaper window approximation
+  (`window_match_count`) as an explicit opt-in.
 """
 
 from __future__ import annotations
@@ -87,14 +89,152 @@ def _chain_freq_udf(slop: int):
     return pandas_udf(chain_freq, "int")
 
 
+def _dup_groups(terms: list[str]) -> list[list[int]] | None:
+    """Query offsets sharing a repeated term, or None if all distinct."""
+    by_term: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        by_term.setdefault(t, []).append(j)
+    groups = [v for v in by_term.values() if len(v) > 1]
+    return groups or None
+
+
+def _sloppy_count_anchors(
+    arrs: list, slop: int, dup_groups: list[list[int]] | None
+) -> int:
+    """Lucene edit-budget sloppy count over ONE doc's per-offset position
+    arrays (numpy int64, 1-based, query order). A selection (p_0..p_{n-1})
+    matches iff max_j(p_j - j) - min_j(p_j - j) <= slop — the
+    matchLength <= slop acceptance of Lucene's SloppyPhraseMatcher
+    (what `"a b"~N` means via parser/SolrQueryParserBase.java:547-554) —
+    with repeated terms required to occupy DISTINCT positions (the
+    matcher's repeats machinery). freq = number of term-0 occurrences
+    participating in at least one such selection (anchor counting, same
+    statistic shape as the ordered chain; Lucene's event-by-event freq
+    can differ, the match/no-match doc set cannot).
+
+    Equivalent windowed form actually computed: anchor q0 = p_0 matches
+    iff some integer window [w, w+slop] with w in [q0-slop, q0] holds an
+    adjusted position of EVERY offset (distinct raw positions inside
+    repeated-term groups). Vectorized over anchors per window offset for
+    distinct-term phrases; repeated-term groups get a tiny per-anchor
+    exhaustive check (window confines each offset to <= slop+1
+    candidates, so the product is bounded)."""
+    import itertools
+
+    adj = [a - j for j, a in enumerate(arrs)]
+    anchors = adj[0]
+    if anchors.size == 0:
+        return 0
+    if not dup_groups:
+        ok = np.zeros(anchors.size, dtype=bool)
+        for d in range(slop + 1):
+            w = anchors - d
+            good = np.ones(anchors.size, dtype=bool)
+            for pj in adj[1:]:
+                lo = np.searchsorted(pj, w, side="left")
+                hi = np.searchsorted(pj, w + slop, side="right")
+                good &= hi > lo
+            ok |= good
+            if ok.all():
+                break
+        return int(ok.sum())
+    in_group = {j for g in dup_groups for j in g}
+    singles = [j for j in range(len(arrs)) if j not in in_group and j != 0]
+    count = 0
+    for p0 in anchors.tolist():
+        matched = False
+        for w in range(p0 - slop, p0 + 1):
+            hi_w = w + slop
+            if not all(
+                np.searchsorted(adj[j], hi_w, side="right")
+                > np.searchsorted(adj[j], w, side="left")
+                for j in singles
+            ):
+                continue
+            feasible = True
+            for grp in dup_groups:
+                # candidate raw positions per offset inside the window
+                cands = [
+                    [p0] if j == 0 else [
+                        int(p)
+                        for p in arrs[j][
+                            np.searchsorted(arrs[j], w + j, side="left"):
+                            np.searchsorted(arrs[j], hi_w + j, side="right")
+                        ]
+                    ]
+                    for j in grp
+                ]
+                if not all(cands) or not any(
+                    len(set(pick)) == len(pick)
+                    for pick in itertools.product(*cands)
+                ):
+                    feasible = False
+                    break
+            if feasible:
+                matched = True
+                break
+        if matched:
+            count += 1
+    return count
+
+
+def sloppy_match_count(
+    pos_cols: list[Column], slop: int, terms: list[str] | None = None
+) -> Column:
+    """Lucene-EXACT unordered sloppy phrase count (see
+    `_sloppy_count_anchors`): `"a b"~2` matches "b a" (adjusted spread
+    2 <= 2) but `"a b"~1` does not — the order-relaxing edit budget the
+    round-2 window approximation could not express. `terms` (query
+    order) enables the repeated-term distinctness handling; omit it for
+    all-distinct phrases."""
+    groups = _dup_groups(terms) if terms else None
+    return _sloppy_freq_udf(slop, groups)(F.array(*pos_cols))
+
+
+def _sloppy_freq_udf(slop: int, dup_groups: list[list[int]] | None):
+    from pyspark.sql.functions import pandas_udf
+
+    def sloppy_freq(packed):
+        out = np.zeros(len(packed), dtype="int32")
+        for i, lists in enumerate(packed):
+            arrs = [np.asarray(a, dtype=np.int64) for a in lists]
+            out[i] = _sloppy_count_anchors(arrs, slop, dup_groups)
+        return pd.Series(out)
+
+    sloppy_freq.__annotations__ = {"packed": pd.Series, "return": pd.Series}
+    return pandas_udf(sloppy_freq, "int")
+
+
+def sloppy_match_count_sql(pos_exprs: list[str], slop: int) -> str:
+    """DuckDB twin of `sloppy_match_count` for DISTINCT-term phrases:
+    anchor p matches iff some window start d in [0, slop] has every
+    offset j with an element x of pos_j satisfying
+    x - j in [p - d, p - d + slop]. Repeated terms need the distinctness
+    assignment, which nested list lambdas cannot express — callers must
+    raise before generating SQL for those."""
+    n = len(pos_exprs)
+    if n == 1:
+        return f"len({pos_exprs[0]})"
+    ors = []
+    for d in range(slop + 1):
+        conds = " AND ".join(
+            f"len(list_filter({pe}, x -> x - {j} >= p - {d} "
+            f"AND x - {j} <= p - {d} + {slop})) > 0"
+            for j, pe in enumerate(pos_exprs)
+            if j != 0
+        )
+        ors.append(f"({conds})")
+    cond = " OR ".join(ors)
+    return f"len(list_filter({pos_exprs[0]}, p -> {cond}))"
+
+
 def window_match_count(pos_cols: list[Column], slop: int) -> Column:
-    """Order-INSENSITIVE sloppy phrase count (role of the reference's
-    sloppy PhraseQuery, parser/SolrQueryParserBase.java:547-554, whose
-    slop is an order-relaxing edit budget): anchor p (a position of
-    term 0) matches iff EVERY term has an occurrence inside the window
-    [p - slop, p + n - 1 + slop]. freq = number of matching anchors.
-    Deliberately window-based rather than Lucene's exact move-budget —
-    documented, deterministic, and identical in the DuckDB twin."""
+    """Order-insensitive WINDOW phrase count — the documented CHEAP mode
+    (anchor p of term 0 matches iff every term occurs inside
+    [p - slop, p + n - 1 + slop]); one searchsorted pair per term
+    instead of the edit-budget's slop+1. For the reference's exact
+    sloppy-phrase semantics use `sloppy_match_count` (round-3; this
+    window form over-matches, e.g. "a b"~1 on "b a")."""
     return _window_freq_udf(slop, len(pos_cols))(F.array(*pos_cols))
 
 
@@ -150,12 +290,15 @@ def phrase_docids(
     slop: int = 0,
     ordered: bool = True,
     field: str | None = None,
+    window: bool = False,
 ) -> DataFrame:
     """(docid, phrase_freq) of docs containing the analyzed phrase,
     computed from the positions table alone (no corpus scan). On a
     multi-field index `field` selects whose positions to match (tid =
     hash(field, term), so the scan prunes to that field's partitions
-    for free)."""
+    for free). ordered=False uses Lucene's exact edit-budget sloppy
+    semantics; window=True opts into the cheaper window approximation
+    instead."""
     spark = index.spark
     terms: list[str] = []
     for w in words:
@@ -223,11 +366,12 @@ def phrase_docids(
                 per_tid[tid] if joined is None else joined.join(per_tid[tid], "docid")
             )
     pos_cols = [F.col(f"_p_{tid_of[t]}") for t in terms]
-    freq = (
-        chain_match_count(pos_cols, slop)
-        if ordered
-        else window_match_count(pos_cols, slop)
-    )
+    if ordered:
+        freq = chain_match_count(pos_cols, slop)
+    elif window:
+        freq = window_match_count(pos_cols, slop)
+    else:
+        freq = sloppy_match_count(pos_cols, slop, terms)
     return (
         joined.select("docid", freq.cast("int").alias("phrase_freq"))
         .where(F.col("phrase_freq") > 0)

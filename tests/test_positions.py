@@ -109,7 +109,8 @@ def test_unordered_window_semantics(spark):
     def wfreq(toks, terms, slop):
         df = spark.createDataFrame([(toks,)], "toks array<string>")
         return df.select(
-            phrase_freq_col(F.col("toks"), terms, slop, ordered=False).alias("f")
+            phrase_freq_col(F.col("toks"), terms, slop, ordered=False,
+                            window=True).alias("f")
         ).collect()[0]["f"]
 
     toks = "a x c b".split()
@@ -134,7 +135,8 @@ def test_unordered_sql_twin(spark):
         toks = text.split()
         spark_f = (
             spark.createDataFrame([(toks,)], "toks array<string>")
-            .select(phrase_freq_col(F.col("toks"), terms, slop, ordered=False).alias("f"))
+            .select(phrase_freq_col(F.col("toks"), terms, slop, ordered=False,
+                                    window=True).alias("f"))
             .collect()[0]["f"]
         )
         pos_exprs = [
@@ -203,3 +205,75 @@ def test_indexed_phrase_plan_prunes(index):
     plan = phrase_docids(index, ["jsonParser"], 0)._jdf.queryExecution().executedPlan().toString()
     assert "positions" in plan
     assert "docs" not in plan  # no corpus/docs scan anywhere in the plan
+
+
+def _sfreq(spark, toks, terms, slop, **kw):
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    return df.select(
+        phrase_freq_col(F.col("toks"), terms, slop, ordered=False, **kw).alias("f")
+    ).collect()[0]["f"]
+
+
+def test_sloppy_exact_edit_budget_semantics(spark):
+    """Lucene acceptance: adjusted spread <= slop. "a b"~2 matches
+    "b a" but "a b"~1 does not — the case the window approximation
+    over-matches (round-2 VERDICT missing #1)."""
+    assert _sfreq(spark, "b a".split(), ["a", "b"], 2) == 1
+    assert _sfreq(spark, "b a".split(), ["a", "b"], 1) == 0
+    # the cheap window mode over-matches the same case (documented)
+    assert _sfreq(spark, "b a".split(), ["a", "b"], 1, window=True) == 1
+    # three terms fully reversed: adjusted spread 4
+    assert _sfreq(spark, "c x a".split(), ["a", "x", "c"], 4) == 1
+    assert _sfreq(spark, "c x a".split(), ["a", "x", "c"], 3) == 0
+    # in-order with one gap: spread 1
+    assert _sfreq(spark, "a z b".split(), ["a", "b"], 1) == 1
+    assert _sfreq(spark, "a z b".split(), ["a", "b"], 0) == 0
+
+
+def test_sloppy_repeated_terms_need_distinct_positions(spark):
+    # one 'a' cannot serve both query offsets (SloppyPhraseMatcher repeats)
+    assert _sfreq(spark, ["a"], ["a", "a"], 2) == 0
+    # "a a": anchor@1 matches exactly; anchor@2 has no distinct partner in budget
+    assert _sfreq(spark, "a a".split(), ["a", "a"], 0) == 1
+    assert _sfreq(spark, "a x a".split(), ["a", "a"], 1) == 1
+    assert _sfreq(spark, "a x a".split(), ["a", "a"], 0) == 0
+
+
+def test_sloppy_slop0_equals_ordered_chain(spark):
+    """Metamorphic: at slop=0 the edit budget admits only the exact
+    in-order phrase, so sloppy freq == ordered chain freq."""
+    cases = [
+        ("a b c a b x c", ["a", "b", "c"]),
+        ("q w e r q w", ["q", "w"]),
+        ("m n o", ["o", "n"]),
+        ("x y x y x", ["x", "y", "x"]),
+    ]
+    for text, terms in cases:
+        toks = text.split()
+        s = _sfreq(spark, toks, terms, 0)
+        c = _chain_freq(spark, toks, terms, 0)
+        assert s == c, (text, terms, s, c)
+
+
+def test_sloppy_sql_twin(spark):
+    import duckdb
+
+    from solr_spark.query.positions import sloppy_match_count_sql
+
+    con = duckdb.connect()
+    cases = [("b a", ["a", "b"], 2), ("b a", ["a", "b"], 1),
+             ("c x a", ["a", "x", "c"], 4), ("a z b q c", ["a", "b", "c"], 2),
+             ("q w e", ["e", "q"], 2), ("q w e", ["e", "q"], 1)]
+    for text, terms, slop in cases:
+        toks = text.split()
+        spark_f = _sfreq(spark, toks, terms, slop)
+        pos_exprs = [
+            f"[i FOR i IN range(1, len(toks) + 1) IF toks[i] = '{t}']"
+            for t in terms
+        ]
+        arr = "[" + ",".join(f"'{t}'" for t in toks) + "]"
+        sql = (
+            f"SELECT ({sloppy_match_count_sql(pos_exprs, slop)}) AS f "
+            f"FROM (SELECT {arr} AS toks)"
+        )
+        assert spark_f == con.execute(sql).fetchone()[0], (text, terms, slop)
