@@ -1120,19 +1120,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["func_parsed_showcase"] = func_parsed
 
     def func_parsed_v2(s, d):
-        """Round-2b ValueSources: linear/compare/scale/ord (whole-frame
-        window, as in Solr)/geodist haversine — all parsed from the
-        public function-query syntax."""
+        """Round-2b ValueSources: linear/compare/scale (agg-and-fold
+        literals, round-3: no single-partition window)/ord (explicit
+        rank opt-in)/geodist haversine — all parsed from the public
+        function-query syntax."""
         from solr_spark.functions.valuesources import parse_func
 
+        docs = _docs(s, d)
         return (
-            _docs(s, d)
-            .select(
+            docs.select(
                 F.col("doc_id").cast("long").alias("docid"),
                 F.round(parse_func("linear(n_chars,2,10)").cast("double"), 4).alias("lin"),
                 parse_func("gt(n_chars,300)").alias("big"),
-                F.round(parse_func("scale(n_chars,0,100)"), 4).alias("scaled"),
-                parse_func("ord(n_chars)").cast("long").alias("ordv"),
+                F.round(parse_func("scale(n_chars,0,100)", df=docs), 4).alias("scaled"),
+                parse_func("ord(n_chars)", allow_rank=True).cast("long").alias("ordv"),
                 F.round(
                     parse_func("geodist(48.8566,2.3522,40.7128,-74.006)"), 2
                 ).alias("paris_nyc"),

@@ -421,9 +421,9 @@ def test_func_linear_compare_ord_scale(nums):
             parse_func("linear(x,2,1)").alias("lin"),
             parse_func("gt(x,0)").alias("g"),
             parse_func("eq(id,2)").alias("q"),
-            parse_func("scale(x,0,1)").alias("sc"),
-            parse_func("ord(x)").alias("o"),
-            parse_func("rord(x)").alias("ro"),
+            parse_func("scale(x,0,1)", df=nums).alias("sc"),
+            parse_func("ord(x)", allow_rank=True).alias("o"),
+            parse_func("rord(x)", allow_rank=True).alias("ro"),
             parse_func("field(x)").alias("fx"),
         ).collect()
     }
@@ -537,14 +537,39 @@ def test_ord_rord_null_rows_do_not_shift_ranks(spark):
         r["id"]: (r["o"], r["ro"])
         for r in df.select(
             "id",
-            parse_func("ord(x)").alias("o"),
-            parse_func("rord(x)").alias("ro"),
+            parse_func("ord(x)", allow_rank=True).alias("o"),
+            parse_func("rord(x)", allow_rank=True).alias("ro"),
         ).collect()
     }
     assert rows[2] == (0, 0)
     assert rows[1] == (1, 3)
     assert rows[4] == (2, 2)
     assert rows[3] == (3, 1)
+
+
+def test_scale_folds_literals_no_single_partition_exchange(spark):
+    """Round-2 VERDICT #5: scale() must not plan a single-partition
+    window; the min/max fold in as literals, so the applied plan has NO
+    exchange and no Window at all. ord/scale misuse raises."""
+    import pytest
+
+    from solr_spark.functions.valuesources import FuncParseError, parse_func
+
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    col = parse_func("scale(x,0,1)", df=df)
+    plan = df.select(col.alias("s"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan, plan
+    vals = [r["s"] for r in df.select(col.alias("s")).collect()]
+    assert min(vals) == 0.0 and max(vals) == 1.0
+    with pytest.raises(FuncParseError):
+        parse_func("scale(x,0,1)")  # no df context
+    with pytest.raises(FuncParseError):
+        parse_func("ord(x)")  # rank without opt-in
+    # constant column: every row maps to the midpoint
+    cdf = spark.range(5).select(F.lit(7.0).alias("x"))
+    mids = {r["m"] for r in cdf.select(
+        parse_func("scale(x,0,10)", df=cdf).alias("m")).collect()}
+    assert mids == {5.0}
 
 
 # ---- embedding-cosine near-dups ----
