@@ -237,6 +237,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_range_events"] = lambda s, d: FA.range_facet(
         _t(s, d, "events"), "value", 0.0, 500.0, 50.0
     )
+    # date-math range facets: NOW pinned (the CommonParams.NOW analogue
+    # every distributed Solr request carries) so gate runs are
+    # deterministic; bounds evaluate driver-side via the DateMathParser
+    # port and fold in as timestamp literals
+    from datetime import datetime as _dt, timezone as _tz
+
+    _NOW = _dt(2024, 1, 30, 12, 0, 0, tzinfo=_tz.utc)
+    q["facet_range_datemath"] = lambda s, d: FA.date_range_facet(
+        _t(s, d, "events"), "ts", "NOW/MONTH", "NOW/DAY+1DAY", "+7DAYS",
+        now=_NOW,
+    )
+    q["facet_range_datemath_month"] = lambda s, d: FA.date_range_facet(
+        _t(s, d, "events"), "ts", "NOW/YEAR", "NOW/YEAR+1YEAR", "+1MONTH",
+        now=_NOW,
+    )
+
+    def update_parse_dates(s, d):
+        """ParseDateFieldUpdateProcessor in a chain: string timestamps
+        (several formats) parsed back to typed timestamps JVM-side."""
+        from solr_spark.operators import updateproc as UP
+
+        ev = _t(s, d, "events").where(F.col("event_id") < 200)
+        staged = ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+            F.lit("not a date").alias("ts_bad"),
+        )
+        out = UP.apply_chain(
+            staged, [UP.parse_date("ts_s", "ts_iso", "ts_bad")]
+        )
+        return out.select(
+            "event_id", "ts_s", "ts_iso", "ts_bad"
+        ).orderBy("event_id")
+
+    q["update_parse_dates"] = update_parse_dates
+
     q["facet_query_events"] = lambda s, d: FA.query_facet(
         _t(s, d, "events"),
         {
@@ -1409,6 +1446,21 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS cnt
         FROM events WHERE value >= 0.0 AND value < 500.0
         GROUP BY 1 ORDER BY bucket_start"""
+    from datetime import datetime as _dt, timezone as _tz
+
+    _NOW = _dt(2024, 1, 30, 12, 0, 0, tzinfo=_tz.utc)
+    o["facet_range_datemath"] = FA.date_range_facet_sql(
+        "ts", "NOW/MONTH", "NOW/DAY+1DAY", "+7DAYS", now=_NOW
+    )
+    o["facet_range_datemath_month"] = FA.date_range_facet_sql(
+        "ts", "NOW/YEAR", "NOW/YEAR+1YEAR", "+1MONTH", now=_NOW
+    )
+    o["update_parse_dates"] = """
+        SELECT event_id,
+               strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_s,
+               strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+               CAST(NULL AS TIMESTAMP) AS ts_bad
+        FROM events WHERE event_id < 200 ORDER BY event_id"""
     o["facet_query_events"] = """
         SELECT 'big_value' AS name, count(*) FILTER (value > 400.0) AS cnt FROM events
         UNION ALL

@@ -61,6 +61,105 @@ def range_facet(
     )
 
 
+def date_range_facet(
+    df: DataFrame,
+    col: str,
+    start: str,
+    end: str,
+    gap: str,
+    now=None,
+) -> DataFrame:
+    """Range facet over a timestamp field with DATE-MATH bounds and gap
+    (facet.range with start=NOW/MONTH style params; Solr evaluates the
+    math once per request against the pinned NOW — RangeFacetProcessor +
+    util/DateMathParser.java). start/end are date-math strings, gap a
+    math suffix like '+7DAYS' or '+1MONTH'.
+
+    Scale shape: bounds evaluate DRIVER-SIDE to literals. Fixed-duration
+    gaps bucket by pure epoch arithmetic (one projection, parquet range
+    filter pushed down); calendar gaps (+1MONTH) enumerate the bounded
+    boundary list and bucket via a CASE cascade whose size is the facet
+    definition's own bucket count. Buckets Solr-style: [b, b+gap) with
+    the last gap extending past `end` (hardend=false default), empty
+    buckets emitted with cnt=0. Output (bucket_start, cnt)."""
+    from datetime import timezone
+
+    from solr_spark.functions.datemath import (
+        apply_math, datemath_naive, gap_delta,
+    )
+
+    s = datemath_naive(start, now)
+    e = datemath_naive(end, now)
+    if e <= s:
+        raise ValueError(f"empty date range {start!r}..{end!r}")
+    bounds = [s]
+    while bounds[-1] < e:
+        nxt = apply_math(bounds[-1], gap)
+        if nxt <= bounds[-1]:
+            raise ValueError(f"gap {gap!r} does not advance")
+        bounds.append(nxt)
+    c = F.col(col)
+    delta = gap_delta(gap)
+    lo, hi = F.lit(s), F.lit(bounds[-1])
+    if delta is not None:
+        gap_ms = int(delta.total_seconds() * 1000)
+        start_ms = int(s.replace(tzinfo=timezone.utc).timestamp() * 1000)
+        # session TZ is UTC, so the NTZ->TZ cast is the identity map and
+        # unix_millis gets the TIMESTAMP input it requires
+        bucket = F.floor(
+            (F.unix_millis(c.cast("timestamp")) - F.lit(start_ms))
+            / F.lit(gap_ms)
+        )
+    else:
+        bucket = None
+        for i in range(len(bounds) - 1):
+            cond = (c >= F.lit(bounds[i])) & (c < F.lit(bounds[i + 1]))
+            bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    counts = (
+        df.where((c >= lo) & (c < hi))
+        .groupBy(bucket.cast("int").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    buckets = spark.createDataFrame(
+        [(i, bounds[i]) for i in range(len(bounds) - 1)],
+        "_b int, bucket_start timestamp",
+    )
+    return (
+        buckets.join(counts, "_b", "left")
+        .select(
+            "bucket_start",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+        .orderBy("bucket_start")
+    )
+
+
+def date_range_facet_sql(
+    col: str, start: str, end: str, gap: str, now=None, table: str = "events"
+) -> str:
+    """DuckDB twin: the SAME driver-evaluated boundary literals, counts
+    via a correlated subquery per (bounded) bucket."""
+    from solr_spark.functions.datemath import apply_math, datemath_naive
+
+    s = datemath_naive(start, now)
+    e = datemath_naive(end, now)
+    bounds = [s]
+    while bounds[-1] < e:
+        bounds.append(apply_math(bounds[-1], gap))
+    rows = ",\n".join(
+        f"(TIMESTAMP '{bounds[i]}', TIMESTAMP '{bounds[i + 1]}')"
+        for i in range(len(bounds) - 1)
+    )
+    return f"""
+SELECT b.bucket_start,
+       (SELECT count(*) FROM {table} e
+         WHERE e.{col} >= b.bucket_start AND e.{col} < b.hi) AS cnt
+FROM (VALUES {rows}) AS b(bucket_start, hi)
+ORDER BY b.bucket_start
+"""
+
+
 def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
     """Named predicate buckets -> one row per name with its count."""
     aggs = [

@@ -96,6 +96,42 @@ def clone_field(src: str, dst: str) -> Processor:
     return lambda df: df.withColumn(dst, F.col(src))
 
 
+#: ParseDateFieldUpdateProcessorFactory's stock format list, reduced to
+#: the shapes Spark's Java-time patterns express directly
+DEFAULT_DATE_FORMATS = (
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd",
+)
+
+
+def parse_date(
+    *cols: str, formats: tuple[str, ...] = DEFAULT_DATE_FORMATS
+) -> Processor:
+    """ParseDateFieldUpdateProcessorFactory
+    (solr/core/src/java/org/apache/solr/update/processor/
+    ParseDateFieldUpdateProcessorFactory.java): parse string date fields
+    into timestamps, trying each format in order — first success wins
+    (try_to_timestamp returns null per format, coalesce picks the first
+    parse; all JVM-side, no UDF). A value no format matches becomes
+    null: a typed Spark column cannot keep Solr's leave-as-string
+    fallback, so the miss is explicit instead of silently mixed-typed."""
+
+    def run(df):
+        for c in cols:
+            parsed = F.coalesce(
+                *[F.try_to_timestamp(F.col(c), F.lit(f)) for f in formats]
+            )
+            df = df.withColumn(c, parsed)
+        return df
+
+    return run
+
+
 def concat_fields(dst: str, cols: list[str], sep: str = " ") -> Processor:
     """ConcatFieldUpdateProcessorFactory (dest = joined values)."""
     return lambda df: df.withColumn(

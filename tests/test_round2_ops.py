@@ -628,3 +628,69 @@ def test_multifield_chunked_build(spark, tmp_path):
     b = edismax_indexed(chunked, "alpha beta", {"text": 1.0, "head": 2.0},
                         tie=0.1, k=10).collect()
     assert a == b
+
+
+# ---- round-3 date math ----
+
+def test_datemath_eval():
+    from datetime import datetime, timezone
+
+    from solr_spark.functions.datemath import DateMathError, datemath_naive
+    import pytest
+
+    now = datetime(2024, 1, 30, 12, 34, 56, 789000, tzinfo=timezone.utc)
+    dm = lambda e: datemath_naive(e, now)
+    assert dm("NOW/DAY") == datetime(2024, 1, 30)
+    assert dm("NOW/DAY-7DAYS") == datetime(2024, 1, 23)
+    assert dm("NOW/MONTH") == datetime(2024, 1, 1)
+    assert dm("NOW/YEAR+1MONTH") == datetime(2024, 2, 1)
+    assert dm("NOW-1HOUR/HOUR") == datetime(2024, 1, 30, 11)
+    assert dm("NOW+2MINUTES/MINUTE") == datetime(2024, 1, 30, 12, 36)
+    # calendar-aware month add with day clamping (Jan 31 + 1MONTH = Feb 29)
+    assert datemath_naive("2024-01-31T10:00:00Z+1MONTH") == datetime(2024, 2, 29, 10)
+    assert datemath_naive("2023-01-31T00:00:00Z+1MONTH") == datetime(2023, 2, 28)
+    # literal instant with rounding
+    assert datemath_naive("2024-06-15T13:45:00Z/DAY+12HOURS") == datetime(2024, 6, 15, 12)
+    assert dm("NOW/SECOND") == datetime(2024, 1, 30, 12, 34, 56)
+    assert dm("NOW/MILLI") == datetime(2024, 1, 30, 12, 34, 56, 789000)
+    with pytest.raises(DateMathError):
+        dm("NOW/5DAY")
+    with pytest.raises(DateMathError):
+        dm("NOW+1FORTNIGHT")
+    with pytest.raises(DateMathError):
+        dm("NOWsomething")
+
+
+def test_date_range_facet_fixed_and_calendar(spark):
+    from datetime import datetime, timezone
+
+    from solr_spark.operators.facets import date_range_facet
+
+    now = datetime(2024, 1, 30, 12, 0, 0, tzinfo=timezone.utc)
+    rows = [(i, datetime(2024, 1, 1 + (i % 30), 6, 0, 0)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = date_range_facet(df, "ts", "NOW/MONTH", "NOW/DAY+1DAY", "+7DAYS", now=now)
+    out = [(str(r.bucket_start), r.cnt) for r in got.collect()]
+    # 30 distinct days x2 docs each; weekly buckets: 14,14,14,14,4
+    assert [c for _, c in out] == [14, 14, 14, 14, 4]
+    assert out[0][0].startswith("2024-01-01")
+    # calendar gap: 12 month buckets, Jan holds all 60, rest zero
+    cal = date_range_facet(df, "ts", "NOW/YEAR", "NOW/YEAR+1YEAR", "+1MONTH", now=now)
+    cnts = [r.cnt for r in cal.collect()]
+    assert len(cnts) == 12 and cnts[0] == 60 and sum(cnts[1:]) == 0
+    # the fixed-gap plan is pure arithmetic: no Window, no cascade join
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_parse_date_processor(spark):
+    from solr_spark.operators.updateproc import apply_chain, parse_date
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 10:20:30", "2024-03-05"), (2, "garbage", None)],
+        "id long, a string, b string",
+    )
+    out = {r["id"]: r for r in apply_chain(df, [parse_date("a", "b")]).collect()}
+    assert str(out[1]["a"]) == "2024-03-05 10:20:30"
+    assert str(out[1]["b"]) == "2024-03-05 00:00:00"
+    assert out[2]["a"] is None and out[2]["b"] is None
