@@ -1180,6 +1180,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_parsed_v2"] = func_parsed_v2
 
+    def func_parsed_v3(s, d):
+        """Per-doc index value sources (ValueSourceParser.java:350-420)
+        through the REAL index: query('spark hash', 0) joins the
+        engine's full score frame by docid, tf('text','table') joins
+        the pruned postings partition, norm('text') reads the
+        SmallFloat-quantized doc length the scorer uses — composed
+        inside one boost expression via parse_func_df."""
+        from solr_spark.functions.valuesources import parse_func_df
+
+        idx = _gate_index(s, d)
+        docs = idx.docs().select("docid")
+        df2, col = parse_func_df(
+            "add(mul(2,query('spark hash',0)),"
+            "mul(0.01,tf('text','table')),"
+            "mul(0.0001,norm('text')))",
+            docs,
+            index=idx,
+        )
+        return (
+            df2.select("docid", F.round(col, 4).alias("boosted"))
+            .orderBy(F.desc("boosted"), F.asc("docid"))
+            .limit(20)
+        )
+
+    q["func_parsed_v3"] = func_parsed_v3
+
     # --- update processor chain over orders ---
     def update_chain(s, d):
         from solr_spark.operators import updateproc as UP
@@ -1993,6 +2019,9 @@ scored AS (
                      * pow(sin(radians(-74.006 - 2.3522) / 2.0), 2))), 2)
                  AS paris_nyc
         FROM documents ORDER BY docid"""
+    o["func_parsed_v3"] = G.query_tf_norm_boost_sql(
+        "spark hash", "table", 2.0, 0.01, 0.0001, 20
+    )
     o["func_parsed_showcase"] = """
         SELECT doc_id::BIGINT AS docid,
                round(1000.0 / (abs(n_chars - 300) + 1000.0), 4) AS recip_d,

@@ -243,6 +243,92 @@ _CTX_REGISTRY: dict[str, tuple[int, int, object]] = {
 }
 
 
+#: PER-DOC index value sources (ValueSourceParser.java:350-420
+#: query/tf + NormValueSource): their value is a docid-keyed join
+#: against a score/postings/docs subplan, which a bare Column cannot
+#: carry — parse through parse_func_df, which collects the subplans and
+#: joins them onto the target frame once each
+_PERDOC_ARITY = {"query": (1, 2), "tf": (2, 2), "norm": (1, 1)}
+
+
+def _perdoc_frame(name, args, raws, index, tag):
+    """Build (frame keyed by docid with one value column `tag`,
+    default_for_missing_docs) for a per-doc value source."""
+    if name == "query":
+        qtext = _need_str(raws[0], "query", 0)
+        default = 0.0
+        if len(raws) == 2:
+            if raws[1] is None or raws[1][0] != "num":
+                raise FuncParseError("query() default must be a number")
+            default = float(raws[1][1])
+        from solr_spark.query.engine import bm25_scores
+
+        frame = bm25_scores(index, qtext).select(
+            "docid", F.round("score", 9).alias(tag)
+        )
+        return frame, default
+    if name == "tf":
+        fld = _need_str(raws[0], "tf", 0)
+        term = _need_str(raws[1], "tf", 1)
+        if index.meta.get("fields"):
+            st = index.term_stats_fielded([(fld, term)]).get((fld, term))
+        else:
+            st = index.term_stats_for([term]).get(term)
+        if st is None:
+            return None, 0.0  # absent term: constant 0 everywhere
+        tid = st["tid"]
+        frame = (
+            index.postings()
+            .where(F.col("bucket").isin(index.pbuckets_for([tid])))
+            .where(F.col("tid") == tid)
+            .select("docid", F.col("tf").cast("double").alias(tag))
+        )
+        return frame, 0.0
+    # norm(field): the doc-length norm the BM25 scorer consumes — the
+    # SmallFloat-quantized doc length (dl_q already stores the DECODED
+    # quantized value); per-field on multi-field indexes
+    fld = _need_str(raws[0], "norm", 0)
+    flds = index.meta.get("fields")
+    if flds:
+        if fld not in flds:
+            raise FuncParseError(f"norm(): unknown field {fld!r}")
+        src = F.col(f"dl_q_{flds.index(fld)}")
+    else:
+        src = F.col("dl_q")
+    frame = index.docs().select("docid", src.cast("double").alias(tag))
+    return frame, 0.0
+
+
+def parse_func_df(
+    expr: str,
+    df,
+    index=None,
+    docid_col: str = "docid",
+    allow_rank: bool = False,
+):
+    """Parse a function query that may contain PER-DOC index value
+    sources — query('...' [, default]), tf(field, term), norm(field) —
+    and return (df2, column): df2 is `df` left-joined (on `docid_col`)
+    with each source's (docid, value) subplan, and the column evaluates
+    the full expression over df2. Docs a subquery does not match read
+    the default (query: optional 2nd arg, else 0; tf: 0). Each distinct
+    per-doc source costs ONE docid-keyed join against a postings-sized
+    (tf), match-sized (query) or docs-sized (norm) frame — the Spark
+    shape of Lucene reading a per-doc value from the index."""
+    enrich: list = []
+    col = parse_func(
+        expr, index=index, df=df, allow_rank=allow_rank, _enrich=enrich
+    )
+    out = df
+    for frame in enrich:
+        out = out.join(
+            frame.withColumnRenamed("docid", "__vs_docid"),
+            F.col(docid_col).cast("long") == F.col("__vs_docid"),
+            "left",
+        ).drop("__vs_docid")
+    return out, col
+
+
 def register(name: str, min_args: int, max_args: int, builder) -> None:
     """Extension point, mirroring ValueSourceParser.addParser()."""
     _REGISTRY[name.lower()] = (min_args, max_args, builder)
@@ -279,7 +365,11 @@ def _tokenize(expr: str) -> list[tuple[str, str]]:
 
 
 def parse_func(
-    expr: str, index=None, df=None, allow_rank: bool = False
+    expr: str,
+    index=None,
+    df=None,
+    allow_rank: bool = False,
+    _enrich: list | None = None,
 ) -> Column:
     """Compile a Solr function-query expression to a Column.
 
@@ -348,6 +438,29 @@ def parse_func(
                             f"{v}() needs an index: parse_func(expr, index=...)"
                         )
                     return builder(raws, index)
+                if name in _PERDOC_ARITY:
+                    lo, hi = _PERDOC_ARITY[name]
+                    if not (lo <= len(args) <= hi):
+                        raise FuncParseError(
+                            f"{v}() takes {lo}..{hi} args, got {len(args)}"
+                        )
+                    if _enrich is None:
+                        raise FuncParseError(
+                            f"{v}() is a per-doc index value source (a "
+                            "docid join): use parse_func_df(expr, df, "
+                            "index=...)"
+                        )
+                    if index is None:
+                        raise FuncParseError(
+                            f"{v}() needs an index: parse_func_df(..., "
+                            "index=...)"
+                        )
+                    tag = f"_vs{len(_enrich)}"
+                    frame, default = _perdoc_frame(name, args, raws, index, tag)
+                    if frame is None:
+                        return F.lit(default)
+                    _enrich.append(frame)
+                    return F.coalesce(F.col(tag), F.lit(default))
                 if name in _SPECIAL_ARITY:
                     lo, hi = _SPECIAL_ARITY[name]
                     if not (lo <= len(args) <= hi):

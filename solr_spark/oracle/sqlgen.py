@@ -70,6 +70,58 @@ ORDER BY round(s, {order_decimals}) DESC, docid LIMIT {k}
 """
 
 
+def query_tf_norm_boost_sql(
+    qtext: str,
+    tf_term: str,
+    w_q: float,
+    w_tf: float,
+    w_norm: float,
+    k: int = 20,
+) -> str:
+    """Twin of the per-doc value sources composed as
+    round(w_q*query(qtext,0) + w_tf*tf(f,term) + w_norm*norm(f), 4):
+    full BM25 scores (round 9, like engine.bm25_scores' gate wrapper),
+    per-doc tf of one term, and the SmallFloat-quantized doc length."""
+    qterms = analyze_query(qtext)
+    all_terms = sorted(set(qterms) | {tf_term})
+    terms_in = ",".join(f"'{t}'" for t in all_terms)
+    qvals = ",".join(f"('{t}', {float(c)})" for t, c in qterms.items())
+    return f"""
+WITH {DOC_TOKS},
+meta AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl
+  FROM doclens
+),
+post AS (SELECT docid, unnest(toks) AS term FROM toks),
+alltf AS (
+  SELECT docid, term, count(*)::DOUBLE AS tf FROM post
+  WHERE term IN ({terms_in}) GROUP BY docid, term
+),
+stats AS (SELECT term, count(*)::DOUBLE AS df FROM alltf GROUP BY term),
+q(term, qtf) AS (VALUES {qvals}),
+qs AS (
+  SELECT alltf.docid,
+         round(sum(q.qtf * {idf_sql('stats.df', 'meta.n_docs')}
+             * {tf_part_sql('alltf.tf', 'dl.dl_q', 'meta.avgdl')}), 9) AS score
+  FROM alltf
+  JOIN stats USING (term)
+  JOIN q USING (term)
+  JOIN doclens dl USING (docid)
+  CROSS JOIN meta
+  GROUP BY alltf.docid
+),
+tft AS (SELECT docid, tf FROM alltf WHERE term = '{tf_term}')
+SELECT d.docid,
+       round({w_q} * coalesce(qs.score, 0.0)
+             + {w_tf} * coalesce(tft.tf, 0.0)
+             + {w_norm} * d.dl_q, 4) AS boosted
+FROM doclens d
+LEFT JOIN qs USING (docid)
+LEFT JOIN tft USING (docid)
+ORDER BY boosted DESC, d.docid LIMIT {k}
+"""
+
+
 def terms_top_df_sql(limit: int = 20) -> str:
     """Term dictionary scan: top terms by doc freq (TermsComponent.java:237)."""
     return f"""

@@ -95,6 +95,29 @@ def _scored_postings(
     return scored, len(stats)
 
 
+def bm25_scores(
+    index: Index, qtext: str, mode: str = "OR", field: str | None = None
+) -> DataFrame:
+    """(docid, score) for ALL matching docs — no ordering, no limit.
+
+    The value-source form: `query($q)` (ValueSourceParser.java:350-420,
+    QueryValueSource) reads a subquery's score per document, so it needs
+    the full score frame to join by docid, not a top-k."""
+    qterms = analyze_query(qtext)
+    scored, n_present = (
+        _scored_postings(index, qterms, field) if qterms else (None, 0)
+    )
+    if n_present == 0 or (mode == "AND" and n_present < len(qterms)):
+        return index.spark.createDataFrame([], "docid long, score double")
+    agg = scored.groupBy("docid").agg(
+        F.sum("contrib").alias("score"),
+        F.count(F.lit(1)).alias("_nmatched"),
+    )
+    if mode == "AND":
+        agg = agg.where(F.col("_nmatched") == n_present)
+    return agg.select("docid", "score")
+
+
 def bm25_topk(
     index: Index,
     qtext: str,

@@ -694,3 +694,51 @@ def test_parse_date_processor(spark):
     assert str(out[1]["a"]) == "2024-03-05 10:20:30"
     assert str(out[1]["b"]) == "2024-03-05 00:00:00"
     assert out[2]["a"] is None and out[2]["b"] is None
+
+
+# ---- round-3 per-doc value sources ----
+
+def test_perdoc_value_sources(spark, tmp_path):
+    from solr_spark.functions.valuesources import (
+        FuncParseError, parse_func, parse_func_df,
+    )
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.engine import bm25_scores
+    from solr_spark.sources.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 200, seed=11, partitions=2)
+    idx = build_index(spark, corpus, str(tmp_path / "vs"), num_buckets=4,
+                      build_blocks=False)
+    docs = idx.docs().select("docid")
+    # query(): joined score equals the engine's score frame; default for misses
+    df2, col = parse_func_df("query('jsonParser bufferSize',-1)", docs, index=idx)
+    got = {r["docid"]: r["v"] for r in df2.select("docid", col.alias("v")).collect()}
+    exp = {r["docid"]: round(r["score"], 9)
+           for r in bm25_scores(idx, "jsonParser bufferSize").collect()}
+    for d, v in got.items():
+        assert v == exp.get(d, -1.0), d
+    assert exp  # the subquery matched something
+    # a matching-nothing subquery: every doc reads the default
+    df2b, colb = parse_func_df("query('zzzqqqnope',-1)", docs, index=idx)
+    vals = {r["v"] for r in df2b.select(colb.alias("v")).collect()}
+    assert vals == {-1.0}
+    # tf(): equals the postings tf, 0 where absent; absent term -> constant 0
+    df3, tcol = parse_func_df("tf('content','return')", docs, index=idx)
+    tgot = {r["docid"]: r["t"] for r in df3.select("docid", tcol.alias("t")).collect()}
+    tex = {r["docid"]: float(r["tf"])
+           for r in idx.postings().where(
+               F.col("tid") == idx.term_stats_for(["return"])["return"]["tid"]
+           ).collect()}
+    for d, v in tgot.items():
+        assert v == tex.get(d, 0.0), d
+    _, zcol = parse_func_df("tf('content','zzzqqqnope')", docs, index=idx)
+    assert docs.select(zcol.alias("z")).distinct().collect()[0]["z"] == 0.0
+    # norm(): the quantized doc length the scorer uses
+    df4, ncol = parse_func_df("norm('content')", docs, index=idx)
+    ngot = {r["docid"]: r["n"] for r in df4.select("docid", ncol.alias("n")).collect()}
+    ndl = {r["docid"]: float(r["dl_q"])
+           for r in idx.docs().select("docid", "dl_q").collect()}
+    assert ngot == ndl
+    # misuse of the Column-only API raises with guidance
+    with pytest.raises(FuncParseError):
+        parse_func("query('x')", index=idx)
