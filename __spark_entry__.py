@@ -1031,6 +1031,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["textlogit_confusion"] = textlogit_entry
 
+    def textlogit_stored_entry(s, d):
+        """Train -> model_store (parquet, ModelStream.java:49 role) ->
+        classify_stored from the parquet ALONE (no pyspark.ml objects):
+        returns per-prediction counts. Rows-only driver check (iterative
+        LR is not SQL-expressible); store/load fidelity is pytest-bound
+        (test_model_store_load_classify)."""
+        import hashlib
+        import os
+
+        feats = [
+            r["term"]
+            for r in ML.igain_terms(
+                _tok(s, d), _labels(s, d), limit=8, min_df=5
+            ).collect()
+        ]
+        toks = _tok(s, d)
+        labels = _docs(s, d).select(
+            F.col("doc_id").cast("long").alias("docid"),
+            (F.col("lang") == "en").cast("double").alias("label"),
+        )
+        model, _ = ML.textlogit_train(toks, labels, feats)
+        tag = hashlib.md5(d.encode()).hexdigest()[:8]
+        path = f"/tmp/solr_spark_gate/model_{tag}"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ML.model_store(model, feats, path, s)
+        return (
+            ML.classify_stored(toks, s, path)
+            .groupBy("prediction")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("prediction")
+        )
+
+    q["textlogit_stored"] = textlogit_stored_entry
+
     def textlogit_totals_entry(s, d):
         """Oracle-able twin of textlogit_confusion: per-label doc totals
         (exactly checkable against the documents table) plus an overall

@@ -184,3 +184,55 @@ def textlogit_classify(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("label", "prediction")
     )
+
+
+# ---- model persistence (store/load + index-free classify) ----
+
+def model_store(model, features: list[str], path: str, spark) -> None:
+    """Persist a trained textlogit model as a tiny parquet: one
+    (term, weight) row per feature plus an `__intercept__` row — the
+    role of the reference's model storage (ModelStream.java:49 reads
+    models that update()/train() stored in a collection; here the
+    "collection" is a parquet beside the index). Anything that can read
+    parquet can score with it; no pyspark.ml classes needed at load."""
+    rows = [(t, float(w)) for t, w in zip(features, model.coefficients)]
+    rows.append(("__intercept__", float(model.intercept)))
+    (
+        spark.createDataFrame(rows, "term string, weight double")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def model_load(spark, path: str) -> tuple[list[str], list[float], float]:
+    """(features, weights, intercept) from a model_store parquet."""
+    rows = spark.read.parquet(path).collect()
+    inter = 0.0
+    feats: list[tuple[str, float]] = []
+    for r in rows:
+        if r["term"] == "__intercept__":
+            inter = float(r["weight"])
+        else:
+            feats.append((r["term"], float(r["weight"])))
+    feats.sort()
+    return [t for t, _ in feats], [w for _, w in feats], inter
+
+
+def classify_stored(tok_df: DataFrame, spark, path: str) -> DataFrame:
+    """classify() against a STORED model (the ClassifyStream/ModelStream
+    pair: io/stream/ClassifyStream.java scores tuples with a model
+    fetched by ModelStream). Loads the (term, weight) parquet and scores
+    sigmoid(intercept + Σ w_t * presence(t)) as pure Column arithmetic —
+    whole-stage codegen, no pyspark.ml dependency, no per-row Python.
+    Returns (docid, prob, prediction)."""
+    feats, ws, b = model_load(spark, path)
+    z = F.lit(b)
+    for t, w in zip(feats, ws):
+        z = z + F.when(F.array_contains("toks", t), F.lit(w)).otherwise(F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return tok_df.select(
+        "docid",
+        F.round(prob, 6).alias("prob"),
+        (prob > 0.5).cast("long").alias("prediction"),
+    )

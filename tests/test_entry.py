@@ -64,7 +64,7 @@ def test_oracle_coverage():
     no_oracle = set(QUERIES) - set(ORACLES)
     assert no_oracle <= {
         "ann_cosine_lsh", "hll_users_by_type", "textlogit_confusion",
-        "ltr_rescore_top10",
+        "ltr_rescore_top10", "textlogit_stored",
     }, no_oracle
 
 

@@ -113,3 +113,49 @@ def test_blockjoin_parent_child_roundtrip(spark):
         children.where("v >= 50").withColumn("bucket", F.lit("x")), "bucket", "pid"
     ).collect()}
     assert ub == {"x": 2}
+
+
+def test_model_store_load_classify(spark, tmp_path):
+    """Train in one session, classify in ANOTHER from the stored parquet
+    (ModelStream.java:49 role): classify_stored needs only the
+    (term, weight) parquet - no pyspark.ml objects - and must reproduce
+    the trained model's probabilities and predictions."""
+    from solr_spark.operators.ml import (
+        classify_stored, model_store, textlogit_train,
+    )
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, (["spam", "buy", "now"] if i % 2 else ["ham", "hello", "friend"])
+            + [f"w{i % 7}"], float(i % 2))
+        for i in range(80)
+    ]
+    tok = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "docid long, toks array<string>"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in rows], "docid long, label double"
+    )
+    feats = ["spam", "buy", "ham", "hello", "w3"]
+    model, assembled = textlogit_train(tok, labels, feats)
+    path = str(tmp_path / "model")
+    model_store(model, feats, path, spark)
+
+    # a FRESH session state scores from the parquet alone
+    s2 = spark.newSession()
+    tok2 = s2.createDataFrame(
+        [(i, t) for i, t, _ in rows], "docid long, toks array<string>"
+    )
+    got = {r["docid"]: r for r in classify_stored(tok2, s2, path).collect()}
+
+    exp_rows = model.transform(assembled).select(
+        "docid", vector_to_array(F.col("probability")).getItem(1).alias("p"),
+        "prediction",
+    ).collect()
+    for r in exp_rows:
+        g = got[r["docid"]]
+        assert abs(g["prob"] - r["p"]) < 1e-6, r["docid"]
+        assert g["prediction"] == int(r["prediction"])
+    # perfect separation on this toy set
+    assert all(g["prediction"] == i % 2 for i, g in got.items())
