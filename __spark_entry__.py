@@ -274,6 +274,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["update_parse_dates"] = update_parse_dates
 
+    def version_merge_entry(s, d):
+        """DocBasedVersionConstraints: updates win only on strictly
+        greater user-version; equal/stale updates drop (tie -> stored)."""
+        from solr_spark.operators import updateproc as UP
+
+        o = _t(s, d, "orders").where(F.col("o_orderkey") <= 100)
+        cur = o.select(
+            F.col("o_orderkey").alias("id"),
+            (F.col("o_orderkey") % 5).cast("long").alias("_version_"),
+            F.col("o_orderpriority").alias("body"),
+        )
+        upd = o.select(
+            F.col("o_orderkey").alias("id"),
+            (F.col("o_orderkey") % 7).cast("long").alias("_version_"),
+            F.concat(F.lit("upd:"), F.col("o_orderpriority")).alias("body"),
+        )
+        return UP.version_constrained_merge(cur, upd, id_col="id").orderBy("id")
+
+    q["update_version_merge"] = version_merge_entry
+
+    def schemaless_entry(s, d):
+        """AddSchemaFields (schemaless): stringified event fields get
+        their types back by value inference (long/double/date/boolean;
+        unparseable stays text)."""
+        from solr_spark.operators import updateproc as UP
+
+        ev = _t(s, d, "events").where(F.col("event_id") < 100)
+        staged = ev.select(
+            F.col("event_id").cast("string").alias("a"),
+            F.col("value").cast("string").alias("b"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("c"),
+            (F.col("value") > 250).cast("string").alias("d"),
+            F.col("event_type").alias("e"),
+        )
+        typed, _ = UP.infer_schema_fields(staged)
+        return typed.orderBy("a")
+
+    q["update_schemaless_infer"] = schemaless_entry
+
     q["facet_query_events"] = lambda s, d: FA.query_facet(
         _t(s, d, "events"),
         {
@@ -310,6 +349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_orderkey",
         "o_totalprice",
     ).orderBy("o_orderpriority", "grp_rank")
+
+    q["grouped_facet_priority"] = lambda s, d: C.grouped_facet(
+        _t(s, d, "orders"), "o_custkey", "o_orderpriority", limit=10
+    )
 
     # --- joins / set streams (SURVEY §2.C) ---
     q["join_semi_big_spenders"] = lambda s, d: S.intersect_on(
@@ -937,6 +980,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spell_indexed"] = spell_indexed
 
+    def spell_collations_entry(s, d):
+        """Whole-query collations (SpellCheckCollator.java): 'sparc' is
+        misspelled, 'table' is fine; candidate corrections substitute in
+        and hit-verify with one batched postings pass over the REAL
+        index."""
+        return R.spell_collate(
+            _gate_index(s, d), "sparc table", max_corrections=3,
+            max_collations=5,
+        )
+
+    q["spell_collations"] = spell_collations_entry
+
     def suggest_infix(s, d):
         return R.suggest_infix_indexed(_gate_index(s, d), "or", limit=10)
 
@@ -1521,6 +1576,24 @@ def oracle_sql() -> dict[str, str]:
                strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS ts_iso,
                CAST(NULL AS TIMESTAMP) AS ts_bad
         FROM events WHERE event_id < 200 ORDER BY event_id"""
+    o["update_version_merge"] = """
+        WITH base AS (SELECT o_orderkey AS id, (o_orderkey % 5)::BIGINT AS v,
+                             o_orderpriority AS body, 1 AS pref
+                      FROM orders WHERE o_orderkey <= 100),
+        ups AS (SELECT o_orderkey AS id, (o_orderkey % 7)::BIGINT AS v,
+                       'upd:' || o_orderpriority AS body, 0 AS pref
+                FROM orders WHERE o_orderkey <= 100),
+        allr AS (SELECT * FROM base UNION ALL SELECT * FROM ups),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY id ORDER BY v DESC, pref DESC) AS rn FROM allr)
+        SELECT id, v AS _version_, body FROM r WHERE rn = 1 ORDER BY id"""
+    o["update_schemaless_infer"] = """
+        SELECT event_id::BIGINT AS a,
+               value::DOUBLE AS b,
+               date_trunc('second', ts) AS c,
+               (value > 250.0) AS d,
+               event_type AS e
+        FROM events WHERE event_id < 100 ORDER BY a"""
     o["facet_query_events"] = """
         SELECT 'big_value' AS name, count(*) FILTER (value > 400.0) AS cnt FROM events
         UNION ALL
@@ -1555,6 +1628,12 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
           ) AS rn FROM orders
         ) AS t WHERE rn <= 2 ORDER BY o_orderpriority, rn"""
+    o["grouped_facet_priority"] = """
+        SELECT o_orderpriority AS value,
+               count(DISTINCT o_custkey)::BIGINT AS cnt
+        FROM orders WHERE o_orderpriority IS NOT NULL
+        GROUP BY o_orderpriority HAVING cnt >= 1
+        ORDER BY cnt DESC, value LIMIT 10"""
 
     o["join_semi_big_spenders"] = """
         SELECT c_custkey, c_name FROM customer
@@ -1968,6 +2047,22 @@ scored AS (
     # dictionary-backed spell/MLT agree with their corpus-derived twins by
     # construction (term_stats df == per-term distinct-doc count)
     o["spell_indexed"] = o["spell_suggest"]
+    o["spell_collations"] = f"""
+WITH {G.DOC_TOKS},
+post AS (SELECT DISTINCT docid, unnest(toks) AS term FROM toks),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+sugg AS (SELECT term FROM (
+    SELECT term, levenshtein(term, 'sparc') AS dist, df FROM dict
+    WHERE levenshtein(term, 'sparc') <= 2
+    ORDER BY dist, df DESC, term LIMIT 3)),
+fixed AS (SELECT docid FROM post WHERE term = 'table'),
+h AS (SELECT s.term, count(*)::BIGINT AS hits
+      FROM sugg s JOIN post p ON p.term = s.term
+      JOIN fixed f ON f.docid = p.docid
+      GROUP BY s.term)
+SELECT term || ' table' AS "collation", hits FROM h
+WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
+"""
     o["suggest_infix_indexed"] = f"""
         WITH {_DOC_TOKS_SQL},
         tf AS (SELECT unnest(toks) AS term FROM toks)

@@ -55,3 +55,28 @@ def grouping(
         df.withColumn("grp_rank", F.row_number().over(w))
         .where(F.col("grp_rank") <= group_limit)
     )
+
+
+def grouped_facet(
+    df: DataFrame,
+    group: str,
+    facet_field: str,
+    limit: int = 10,
+    mincount: int = 1,
+) -> DataFrame:
+    """group.facet=true counts (solr/core/src/java/org/apache/solr/
+    search/Grouping.java:80 grouped path; the grouped-facet collector
+    counts each GROUP once per facet value, not each document): cnt =
+    number of distinct groups containing at least one doc with the
+    value. One distinct + one aggregation — both shuffles carry
+    (group, value) pairs only, never full rows."""
+    return (
+        df.select(F.col(group).alias("_g"), F.col(facet_field).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= mincount)
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(limit)
+    )

@@ -218,3 +218,92 @@ def suggest_infix_indexed(
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(limit)
     )
+
+
+def spell_collate(
+    index,
+    qtext: str,
+    max_corrections: int = 3,
+    max_collations: int = 5,
+    field: str | None = None,
+) -> "DataFrame":
+    """Whole-query spell collations with verified hit counts — the role
+    of SpellCheckCollator (solr/core/src/java/org/apache/solr/spelling/
+    SpellCheckCollator.java: substitute per-term corrections into the
+    original query, re-run it, keep collations that produce hits).
+
+    Terms present in the dictionary keep themselves; absent terms take
+    their top `max_corrections` DirectSpellChecker suggestions
+    (edit-distance <= 2 over the prebuilt term dictionary — vocabulary-
+    sized work). Candidate collations are the cross product (bounded:
+    max_corrections^misspelled_terms, each a driver-side string). Hit
+    verification is ONE batched postings pass: a tiny broadcast
+    (collation_id, tid) table joins the bucket-pruned postings of every
+    candidate term, and a doc counts for a collation when it matches
+    ALL its terms (AND re-query semantics). Returns
+    (collation, hits), hits > 0, ordered by (hits desc, collation).
+    """
+    import itertools
+
+    from solr_spark.analysis.analyzer import tokenize_py
+
+    spark = index.spark
+    empty = spark.createDataFrame([], "collation string, hits long")
+    terms = tokenize_py(qtext)
+    if not terms:
+        return empty
+    stats = index.term_stats_for(sorted(set(terms)), field=field)
+    cands: list[list[str]] = []
+    any_misspelled = False
+    for t in terms:
+        if t in stats:
+            cands.append([t])
+        else:
+            any_misspelled = True
+            sugg = spell_suggest_indexed(
+                index, t, max_dist=2, limit=max_corrections, field=field
+            ).collect()
+            if not sugg:
+                return empty  # an uncorrectable term: no collation matches
+            cands.append([r["term"] for r in sugg])
+    if not any_misspelled:
+        return empty  # nothing to collate (Solr only collates on misses)
+    collations = [list(c) for c in itertools.product(*cands)]
+    all_terms = sorted({t for c in collations for t in c})
+    tstats = index.term_stats_for(all_terms, field=field)
+    tid_of = {t: s["tid"] for t, s in tstats.items()}
+    rows = []
+    for cid, c in enumerate(collations):
+        uniq = sorted({tid_of[t] for t in c})
+        for tid in uniq:
+            rows.append((cid, tid, len(uniq)))
+    memb = spark.createDataFrame(rows, "cid int, tid long, n int")
+    tids = sorted({tid for _, tid, _ in rows})
+    post = (
+        index.postings()
+        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+        .where(F.col("tid").isin(tids))
+        .select("tid", "docid")
+    )
+    hits = (
+        post.join(F.broadcast(memb), "tid")
+        .groupBy("cid", "docid", "n")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .where(F.col("_m") == F.col("n"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .collect()
+    )
+    by_cid = {r["cid"]: int(r["hits"]) for r in hits}
+    out = [
+        (" ".join(c), by_cid[cid])
+        for cid, c in enumerate(collations)
+        if by_cid.get(cid, 0) > 0
+    ]
+    if not out:
+        return empty
+    return (
+        spark.createDataFrame(out, "collation string, hits long")
+        .orderBy(F.desc("hits"), F.asc("collation"))
+        .limit(max_collations)
+    )

@@ -255,3 +255,84 @@ def arr_remove_regex(base: Column, pattern: Column) -> Column:
     return F.when(pattern.isNull(), base).otherwise(
         F.filter(base, lambda x: ~F.regexp_like(x, pattern))
     )
+
+
+def version_constrained_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    id_col: str = "id",
+    version_col: str = "_version_",
+) -> DataFrame:
+    """DocBasedVersionConstraintsProcessorFactory
+    (solr/core/src/java/org/apache/solr/update/processor/
+    DocBasedVersionConstraintsProcessorFactory.java): an update replaces
+    the stored doc only when its user-version field STRICTLY exceeds the
+    stored one; stale and equal-version updates are dropped. One union +
+    one max_by aggregation keyed by id — no window, no per-row Python;
+    ties break toward the CURRENT doc (Solr rejects <=)."""
+    cols = current.columns
+    cur = current.select(*cols).withColumn("_pref", F.lit(1))
+    upd = updates.select(*cols).withColumn("_pref", F.lit(0))
+    payload = [c for c in cols if c != id_col]
+    allrows = cur.unionByName(upd)
+    return (
+        allrows.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(*payload),
+                F.struct(F.col(version_col), F.col("_pref")),
+            ).alias("_s")
+        )
+        .select(id_col, "_s.*")
+    )
+
+
+#: AddSchemaFieldsUpdateProcessorFactory's default type chain, reduced
+#: to Spark-typed targets (booleans before longs would misparse nothing
+#: here; Solr's order is long -> double -> date -> boolean -> text)
+_SCHEMALESS_CHAIN = (
+    ("bigint", "long"),
+    ("double", "double"),
+    ("timestamp", "date"),
+    ("boolean", "boolean"),
+)
+
+
+def infer_schema_fields(
+    df: DataFrame, cols: list[str] | None = None
+) -> tuple[DataFrame, dict[str, str]]:
+    """AddSchemaFieldsUpdateProcessorFactory (schemaless mode,
+    solr/core/src/java/org/apache/solr/update/processor/
+    AddSchemaFieldsUpdateProcessorFactory.java): infer each string
+    field's type from its VALUES — the first type in the chain
+    long -> double -> date -> boolean that every non-null value parses
+    as wins, else the field stays text. ONE aggregate job computes
+    (non-null count, per-type parse-success count) for all candidate
+    columns together; the cast is then a plain projection. Returns
+    (typed_df, {col: chosen_type})."""
+    cand = cols or [
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    if not cand:
+        return df, {}
+    aggs = []
+    for c in cand:
+        aggs.append(F.count(F.col(c)).alias(f"_n_{c}"))
+        for sqlt, label in _SCHEMALESS_CHAIN:
+            ok = F.col(c).try_cast(sqlt).isNotNull() | F.col(c).isNull()
+            aggs.append(F.sum(F.when(ok, 0).otherwise(1)).alias(f"_bad_{label}_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    chosen: dict[str, str] = {}
+    out = df
+    for c in cand:
+        if row[f"_n_{c}"] == 0:
+            chosen[c] = "string"  # all-null: no evidence, stay text
+            continue
+        for sqlt, label in _SCHEMALESS_CHAIN:
+            if row[f"_bad_{label}_{c}"] == 0:
+                chosen[c] = label
+                out = out.withColumn(c, F.col(c).cast(sqlt))
+                break
+        else:
+            chosen[c] = "string"
+    return out, chosen

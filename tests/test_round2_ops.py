@@ -742,3 +742,73 @@ def test_perdoc_value_sources(spark, tmp_path):
     # misuse of the Column-only API raises with guidance
     with pytest.raises(FuncParseError):
         parse_func("query('x')", index=idx)
+
+
+# ---- round-3 spell collation ----
+
+def test_spell_collate(spark, tmp_path):
+    """SpellCheckCollator semantics: absent terms take dictionary
+    corrections, collations hit-verify with AND re-query counts; fully
+    spelled queries produce no collations; uncorrectable terms none."""
+    from solr_spark.index.builder import build_index
+    from solr_spark.operators.relevance import spell_collate
+
+    docs = [
+        ("r", f"p{i}", "c", " ".join(
+            (["spark", "table"] if i < 6 else ["spade", "table"])
+            + ["filler", f"pad{i}"]))
+        for i in range(10)
+    ]
+    corpus = spark.createDataFrame(
+        docs, "repo string, path string, commit string, content string"
+    )
+    idx = build_index(spark, corpus, str(tmp_path / "sc"), num_buckets=4,
+                      build_blocks=False)
+    got = [(r["collation"], r["hits"])
+           for r in spell_collate(idx, "sparc table").collect()]
+    # 'sparc' -> spark (df 6, dist 1) and spade (df 4, dist 2); both
+    # collations verify against docs containing BOTH terms
+    assert ("spark table", 6) in got and ("spade table", 4) in got
+    assert got[0] == ("spark table", 6)  # ordered by hits desc
+    # correctly-spelled query: nothing to collate
+    assert spell_collate(idx, "spark table").count() == 0
+    # hopeless term: no collation
+    assert spell_collate(idx, "qqqqqqzz table").count() == 0
+
+
+# ---- round-3 update-processor breadth ----
+
+def test_version_constrained_merge(spark):
+    from solr_spark.operators.updateproc import version_constrained_merge
+
+    cur = spark.createDataFrame(
+        [(1, 5, "v5"), (2, 3, "v3")], "id long, _version_ long, body string"
+    )
+    upd = spark.createDataFrame(
+        [(1, 6, "v6"), (2, 3, "stale-equal"), (2, 2, "stale-lower"),
+         (3, 1, "new-doc")],
+        "id long, _version_ long, body string",
+    )
+    rows = {r["id"]: r for r in version_constrained_merge(cur, upd).collect()}
+    assert rows[1]["body"] == "v6" and rows[1]["_version_"] == 6
+    assert rows[2]["body"] == "v3"  # equal version: stored doc wins
+    assert rows[3]["body"] == "new-doc"
+
+
+def test_infer_schema_fields(spark):
+    from solr_spark.operators.updateproc import infer_schema_fields
+
+    df = spark.createDataFrame(
+        [("1", "1.5", "2024-01-02", "true", "hello", None),
+         ("2", "7", "2024-02-03 04:05:06", "false", "3", "x")],
+        "a string, b string, c string, d string, e string, f string",
+    )
+    typed, chosen = infer_schema_fields(df)
+    assert chosen == {"a": "long", "b": "double", "c": "date",
+                      "d": "boolean", "e": "string", "f": "string"}
+    # 'e' stays text: 'hello' parses as nothing; 'f' all-null stays text
+    s = dict(typed.dtypes)
+    assert s["a"] == "bigint" and s["b"] == "double"
+    assert s["c"] == "timestamp" and s["d"] == "boolean" and s["e"] == "string"
+    r = typed.where(F.col("a") == 1).collect()[0]
+    assert r["b"] == 1.5 and str(r["c"]).startswith("2024-01-02")
