@@ -141,6 +141,10 @@ _REGISTRY: dict[str, tuple[int, int, object]] = {
     "field": (1, 1, lambda a: a[0]),
     "ms": (1, 2, lambda a: _ms(a)),
     "geodist": (4, 4, lambda a: _geodist(*a)),
+    "rad": (1, 1, lambda a: F.radians(a[0])),
+    "deg": (1, 1, lambda a: F.degrees(a[0])),
+    "dist": (3, 99, lambda a: _dist(a)),
+    "sqedist": (2, 99, lambda a: _sqedist(a)),
 }
 
 #: functions needing DataFrame context (scale) or an explicit opt-in
@@ -199,6 +203,38 @@ def _ord(x, asc: bool):
     # null rows themselves map to 0 via the when()
     w = Window.orderBy(F.asc_nulls_last(x) if asc else F.desc_nulls_last(x))
     return F.when(x.isNull(), F.lit(0)).otherwise(F.dense_rank().over(w))
+
+
+def _pairs(args, fn):
+    if len(args) % 2:
+        raise FuncParseError(f"{fn}() needs two equal-length point vectors")
+    h = len(args) // 2
+    return list(zip(args[:h], args[h:]))
+
+
+def _sqedist(args):
+    """sqedist(x1,..,xn, y1,..,yn): squared Euclidean distance
+    (SquaredEuclideanFunction via ValueSourceParser)."""
+    total = None
+    for x, y in _pairs(args, "sqedist"):
+        d = (x - y) * (x - y)
+        total = d if total is None else total + d
+    return total
+
+
+def _dist(args):
+    """dist(power, x..., y...): Minkowski p-distance between two points
+    (VectorDistanceFunction; p=1 manhattan, 2 euclidean, 0 sparseness,
+    Infinity via a large p is not supported — use max/abs directly)."""
+    p, rest = args[0], args[1:]
+    # p arrives as a literal Column; re-derive the python value when
+    # possible for the common special cases
+    terms = [F.abs(x - y) for x, y in _pairs(rest, "dist")]
+    total = None
+    for t in terms:
+        tp = F.pow(t, p)
+        total = tp if total is None else total + tp
+    return F.pow(total, F.lit(1.0) / p)
 
 
 def _need_str(raw, fn, i):

@@ -812,3 +812,21 @@ def test_infer_schema_fields(spark):
     assert s["c"] == "timestamp" and s["d"] == "boolean" and s["e"] == "string"
     r = typed.where(F.col("a") == 1).collect()[0]
     assert r["b"] == 1.5 and str(r["c"]).startswith("2024-01-02")
+
+
+def test_func_dist_family(spark):
+    df = spark.createDataFrame([(1, 3.0, 4.0)], "id long, x double, y double")
+    r = df.select(
+        parse_func("dist(2,x,y,0,0)").alias("euc"),
+        parse_func("dist(1,x,y,0,0)").alias("man"),
+        parse_func("sqedist(x,y,0,0)").alias("sq"),
+        parse_func("deg(pi())").alias("dg"),
+        parse_func("rad(180)").alias("rd"),
+    ).collect()[0]
+    assert abs(r["euc"] - 5.0) < 1e-12
+    assert abs(r["man"] - 7.0) < 1e-12
+    assert abs(r["sq"] - 25.0) < 1e-12
+    assert abs(r["dg"] - 180.0) < 1e-12
+    assert abs(r["rd"] - math.pi) < 1e-12
+    with pytest.raises(FuncParseError):
+        parse_func("dist(2,x,y,0)")  # odd point vector
