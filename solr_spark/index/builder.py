@@ -354,18 +354,20 @@ def _analyze_docs(corpus: DataFrame, fields: list[str] | None = None) -> DataFra
     """
     if not fields:
         toks = tokens_col("content")
+        # every non-content column is a STORED field (the docs table is
+        # the document store): filters — including date-math ranges —
+        # and payload fetch read them back without touching the corpus
+        passthrough = [c for c in corpus.columns if c not in ("docid", "content")]
         return corpus.select(
             "docid",
-            *[c for c in ("repo", "path", "commit", "lang") if c in corpus.columns],
+            *passthrough,
             F.sha2(F.col("content"), 256).alias("sha256"),
             toks.alias("_tokens"),
         ).withColumn("doclen", F.size("_tokens")).withColumn(
             "dl_q", quantize_col("doclen").cast("int")
         )
     passthrough = [
-        c
-        for c in ("repo", "path", "commit", "lang")
-        if c in corpus.columns and c not in fields
+        c for c in corpus.columns if c != "docid" and c not in fields
     ]
     sha_src = F.concat_ws(
         "\x1f", *[F.coalesce(F.col(f), F.lit("")) for f in fields]

@@ -24,6 +24,8 @@ prepare/process; QueryComponent.java:133 parse, :328 execute):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,7 +55,16 @@ def _is_num(s: str) -> bool:
         return False
 
 
-def _filter_pred(fname: str, op: str, val) -> Column:
+#: a range endpoint is date math when it starts with NOW or an ISO-8601
+#: instant (trailing math like /DAY-7DAYS rides behind either)
+_DATEMATH_START = re.compile(r"^(NOW|\d{4}-\d{2}-\d{2}T[\d:.]+Z)")
+
+
+def _is_datemath(s: str) -> bool:
+    return bool(_DATEMATH_START.match(s))
+
+
+def _filter_pred(fname: str, op: str, val, now=None) -> Column:
     c = F.col(fname)
     if op == "eq":
         return c.cast("string") == str(val)
@@ -65,13 +76,27 @@ def _filter_pred(fname: str, op: str, val) -> Column:
         rv: RangeVal = val
         ends = [v for v in (rv.lo, rv.hi) if v is not None]
         numeric = bool(ends) and all(_is_num(v) for v in ends)
-        cc = c.cast("double") if numeric else c.cast("string")
+        # Solr date fields accept date-math endpoints
+        # (ts:[NOW/DAY-7DAYS TO NOW]): evaluate driver-side against the
+        # pinned NOW and compare as timestamp LITERALS, so the predicate
+        # still pushes down to the parquet scan
+        is_date = (
+            not numeric and bool(ends) and all(_is_datemath(v) for v in ends)
+        )
+        if is_date:
+            from solr_spark.functions.datemath import datemath_naive
+
+            cc = c.cast("timestamp")
+            conv = lambda v: datemath_naive(v, now)  # noqa: E731
+        else:
+            cc = c.cast("double") if numeric else c.cast("string")
+            conv = (lambda v: float(v)) if numeric else (lambda v: v)
         conds = []
         if rv.lo is not None:
-            lo = float(rv.lo) if numeric else rv.lo
+            lo = conv(rv.lo)
             conds.append(cc >= lo if rv.lo_inc else cc > lo)
         if rv.hi is not None:
-            hi = float(rv.hi) if numeric else rv.hi
+            hi = conv(rv.hi)
             conds.append(cc <= hi if rv.hi_inc else cc < hi)
         if not conds:
             return F.lit(True)
@@ -145,7 +170,7 @@ def _phrase_docids(index: Index, words: list[str], slop: int) -> DataFrame | Non
     return phrase_docids(index, words, slop)
 
 
-def _eval_bool(index: Index, node: BoolNode) -> DataFrame:
+def _eval_bool(index: Index, node: BoolNode, now=None) -> DataFrame:
     """Evaluate a boolean subtree -> DF(docid, score) of matching docs.
 
     Occur semantics (BooleanQuery): docs must match every MUST child and
@@ -217,7 +242,7 @@ def _eval_bool(index: Index, node: BoolNode) -> DataFrame:
             else:
                 filters.append(child)
         elif isinstance(child, BoolNode):
-            sub = _eval_bool(index, child)
+            sub = _eval_bool(index, child, now)
             if occur == MUST_NOT:
                 not_parts.append(sub.select("docid"))
             elif occur == MUST:
@@ -277,14 +302,14 @@ def _eval_bool(index: Index, node: BoolNode) -> DataFrame:
     if filters:
         pred = None
         for fc in filters:
-            p = _filter_pred(fc.field, fc.op, fc.value)
+            p = _filter_pred(fc.field, fc.op, fc.value, now)
             pred = p if pred is None else (pred & p)
         keep = index.docs().where(pred).select("docid")
         agg = agg.join(keep, "docid", "left_semi")
     if not_filters:
         pred = None
         for fc in not_filters:
-            p = _filter_pred(fc.field, fc.op, fc.value)
+            p = _filter_pred(fc.field, fc.op, fc.value, now)
             pred = p if pred is None else (pred | p)
         drop = index.docs().where(pred).select("docid")
         agg = agg.join(drop, "docid", "left_anti")
@@ -298,10 +323,14 @@ def search(
     k: int = 10,
     with_payload: bool = False,
     default_op: str = "OR",
+    now=None,
 ) -> DataFrame:
-    """Execute a lucene-syntax query string against the index."""
+    """Execute a lucene-syntax query string against the index.
+
+    `now` pins NOW for date-math range endpoints (the CommonParams.NOW
+    analogue a distributed Solr request carries)."""
     ast = parse_ast(q, default_op)
-    agg = _eval_bool(index, ast)
+    agg = _eval_bool(index, ast, now)
     result = (
         agg.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
         .limit(k)

@@ -191,3 +191,33 @@ def test_rerank_blends(index):
     assert len(rr) == 10
     scores = [r.score for r in rr]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_datemath_range_filter(spark, tmp_path):
+    """ts:[NOW/DAY-2DAYS TO NOW] with a pinned NOW: endpoints evaluate
+    driver-side to timestamp literals (pushdown-able) and filter the
+    stored ts field; non-matching docs drop even when they score."""
+    from datetime import datetime, timezone
+
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.search_api import search
+
+    rows = [
+        ("r", f"p{i}", "c", f"2024-03-{10 + i:02d}T06:00:00", "common text here")
+        for i in range(6)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, ts string, content string"
+    )
+    idx = build_index(spark, corpus, str(tmp_path / "dm"), num_buckets=4,
+                      build_blocks=False)
+    now = datetime(2024, 3, 14, 18, 0, 0, tzinfo=timezone.utc)
+    got = search(idx, "common AND ts:[NOW/DAY-2DAYS TO NOW]", k=10, now=now)
+    docs = {r["docid"] for r in got.collect()}
+    # window [2024-03-12 00:00, 2024-03-14 18:00]: rows i=2,3,4
+    stored = {r["path"]: r["docid"] for r in idx.docs().collect()}
+    assert docs == {stored["p2"], stored["p3"], stored["p4"]}
+    # open upper end + exclusive lower bracket
+    got2 = search(idx, "common AND ts:{2024-03-12T06:00:00Z TO *]", k=10, now=now)
+    docs2 = {r["docid"] for r in got2.collect()}
+    assert docs2 == {stored[f"p{i}"] for i in range(3, 6)}
