@@ -313,6 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["update_schemaless_infer"] = schemaless_entry
 
+    q["facet_range_other"] = lambda s, d: FA.range_facet_other(
+        _t(s, d, "events"), "value", 100.0, 400.0, 50.0
+    )
     q["facet_query_events"] = lambda s, d: FA.query_facet(
         _t(s, d, "events"),
         {
@@ -1564,6 +1567,17 @@ def oracle_sql() -> dict[str, str]:
     from datetime import datetime as _dt, timezone as _tz
 
     _NOW = _dt(2024, 1, 30, 12, 0, 0, tzinfo=_tz.utc)
+    o["facet_range_other"] = """
+        SELECT name, cnt FROM (
+          SELECT 'before' AS name,
+                 sum(CASE WHEN value < 100.0 THEN 1 ELSE 0 END)::BIGINT AS cnt FROM events
+          UNION ALL
+          SELECT 'between',
+                 sum(CASE WHEN value >= 100.0 AND value < 400.0 THEN 1 ELSE 0 END)::BIGINT FROM events
+          UNION ALL
+          SELECT 'after',
+                 sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END)::BIGINT FROM events
+        ) t ORDER BY name"""
     o["facet_range_datemath"] = FA.date_range_facet_sql(
         "ts", "NOW/MONTH", "NOW/DAY+1DAY", "+7DAYS", now=_NOW
     )

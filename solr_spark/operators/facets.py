@@ -61,6 +61,32 @@ def range_facet(
     )
 
 
+def range_facet_other(
+    df: DataFrame, col: str, start: float, end: float, gap: float
+) -> DataFrame:
+    """facet.range.other=all: the before/after/between summary buckets
+    beside the range buckets (RangeFacetProcessor FacetRangeOther).
+    Returns (name, cnt) for before (< start), between ([start, end)),
+    after (>= end) — ONE aggregate pass, no extra scans."""
+    c = F.col(col)
+    wide = df.agg(
+        F.sum(F.when(c < start, 1).otherwise(0)).cast("long").alias("before"),
+        F.sum(F.when((c >= start) & (c < end), 1).otherwise(0))
+        .cast("long")
+        .alias("between"),
+        F.sum(F.when(c >= end, 1).otherwise(0)).cast("long").alias("after"),
+    )
+    return wide.select(
+        F.explode(
+            F.create_map(
+                F.lit("before"), F.col("before"),
+                F.lit("between"), F.col("between"),
+                F.lit("after"), F.col("after"),
+            )
+        ).alias("name", "cnt")
+    ).orderBy("name")
+
+
 def date_range_facet(
     df: DataFrame,
     col: str,
