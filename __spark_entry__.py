@@ -104,7 +104,9 @@ def _gate_index_mf(spark, sf_dir):
     if key in _GATE_IDX:
         return _GATE_IDX[key]
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = f"/tmp/solr_spark_gate/index_mfp_{tag}"
+    # mfb = multi-field WITH blocks (round 3: per-field block-max
+    # metadata) — fresh cache tag so pre-blocks caches never serve
+    root = f"/tmp/solr_spark_gate/index_mfb_{tag}"
     meta = os.path.join(root, "meta.json")
     if not os.path.exists(meta):
         tmp = f"{root}.build_{os.getpid()}"
@@ -118,7 +120,8 @@ def _gate_index_mf(spark, sf_dir):
         )
         build_index(
             spark, corpus, tmp, num_buckets=8, fields=["text", "lang"],
-            build_positions=True,
+            build_positions=True, build_blocks=True,
+            salt_threshold=200, num_salts=4, block_size=16,
         )
         os.makedirs(os.path.dirname(root), exist_ok=True)
         try:
@@ -951,6 +954,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_indexed_topk"] = bm25_indexed("table spark", 10)
     q["bm25_indexed_and"] = bm25_indexed("table spark vector", 10, "AND")
     q["bm25_indexed_wand"] = bm25_indexed("customer query group", 10, wand=True)
+
+    def bm25_mf_wand(s, d):
+        """Block-max WAND on a MULTI-FIELD index's text field (round 3:
+        per-field block metadata) — the text field of the mf index must
+        score exactly like a single-field index, so the plain bm25_sql
+        oracle applies."""
+        from solr_spark.query.wand import bm25_topk_wand
+
+        idx = _gate_index_mf(s, d)
+        return _round4_topk(
+            bm25_topk_wand(idx, "customer query group", k=100, field="text"), 10
+        )
+
+    q["bm25_indexed_mf_wand"] = bm25_mf_wand
 
     def search_indexed(s, d):
         from solr_spark.query.search_api import search
@@ -2045,6 +2062,7 @@ scored AS (
     o["bm25_indexed_topk"] = G.bm25_sql("table spark", 10)
     o["bm25_indexed_and"] = G.bm25_sql("table spark vector", 10, "AND")
     o["bm25_indexed_wand"] = G.bm25_sql("customer query group", 10)
+    o["bm25_indexed_mf_wand"] = G.bm25_sql("customer query group", 10)
     o["search_indexed_boolean"] = f"""
         WITH {scored_cte(['table', 'spark'])},
         banned AS (SELECT DISTINCT docid FROM post WHERE term = 'vector'),

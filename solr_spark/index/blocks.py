@@ -129,15 +129,23 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def make_block_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
+def make_block_encoder(avgdl, block_size: int = BLOCK_SIZE):
     """Returns a mapInPandas function that streams partition-sorted
     postings (tid, salt, docid, tf, dl_q, bucket; sorted by tid, salt,
     docid within the partition) into block rows.
+
+    `avgdl` is a float on single-field indexes. On MULTI-FIELD indexes
+    pass a sequence indexed by field ordinal and include a `fid` column
+    in the input: tf_part (and hence the block-max metadata) must use
+    the posting's FIELD's average length (per-field norms — the Lucene
+    per-field similarity). A tid belongs to exactly one (field, term),
+    so fid is constant within every (tid, salt) group.
 
     Carries the trailing incomplete (tid, salt) group across Arrow batch
     boundaries; group keys never span partitions because the input is
     repartitioned on (tid, salt).
     """
+    avgdl_arr = None if isinstance(avgdl, float) else np.asarray(avgdl, dtype=np.float64)
 
     def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -153,11 +161,21 @@ def make_block_encoder(avgdl: float, block_size: int = BLOCK_SIZE):
             tfs = pdf["tf"].to_numpy(dtype=np.int64)
             dlqs = pdf["dl_q"].to_numpy(dtype=np.float64)
             buckets = pdf["bucket"].to_numpy()
+            fids = (
+                pdf["fid"].to_numpy(dtype=np.int64)
+                if avgdl_arr is not None
+                else None
+            )
             for lo, hi in zip(bounds[:-1], bounds[1:]):
+                adl = (
+                    float(avgdl_arr[fids[lo]])
+                    if avgdl_arr is not None
+                    else avgdl
+                )
                 out.extend(
                     encode_posting_list(
                         int(tids[lo]), int(salts[lo]), int(buckets[lo]),
-                        docids[lo:hi], tfs[lo:hi], dlqs[lo:hi], avgdl,
+                        docids[lo:hi], tfs[lo:hi], dlqs[lo:hi], adl,
                         block_size,
                     )
                 )

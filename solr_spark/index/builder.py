@@ -334,13 +334,20 @@ class Index:
             .where(F.col("field").isin(flds))
             .collect()
         )
-        return {
-            (r["field"], r["term"]): {
-                "tid": r["tid"], "df": r["df"], "cttf": r["cttf"],
-            }
-            for r in rows
-            if (r["field"], r["term"]) in want
-        }
+        out = {}
+        for r in rows:
+            if (r["field"], r["term"]) not in want:
+                continue
+            d = {"tid": r["tid"], "df": r["df"], "cttf": r["cttf"]}
+            if "mtp" in r.__fields__:
+                d["mtp"] = r["mtp"]
+                d["skips"] = (
+                    [(s["m"], s["nd"]) for s in r["skips"]]
+                    if r["skips"] is not None
+                    else None
+                )
+            out[(r["field"], r["term"])] = d
+        return out
 
 
 def _analyze_docs(corpus: DataFrame, fields: list[str] | None = None) -> DataFrame:
@@ -406,8 +413,9 @@ def _postings_from_docs(
 
     Multi-field mode: tid = xxhash64(field, term), so the field lives
     INSIDE the 64-bit key — postings/positions keep the exact single-
-    field schema and shuffle width (no field column in any exchange);
-    dl_q carries the FIELD's quantized length (per-field norms).
+    field schema and shuffle width except a 4-byte `fid` ordinal the
+    block encoder needs for per-field avgdl (dropped at the parquet
+    write); dl_q carries the FIELD's quantized length (per-field norms).
     """
     if not fields:
         return (
@@ -423,10 +431,13 @@ def _postings_from_docs(
             F.col(f"dl_q_{i}").alias("dl_q"),
             F.explode(f"_tokens_{i}").alias("term"),
         ).select(
-            "docid", "dl_q", F.xxhash64(F.lit(f), F.col("term")).alias("tid")
+            "docid",
+            "dl_q",
+            F.xxhash64(F.lit(f), F.col("term")).alias("tid"),
+            F.lit(i).cast("int").alias("fid"),
         )
         tall = part if tall is None else tall.unionByName(part)
-    return tall.groupBy("tid", "docid", "dl_q").agg(
+    return tall.groupBy("tid", "docid", "dl_q", "fid").agg(
         F.count(F.lit(1)).cast("int").alias("tf")
     )
 
@@ -563,11 +574,17 @@ def _build_index_impl(
     `fields`: index several text columns as independent per-field
     inverted indexes (tid = hash(field, term); per-field norms) — the
     schema-fields model that lets edismax/qf run against the REAL index.
-    Block-max metadata is single-field only (the block encoder bakes one
-    avgdl into tf_part), so multi-field builds skip blocks; the flat
-    scoring path serves every field.
+    Block-max metadata is per-field since round 3 (the encoder reads a
+    fid ordinal riding the in-flight postings and applies that FIELD's
+    avgdl to tf_part), enabling block-max WAND on any field of a
+    single-chunk multi-field build; chunked multi-field builds skip
+    blocks (the staged postings lose the fid) and serve every field via
+    the flat path.
     """
-    if fields:
+    if fields and num_chunks > 1:
+        # multi-field blocks need the in-flight fid ordinal (per-field
+        # avgdl in the block-max metadata); the chunked path re-reads
+        # postings from their fid-less parquet, so blocks stay off there
         build_blocks = False
     paths = IndexPaths(out_dir)
     if not resume and os.path.exists(out_dir):
@@ -656,11 +673,15 @@ def _build_index_impl(
                 .persist()
             )
             persisted.append(laid)
-            laid.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
+            # the fid ordinal (multi-field) only feeds the in-flight
+            # block encode; on-disk postings keep the field-free schema
+            laid.drop("fid").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(post_dir)
         else:
-            _postings_from_docs(docs_tok, fields).write.mode("overwrite").parquet(
-                post_dir
-            )
+            _postings_from_docs(docs_tok, fields).drop("fid").write.mode(
+                "overwrite"
+            ).parquet(post_dir)
         if build_positions:
             chunk_pos = _positions_from_docs(docs_tok, fields)
             if single:
@@ -762,6 +783,11 @@ def _build_index_impl(
         )
 
     block_meta = None
+    if fields and laid is None:
+        # resumed single-chunk multi-field build: the written postings
+        # carry no fid ordinal, so per-field block metadata cannot be
+        # rebuilt — skip blocks (flat scoring serves every field)
+        build_blocks = False
     if build_blocks and n_docs:
         head_tids = (
             postings_agg.where(F.col("df") > F.lit(salt_threshold))
@@ -798,7 +824,14 @@ def _build_index_impl(
                 shuffle_parts, "tid", "salt"
             ).sortWithinPartitions("tid", "salt", "docid")
         blocks = sorted_post.mapInPandas(
-            make_block_encoder(avgdl, bsz), schema=BLOCKS_SCHEMA
+            # multi-field: per-field avgdl array, indexed by the fid
+            # ordinal riding the in-flight postings (per-field norms in
+            # the block-max metadata)
+            make_block_encoder(
+                [avgdl_by_field[f] for f in fields] if fields else avgdl,
+                bsz,
+            ),
+            schema=BLOCKS_SCHEMA,
         )
         # encode at full width, then compact to one tid-sorted file per
         # bucket (same listing/footer + row-group-pruning rationale as

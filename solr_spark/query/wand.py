@@ -248,7 +248,7 @@ def _seed_t0(weights: dict[int, float], skips: dict[int, list], k: int) -> float
 
 def bm25_topk_wand(
     index: Index, qtext: str, k: int = 10, mode: str = "OR",
-    debug: dict | None = None,
+    debug: dict | None = None, field: str | None = None,
 ) -> DataFrame:
     """Exact top-k via block-max pruning over the encoded postings.
 
@@ -263,8 +263,15 @@ def bm25_topk_wand(
     if not qterms:
         return empty
     n_docs = index.meta["n_docs"]
-    avgdl = float(index.meta["avgdl"])
-    stats = index.term_stats_for(list(qterms))
+    if index.meta.get("fields"):
+        # multi-field: the query targets ONE field; its avgdl feeds both
+        # the block metadata (baked per field at build) and the decode
+        fld = field or index.meta["fields"][0]
+        avgdl = float(index.meta["avgdl_by_field"][fld])
+    else:
+        fld = None
+        avgdl = float(index.meta["avgdl"])
+    stats = index.term_stats_for(list(qterms), field=fld)
     present = [t for t in qterms if t in stats]
     if not present or (mode == "AND" and len(present) < len(qterms)):
         return empty
@@ -277,7 +284,7 @@ def bm25_topk_wand(
     mtps = {tid_of[t]: stats[t].get("mtp") for t in present}
     if any(m is None for m in mtps.values()):
         # index built without blocks metadata — flat path
-        return bm25_topk(index, qtext, k, mode)
+        return bm25_topk(index, qtext, k, mode, field=field)
     skips = {tid_of[t]: stats[t].get("skips") or [] for t in present}
     ub = {g: weights[g] * float(mtps[g]) for g in weights}
     ptids = list(weights)
@@ -298,7 +305,7 @@ def bm25_topk_wand(
     if not non_essential:
         # nothing prunable: the flat path is strictly cheaper than
         # decode-everything (single term, AND mode, weak T0, huge k)
-        return bm25_topk(index, qtext, k, mode)
+        return bm25_topk(index, qtext, k, mode, field=field)
     if debug is not None:
         debug["present"] = list(present)
         debug["essential"] = [t for t in present if tid_of[t] in essential]
@@ -323,7 +330,7 @@ def bm25_topk_wand(
         # queries with small idf spread): any pruned formulation decodes
         # nearly as much as the flat scan and pays extra plumbing — known
         # from stats alone, so bail before touching any data
-        return bm25_topk(index, qtext, k, mode)
+        return bm25_topk(index, qtext, k, mode, field=field)
     if total_volume <= DRIVER_DECODE_MAX_POSTINGS:
         return _wand_driver(
             index, weights, ub, essential, non_essential, t0, k, avgdl, debug
@@ -408,7 +415,7 @@ def bm25_topk_wand(
         (r["docid"], r["s_hat"]) for r in pre if r["_bound"] >= thresh - EPS
     ]
     if len(pre) == cap and pre[-1]["_bound"] >= thresh - EPS:
-        return bm25_topk(index, qtext, k, mode)  # cap overflow: exact fallback
+        return bm25_topk(index, qtext, k, mode, field=field)  # cap overflow: exact fallback
     if not cand_rows:
         return empty
     cand = spark.createDataFrame(cand_rows, "docid long, s_hat double")
@@ -453,4 +460,4 @@ def bm25_topk_auto(index: Index, qtext: str, k: int = 10, mode: str = "OR") -> D
     """Route: pruned path when blocks exist, flat path otherwise."""
     if index.meta.get("has_blocks"):
         return bm25_topk_wand(index, qtext, k, mode)
-    return bm25_topk(index, qtext, k, mode)
+    return bm25_topk(index, qtext, k, mode, field=field)

@@ -74,3 +74,43 @@ def test_pruning_skips_work(index):
     assert dbg.get("essential"), dbg
     assert "return" not in dbg["essential"], dbg
     assert dbg["blocks_decoded"] < dbg["blocks_total"], dbg
+
+
+def test_multifield_wand_equals_flat_and_single_field(spark, tmp_path):
+    """Round-3: per-field block-max metadata (fid-aware encoder) — the
+    pruned path must equal the flat path on EVERY field of a multi-field
+    index, and the content field must score identically to a
+    single-field index of the same column (per-field avgdl correct)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.engine import bm25_topk
+    from solr_spark.query.wand import bm25_topk_wand
+    from solr_spark.sources.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 1500, seed=5, partitions=4).withColumn(
+        "title", F.concat_ws(" ", F.col("path"), F.col("lang"))
+    )
+    mf = build_index(
+        spark, corpus.select("repo", "path", "commit", "content", "title"),
+        str(tmp_path / "mf"), num_buckets=4, salt_threshold=400, num_salts=4,
+        fields=["content", "title"], build_blocks=True,
+    )
+    assert mf.meta["has_blocks"]
+    sf = build_index(
+        spark, corpus.select("repo", "path", "commit", "content"),
+        str(tmp_path / "sf"), num_buckets=4, salt_threshold=400, num_salts=4,
+        build_blocks=True,
+    )
+    for q in ["jsonParser bufferSize", "return import", "parseShard7 return"]:
+        for field in ["content", "title"]:
+            flat = [(r.docid, round(r.score, 9))
+                    for r in bm25_topk(mf, q, k=10, field=field).collect()]
+            wand = [(r.docid, round(r.score, 9))
+                    for r in bm25_topk_wand(mf, q, k=10, field=field).collect()]
+            assert flat == wand, (q, field)
+        mfc = [(r.docid, round(r.score, 9))
+               for r in bm25_topk(mf, q, k=10, field="content").collect()]
+        sfc = [(r.docid, round(r.score, 9))
+               for r in bm25_topk(sf, q, k=10).collect()]
+        assert mfc == sfc, q
