@@ -22,26 +22,26 @@ analogue, and unknown names raise):
   compare:    min, max
   logic:      if, exists, not, and, or, xor, def
   mapping:    map(x,min,max,target[,default]), linear(x,m,c),
-              scale(x,minT,maxT) (global min/max via an unpartitioned
-              window — two-pass in Solr too; see note on scale below)
+              scale(x,minT,maxT) — corpus min/max run as ONE parallel
+              aggregate at parse time and fold in as literals
+              (parse_func(expr, df=...); no single-partition window)
   compare:    gt, lt, gte, lte, eq (booleans, ValueSourceParser.java
               ComparisonBoolFunction registrations)
-  ordinals:   ord(x), rord(x) — dense rank of the value in the sorted
-              value space (unpartitioned window, like scale)
+  ordinals:   ord(x), rord(x) — dense rank over the whole frame; a real
+              global rank, so they raise without allow_rank=True
   time:       ms(a[,b]) — epoch millis of a, or a-b millis
-  geo:        geodist(lat1,lon1,lat2,lon2) — haversine km (the sfield
-              form needs a schema; the 4-arg form is the primitive)
+  geo/dist:   geodist(lat1,lon1,lat2,lon2) haversine km; dist(p, xs,
+              ys) Minkowski; sqedist; rad; deg
   strings:    strdist(a,b,edit), concat
   fields:     bare name -> column; field(name); numeric literal;
               'quoted' literal
   index ctx:  docfreq(field,'term'), totaltermfreq(field,'term'),
-              idf(field,'term'), numdocs() — resolved at parse time
-              against the term dictionary via parse_func(expr, index=)
-
-scale/ord/rord use a WHOLE-FRAME window (single partition): correct and
-exactly Solr's semantics (which also needs a full pass for min/max /
-ordinals), but at 100 TB precompute the aggregate separately and
-broadcast it instead of putting these in a hot path.
+              idf(field,'term'), numdocs(), maxdoc(),
+              sumtotaltermfreq(field) — resolved at parse time against
+              the term dictionary via parse_func(expr, index=)
+  per-doc:    query('q'[,default]), tf/termfreq(field,'term'),
+              norm(field) — docid-keyed joins against score/postings/
+              docs subplans via parse_func_df(expr, df, index=...)
 """
 
 from __future__ import annotations
@@ -276,7 +276,23 @@ _CTX_REGISTRY: dict[str, tuple[int, int, object]] = {
     "ttf": (2, 2, _ctx_docstat("totaltermfreq")),
     "idf": (2, 2, _ctx_docstat("idf")),
     "numdocs": (0, 0, lambda raws, index: F.lit(float(index.meta["n_docs"]))),
+    # no deletes in this engine, so maxdoc == numdocs (Solr maxdoc counts
+    # deleted slots too)
+    "maxdoc": (0, 0, lambda raws, index: F.lit(float(index.meta["n_docs"]))),
+    "sumtotaltermfreq": (1, 1, lambda raws, index: _sttf(raws, index)),
+    "sttf": (1, 1, lambda raws, index: _sttf(raws, index)),
 }
+
+
+def _sttf(raws, index):
+    """sumtotaltermfreq(field): total token count of the field — a
+    vocabulary-sized dictionary aggregate resolved at parse time
+    (SumTotalTermFreqValueSource)."""
+    fld = _need_str(raws[0], "sumtotaltermfreq", 0)
+    row = index.term_dictionary(
+        fld if index.meta.get("fields") else None
+    ).agg(F.sum("cttf").alias("s")).collect()[0]
+    return F.lit(float(row["s"] or 0.0))
 
 
 #: PER-DOC index value sources (ValueSourceParser.java:350-420
@@ -284,7 +300,12 @@ _CTX_REGISTRY: dict[str, tuple[int, int, object]] = {
 #: against a score/postings/docs subplan, which a bare Column cannot
 #: carry — parse through parse_func_df, which collects the subplans and
 #: joins them onto the target frame once each
-_PERDOC_ARITY = {"query": (1, 2), "tf": (2, 2), "norm": (1, 1)}
+#: termfreq(f,t) is Solr's RAW per-doc tf; this engine's tf(f,t) also
+#: returns the raw tf (Solr's tf() applies the similarity's tf() curve;
+#: compose e.g. div(tf(...), add(tf(...), 1.2)) for a BM25-ish shape)
+_PERDOC_ARITY = {
+    "query": (1, 2), "tf": (2, 2), "termfreq": (2, 2), "norm": (1, 1),
+}
 
 
 def _perdoc_frame(name, args, raws, index, tag):
@@ -303,9 +324,9 @@ def _perdoc_frame(name, args, raws, index, tag):
             "docid", F.round("score", 9).alias(tag)
         )
         return frame, default
-    if name == "tf":
-        fld = _need_str(raws[0], "tf", 0)
-        term = _need_str(raws[1], "tf", 1)
+    if name in ("tf", "termfreq"):
+        fld = _need_str(raws[0], name, 0)
+        term = _need_str(raws[1], name, 1)
         if index.meta.get("fields"):
             st = index.term_stats_fielded([(fld, term)]).get((fld, term))
         else:

@@ -830,3 +830,28 @@ def test_func_dist_family(spark):
     assert abs(r["rd"] - math.pi) < 1e-12
     with pytest.raises(FuncParseError):
         parse_func("dist(2,x,y,0)")  # odd point vector
+
+
+def test_ctx_maxdoc_sttf_termfreq(spark, tmp_path):
+    from solr_spark.functions.valuesources import parse_func, parse_func_df
+    from solr_spark.index.builder import build_index
+    from solr_spark.sources.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 150, seed=9, partitions=2)
+    idx = build_index(spark, corpus, str(tmp_path / "cx"), num_buckets=4,
+                      build_blocks=False)
+    one = spark.range(1)
+    r = one.select(
+        parse_func("maxdoc()", index=idx).alias("md"),
+        parse_func("sumtotaltermfreq('content')", index=idx).alias("st"),
+    ).collect()[0]
+    assert r["md"] == 150.0
+    total_tokens = idx.docs().agg(F.sum("doclen")).collect()[0][0]
+    assert r["st"] == float(total_tokens)
+    # termfreq == tf (both raw per-doc term frequency)
+    docs = idx.docs().select("docid")
+    d1, c1 = parse_func_df("termfreq('content','return')", docs, index=idx)
+    d2, c2 = parse_func_df("tf('content','return')", docs, index=idx)
+    a = sorted((r["docid"], r["v"]) for r in d1.select("docid", c1.alias("v")).collect())
+    b = sorted((r["docid"], r["v"]) for r in d2.select("docid", c2.alias("v")).collect())
+    assert a == b
