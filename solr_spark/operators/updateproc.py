@@ -336,3 +336,41 @@ def infer_schema_fields(
         else:
             chosen[c] = "string"
     return out, chosen
+
+
+#: Solr's stock dynamic-field suffix conventions (managed-schema
+#: defaults), reduced to Spark types
+DEFAULT_DYNAMIC_RULES = (
+    ("*_i", "int"),
+    ("*_is", "array<int>"),
+    ("*_l", "bigint"),
+    ("*_f", "float"),
+    ("*_d", "double"),
+    ("*_b", "boolean"),
+    ("*_dt", "timestamp"),
+    ("*_s", "string"),
+    ("*_ss", "array<string>"),
+    ("*_t", "string"),
+)
+
+
+def dynamic_field_types(
+    df: DataFrame,
+    rules: tuple[tuple[str, str], ...] = DEFAULT_DYNAMIC_RULES,
+) -> tuple[DataFrame, dict[str, str]]:
+    """Dynamic-field typing (solr/core/src/java/org/apache/solr/schema/
+    IndexSchema.java:136-138 dynamicFields: the FIRST matching glob
+    pattern decides an unknown field's type — Solr's `*_i -> pint`
+    suffix conventions). Matching columns try_cast to the rule's type
+    (unparseable values -> null, the explicit-miss policy parse_date
+    uses); non-matching columns pass through. Pure projection — no
+    shuffle, no data pass. Returns (typed_df, {col: type})."""
+    chosen: dict[str, str] = {}
+    out = df
+    for c in df.columns:
+        for pat, t in rules:
+            if fnmatch.fnmatchcase(c, pat):
+                chosen[c] = t
+                out = out.withColumn(c, F.col(c).try_cast(t))
+                break
+    return out, chosen

@@ -855,3 +855,23 @@ def test_ctx_maxdoc_sttf_termfreq(spark, tmp_path):
     a = sorted((r["docid"], r["v"]) for r in d1.select("docid", c1.alias("v")).collect())
     b = sorted((r["docid"], r["v"]) for r in d2.select("docid", c2.alias("v")).collect())
     assert a == b
+
+
+def test_dynamic_field_types(spark):
+    from solr_spark.operators.updateproc import dynamic_field_types
+
+    df = spark.createDataFrame(
+        [("7", "1.5", "true", "2024-01-02 03:04:05", "x", "free")],
+        "count_i string, score_d string, ok_b string, seen_dt string, "
+        "name_s string, other string",
+    )
+    typed, chosen = dynamic_field_types(df)
+    assert chosen == {"count_i": "int", "score_d": "double",
+                      "ok_b": "boolean", "seen_dt": "timestamp",
+                      "name_s": "string"}
+    s = dict(typed.dtypes)
+    assert s["count_i"] == "int" and s["score_d"] == "double"
+    assert s["ok_b"] == "boolean" and s["seen_dt"] == "timestamp"
+    assert s["other"] == "string"  # no rule matched: untouched
+    r = typed.collect()[0]
+    assert r["count_i"] == 7 and r["ok_b"] is True
