@@ -334,7 +334,7 @@ def test_multifield_index_edismax(spark, tmp_path):
         fields=["text", "head"], build_positions=True,
     )
     assert idx.meta["fields"] == ["text", "head"]
-    assert not idx.meta["has_blocks"]  # blocks are single-field only
+    assert idx.meta["has_blocks"]  # per-field block metadata since r3
     assert set(idx.meta["avgdl_by_field"]) == {"text", "head"}
 
     # per-field norms differ: same term scores differently per field
