@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _tok(s, d)
     ).orderBy("docid")
     q["dedup_lsh_pairs"] = lambda s, d: D.lsh_candidate_pairs(_tok(s, d))
+    q["dedup_clusters"] = lambda s, d: D.near_dup_clusters(
+        D.lsh_candidate_pairs(_tok(s, d), ordered=False)
+    ).orderBy("docid")
     q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
         _tok(s, d), n=3, top=20
     )
@@ -1719,8 +1722,7 @@ def oracle_sql() -> dict[str, str]:
     for bi in range(D.NUM_HASHES // D.BAND_SIZE):
         cols = "||'|'||".join(f"h{bi * D.BAND_SIZE + j}" for j in range(D.BAND_SIZE))
         band_exprs.append(f"({bi}, md5({cols}))")
-    o["dedup_lsh_pairs"] = f"""
-        WITH {_DOC_TOKS_SQL}, {_POST_SQL},
+    _lsh_pairs_ctes = f"""{_DOC_TOKS_SQL}, {_POST_SQL},
         sig AS (SELECT docid, {minhash_cols} FROM post GROUP BY docid),
         bands AS (
           SELECT docid, b.* FROM sig,
@@ -1741,8 +1743,23 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT hub AS a, docid AS b FROM tagged
           WHERE n > {D.MAX_BAND} AND docid <> hub
-        )
+        )"""
+    o["dedup_lsh_pairs"] = f"""
+        WITH {_lsh_pairs_ctes}
         SELECT DISTINCT a, b FROM pairs ORDER BY a, b"""
+    # transitive closure of the SAME pair set -> min-docid cluster labels
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE {_lsh_pairs_ctes},
+        uniq AS (SELECT DISTINCT a, b FROM pairs),
+        edges AS (SELECT a AS u, b AS v FROM uniq
+                  UNION SELECT b, a FROM uniq),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT reach.u, e.v FROM reach JOIN edges e ON reach.v = e.u
+        )
+        SELECT u AS docid, least(u, min(v)) AS cluster
+        FROM reach GROUP BY u ORDER BY docid"""
 
     o["dedup_ngram_jaccard"] = f"""
         WITH {_DOC_TOKS_SQL},

@@ -352,3 +352,70 @@ def embedding_near_dups_lsh(
         .where(F.col("sim") >= threshold)
         .orderBy("a", "b")
     )
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive near-dup clusters from candidate pairs:
+    (docid, cluster) with cluster = MIN docid of the connected
+    component. The keep-one-per-group step downstream of exact/minhash/
+    embedding dedup (SignatureUpdateProcessorFactory drops exact dups
+    one-by-one; near-dup curation needs the transitive closure — which
+    is exactly what the hub-spoke capped pair sets preserve).
+
+    Algorithm: min-label propagation. labels start as self; each round
+    every node takes the min of its label and its neighbors' labels —
+    one postings-sized join + one groupBy per round, converging in
+    graph-diameter rounds (hub-spoke stars have diameter 2, so capped
+    LSH output converges almost immediately). Rounds stop early at a
+    fixpoint; localCheckpoint every round truncates the iterative
+    lineage (the standard Spark CC shape, GraphFrames-free).
+    `max_iter` bounds pathological chains; raise it for path-shaped
+    graphs deeper than 2^?: propagation moves min labels one hop per
+    round. Docs in NO pair are absent (singletons are their own
+    cluster by definition)."""
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.join(labels, edges["u"] == labels["id"])
+                .select(F.col("v").alias("id"), "label")
+                .groupBy("id")
+                .agg(F.min("label").alias("_nl"))
+            )
+            new_labels = (
+                labels.join(neigh, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("id").alias("docid"), F.col("label").alias("cluster")
+    )

@@ -81,3 +81,23 @@ def test_embedding_lsh_dense_bucket_emits_star_not_quadratic(spark):
         max_bucket=10**6,
     )
     assert sum(1 for r in full.collect() if r.b < 200) == 100 * 99 // 2
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Min-label propagation: chains merge transitively, components get
+    the min docid as label, disjoint components stay apart."""
+    from solr_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    got = {r.docid: r.cluster for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    # a path of diameter 7 needs multiple propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 37)], "a long, b long"
+    )
+    got2 = {r.docid: r.cluster for r in near_dup_clusters(chain).collect()}
+    assert set(got2.values()) == {30} and len(got2) == 8
