@@ -317,6 +317,21 @@ def _eval_bool(index: Index, node: BoolNode, now=None) -> DataFrame:
     return agg
 
 
+def _parse_sort(sort: str) -> list[tuple[str, bool]]:
+    """Solr sort syntax: 'field1 asc, field2 desc' ('score' allowed)."""
+    out = []
+    for part in sort.split(","):
+        bits = part.split()
+        if not bits:
+            continue
+        fld = bits[0]
+        direction = bits[1].lower() if len(bits) > 1 else "asc"
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"bad sort direction {direction!r} in {sort!r}")
+        out.append((fld, direction == "asc"))
+    return out
+
+
 def search(
     index: Index,
     q: str,
@@ -324,23 +339,34 @@ def search(
     with_payload: bool = False,
     default_op: str = "OR",
     now=None,
+    sort: str | None = None,
 ) -> DataFrame:
     """Execute a lucene-syntax query string against the index.
 
     `now` pins NOW for date-math range endpoints (the CommonParams.NOW
-    analogue a distributed Solr request carries)."""
+    analogue a distributed Solr request carries). `sort` is the Solr
+    sort param ('price desc, score desc'; default 'score desc'): stored
+    fields join in from the docs table before the top-k, so the
+    TakeOrderedAndProject heap still bounds the result — never a full
+    collect-then-sort."""
     ast = parse_ast(q, default_op)
     agg = _eval_bool(index, ast, now)
-    result = (
-        agg.orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
-        .limit(k)
-        .select("docid", F.round("score", 4).alias("score"))
-    )
+    keys = _parse_sort(sort) if sort else [("score", False)]
+    need_fields = [f for f, _ in keys if f not in ("score", "docid")]
+    scored = agg.select("docid", F.round("score", 4).alias("score"))
+    if need_fields:
+        scored = scored.join(
+            index.docs().select("docid", *need_fields), "docid", "left"
+        )
+    order = [
+        (F.asc(f) if asc else F.desc(f)) for f, asc in keys
+    ] + [F.asc("docid")]
+    result = scored.orderBy(*order).limit(k).select("docid", "score")
     if with_payload:
         payload_cols = [c for c in index.docs().columns if c != "docid"]
         result = (
             result.join(index.docs(), "docid", "left")
             .select("docid", "score", *payload_cols)
-            .orderBy(F.desc("score"), F.asc("docid"))
+            .orderBy(*order)  # payload brings the sort fields back
         )
     return result

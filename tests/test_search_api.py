@@ -221,3 +221,31 @@ def test_datemath_range_filter(spark, tmp_path):
     got2 = search(idx, "common AND ts:{2024-03-12T06:00:00Z TO *]", k=10, now=now)
     docs2 = {r["docid"] for r in got2.collect()}
     assert docs2 == {stored[f"p{i}"] for i in range(3, 6)}
+
+
+def test_search_custom_sort(spark, tmp_path):
+    """Solr sort param: stored-field sort joins the docs table before
+    the bounded top-k; score remains available as a sort key."""
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.search_api import search
+
+    rows = [("r", f"p{i}", "c", 100 - i, "alpha beta gamma") for i in range(20)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, rank int, content string"
+    )
+    idx = build_index(spark, corpus, str(tmp_path / "srt"), num_buckets=4,
+                      build_blocks=False)
+    asc = search(idx, "alpha", k=5, sort="rank asc").collect()
+    stored = {r["path"]: (r["docid"], r["rank"]) for r in idx.docs().collect()}
+    # rank ascending = paths p19..p15
+    assert [r["docid"] for r in asc] == [stored[f"p{i}"][0] for i in (19, 18, 17, 16, 15)]
+    two = search(idx, "alpha", k=3, sort="score desc, rank desc").collect()
+    # all scores tie -> rank desc decides: p0, p1, p2
+    assert [r["docid"] for r in two] == [stored[f"p{i}"][0] for i in (0, 1, 2)]
+    # plan still bounds the result (TakeOrderedAndProject, no global sort)
+    plan = search(idx, "alpha", k=5, sort="rank asc")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        search(idx, "alpha", sort="rank sideways")
