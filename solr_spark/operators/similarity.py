@@ -263,3 +263,68 @@ def ivf_recall_at_k(
     return emb.sparkSession.createDataFrame(
         [(k, hits / float(k))], "k long, recall double"
     )
+
+
+def ivf_build(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF index: embeddings written PARTITIONED BY cell
+    (nearest centroid) plus a tiny `centroids` parquet beside them — the
+    production ANN shape: assignment runs once at ingest, and a query
+    that probes p of C cells READS p/C of the data (partition pruning,
+    like the term-bucket layout on the text side). Train on a sample at
+    scale (`sample_fraction`)."""
+    spark = emb.sparkSession
+    cents = train_ivf_centroids(
+        emb, n_cells, seed, sample_fraction=sample_fraction
+    )
+    (
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    (
+        ivf_assign(emb, cents)
+        .repartition(n_cells, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index: rank the stored centroids
+    driver-side (tiny), scan ONLY the probed cells' partitions (the
+    `cell IN (...)` filter prunes partition directories), exact cosine
+    inside them. No training, no full-table scan, no model object."""
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    dists = sorted(
+        (sum((a - b) ** 2 for a, b in zip(query_vec, c)), i)
+        for i, c in cents.items()
+    )
+    probes = [i for _, i in dists[: max(1, n_probe)]]
+    cand = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("cell").isin(probes))
+        .drop("cell")
+    )
+    return cosine_topk(cand, query_vec, k, id_col)

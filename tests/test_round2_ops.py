@@ -875,3 +875,42 @@ def test_dynamic_field_types(spark):
     assert s["other"] == "string"  # no rule matched: untouched
     r = typed.collect()[0]
     assert r["count_i"] == 7 and r["ok_b"] is True
+
+
+def test_ivf_build_search_persisted(spark, tmp_path):
+    """IVF index persistence: build once (partitioned by cell), search
+    in a fresh session state from the parquet alone; probing all cells
+    must equal exact brute force, and the probed scan must prune cell
+    partitions in the plan."""
+    import hashlib
+    import struct
+
+    from solr_spark.operators.similarity import cosine_topk, ivf_build, ivf_search
+
+    def vec(i, dim=8):
+        out = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).digest()
+            out.append(struct.unpack("<i", h[:4])[0] / 2**31)
+        return out
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(400)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, path, n_cells=8)
+    q = vec(123)
+    s2 = spark.newSession()
+    # all cells probed == exact
+    full = [r["vec_id"] for r in ivf_search(s2, path, q, k=5, n_probe=8).collect()]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    assert full == exact and exact[0] == 123
+    # few probes: the true hit's own cell is always probed first
+    few = [r["vec_id"] for r in ivf_search(s2, path, q, k=5, n_probe=1).collect()]
+    assert few[0] == 123
+    # partition pruning: the scan plan carries the cell IN filter
+    plan = (
+        ivf_search(s2, path, q, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "cell" in plan
