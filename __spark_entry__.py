@@ -226,6 +226,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the index-free inline path stays externally oracled via its own entry
     q["bm25_inline_or"] = _bm25_inline("spark hash window merge", 10)
 
+    def analysis_filters_entry(s, d):
+        """Optional StopFilter + SynonymFilter stages over the base
+        chain (three-form parity: Column == Python == DuckDB)."""
+        from solr_spark.analysis.analyzer import (
+            stop_filter_col, synonym_filter_col,
+        )
+        from solr_spark.query.inline import doc_tokens
+
+        sw = ["the", "a", "of", "and"]
+        syn = {"js": "javascript", "py": "python"}
+        toks = doc_tokens(_docs(s, d), id_col="doc_id", text_col="text")
+        filtered = synonym_filter_col(
+            stop_filter_col(F.col("toks"), sw), syn
+        )
+        return (
+            toks.select(
+                "docid",
+                F.size(filtered).alias("n_toks"),
+                F.element_at(filtered, 1).alias("first_tok"),
+            )
+            .where(F.col("docid") < 300)
+            .orderBy("docid")
+        )
+
+    q["analysis_filters"] = analysis_filters_entry
+
     # --- term dictionary / relevance ---
     q["terms_top_df"] = lambda s, d: R.terms_component(_tok(s, d), limit=20)
     q["significant_terms"] = lambda s, d: R.significant_terms(
@@ -1568,6 +1594,17 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_and_with_absent"] = G.bm25_sql("table zzzqqqnope", 10, "AND")
     o["bm25_dup_terms"] = G.bm25_sql("spark spark window", 10)
     o["bm25_inline_or"] = G.bm25_sql("spark hash window merge", 10)
+    from solr_spark.analysis.analyzer import stop_filter_sql, synonym_filter_sql
+
+    _filtered_toks = synonym_filter_sql(
+        stop_filter_sql(tokens_sql("text"), ["the", "a", "of", "and"]),
+        {"js": "javascript", "py": "python"},
+    )
+    o["analysis_filters"] = f"""
+        SELECT doc_id::BIGINT AS docid,
+               len({_filtered_toks})::INT AS n_toks,
+               ({_filtered_toks})[1] AS first_tok
+        FROM documents WHERE doc_id < 300 ORDER BY docid"""
 
     o["terms_top_df"] = G.terms_top_df_sql(20)
     o["significant_terms"] = G.significant_terms_sql("spark", 3, 15)

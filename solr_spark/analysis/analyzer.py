@@ -91,3 +91,57 @@ def tokens_sql(col_expr: str) -> str:
         f"list_filter(regexp_split_to_array(lower({e}), '{_TOKEN_SEP}'),"
         f" _tok -> _tok <> '')"
     )
+
+
+# ---- optional filter stages (same three-form contract) ----
+#
+# Roles of StopFilterFactory and SynonymGraphFilterFactory in the
+# reference's analysis chains (managed-schema.xml text_en types; filter
+# classes are public Lucene behavior). Both are OPTIONAL stages layered
+# over the base chain — the default chain stays filter-free (the
+# `_default` configset ships an empty stopword set), so every existing
+# index/oracle is unchanged. Synonyms here are the single-token
+# canonical-mapping form (a -> b); multi-token graph expansion changes
+# token positions and is out of scope (documented).
+
+
+def stop_filter_col(toks: Column, stopwords: list[str]) -> Column:
+    """Drop stopwords from a token array (JVM-side)."""
+    if not stopwords:
+        return toks
+    return F.filter(toks, lambda t: ~t.isin(*stopwords))
+
+
+def stop_filter_py(toks: list[str], stopwords: list[str]) -> list[str]:
+    sw = set(stopwords)
+    return [t for t in toks if t not in sw]
+
+
+def stop_filter_sql(expr: str, stopwords: list[str]) -> str:
+    if not stopwords:
+        return expr
+    inlist = ",".join(f"'{w}'" for w in stopwords)
+    return f"list_filter({expr}, _sf -> _sf NOT IN ({inlist}))"
+
+
+def synonym_filter_col(toks: Column, mapping: dict[str, str]) -> Column:
+    """Map each token to its canonical synonym (JVM-side)."""
+    if not mapping:
+        return toks
+    m = F.create_map(
+        *[x for k, v in sorted(mapping.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    return F.transform(toks, lambda t: F.coalesce(m[t], t))
+
+
+def synonym_filter_py(toks: list[str], mapping: dict[str, str]) -> list[str]:
+    return [mapping.get(t, t) for t in toks]
+
+
+def synonym_filter_sql(expr: str, mapping: dict[str, str]) -> str:
+    if not mapping:
+        return expr
+    cases = " ".join(
+        f"WHEN _sy = '{k}' THEN '{v}'" for k, v in sorted(mapping.items())
+    )
+    return f"list_transform({expr}, _sy -> CASE {cases} ELSE _sy END)"

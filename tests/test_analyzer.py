@@ -65,3 +65,33 @@ def test_python_vs_spark(spark):
 )
 def test_known_tokens(text, expected):
     assert tokenize_py(text) == expected
+
+
+def test_filter_stages_three_way_parity(spark):
+    """stopword + synonym stages agree across Column / Python / DuckDB
+    forms, composed over the base chain."""
+    import duckdb
+
+    from solr_spark.analysis.analyzer import (
+        stop_filter_col, stop_filter_py, stop_filter_sql,
+        synonym_filter_col, synonym_filter_py, synonym_filter_sql,
+        tokenize_py, tokens_col, tokens_sql,
+    )
+
+    sw = ["the", "a", "of"]
+    syn = {"colour": "color", "utilise": "use"}
+    texts = [
+        "The Colour of a parseTree", "utilise theUtils", "a the of",
+        "plainWords only",
+    ]
+    con = duckdb.connect()
+    for txt in texts:
+        py = synonym_filter_py(stop_filter_py(tokenize_py(txt), sw), syn)
+        df = spark.createDataFrame([(txt,)], "t string")
+        col = synonym_filter_col(stop_filter_col(tokens_col("t"), sw), syn)
+        jv = df.select(col.alias("x")).collect()[0]["x"]
+        sql = synonym_filter_sql(stop_filter_sql(tokens_sql("t"), sw), syn)
+        dk = con.execute(
+            f"SELECT ({sql}) FROM (SELECT ? AS t)", [txt]
+        ).fetchone()[0]
+        assert py == jv == list(dk), (txt, py, jv, dk)
