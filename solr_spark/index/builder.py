@@ -41,7 +41,11 @@ from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solr_spark.analysis.analyzer import tokens_col
+from solr_spark.analysis.analyzer import (
+    stop_filter_col,
+    synonym_filter_col,
+    tokens_col,
+)
 from solr_spark.functions.smallfloat import quantize_col
 from solr_spark.index.blocks import BLOCKS_SCHEMA, make_block_encoder
 
@@ -263,6 +267,25 @@ class Index:
         b = self.meta["num_buckets"]
         return sorted({tid_bucket_py(t, b) for t in tids})
 
+    def analyze(self, text: str) -> list[str]:
+        """Analyze text with THIS index's chain: the base chain plus
+        any stopword/synonym config stored at build time (meta keys
+        `stopwords` / `synonyms`). Query-side code must analyze through
+        the index handle so both sides agree — Solr pairs index/query
+        analyzers in the same fieldType for the same reason."""
+        from solr_spark.analysis.analyzer import (
+            stop_filter_py, synonym_filter_py, tokenize_py,
+        )
+
+        toks = tokenize_py(text)
+        sw = self.meta.get("stopwords")
+        if sw:
+            toks = stop_filter_py(toks, sw)
+        syn = self.meta.get("synonyms")
+        if syn:
+            toks = synonym_filter_py(toks, syn)
+        return toks
+
     def term_dictionary(self, field: str | None = None) -> DataFrame:
         """The term_stats frame restricted to ONE field's dictionary.
 
@@ -350,7 +373,12 @@ class Index:
         return out
 
 
-def _analyze_docs(corpus: DataFrame, fields: list[str] | None = None) -> DataFrame:
+def _analyze_docs(
+    corpus: DataFrame,
+    fields: list[str] | None = None,
+    stopwords: list[str] | None = None,
+    synonyms: dict[str, str] | None = None,
+) -> DataFrame:
     """corpus (+docid) -> docs with tokens materialized once.
 
     Multi-field mode (`fields`): one token array per field plus per-field
@@ -359,8 +387,16 @@ def _analyze_docs(corpus: DataFrame, fields: list[str] | None = None) -> DataFra
     (solr/core/src/java/org/apache/solr/schema/IndexSchema.java fields +
     FieldType analyzers; per-field norms in the Lucene similarity).
     """
+    def chain(col):
+        t = tokens_col(col)
+        if stopwords:
+            t = stop_filter_col(t, stopwords)
+        if synonyms:
+            t = synonym_filter_col(t, synonyms)
+        return t
+
     if not fields:
-        toks = tokens_col("content")
+        toks = chain("content")
         # every non-content column is a STORED field (the docs table is
         # the document store): filters — including date-math ranges —
         # and payload fetch read them back without touching the corpus
@@ -516,6 +552,8 @@ def build_index(
     block_size: int | None = None,
     keep_stage: bool = False,
     fields: list[str] | None = None,
+    stopwords: list[str] | None = None,
+    synonyms: dict[str, str] | None = None,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
 
@@ -539,6 +577,8 @@ def build_index(
             block_size=block_size,
             keep_stage=keep_stage,
             fields=fields,
+            stopwords=stopwords,
+            synonyms=synonyms,
             persisted=persisted,
         )
     finally:
@@ -564,6 +604,8 @@ def _build_index_impl(
     block_size: int | None,
     keep_stage: bool,
     fields: list[str] | None,
+    stopwords: list[str] | None,
+    synonyms: dict[str, str] | None,
     persisted: list,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
@@ -626,7 +668,7 @@ def _build_index_impl(
         if num_chunks > 1:
             part = corpus.where(F.pmod(F.col("docid"), F.lit(num_chunks)) == chunk)
         tick = time.time()
-        docs_tok = _analyze_docs(part, fields).persist()
+        docs_tok = _analyze_docs(part, fields, stopwords, synonyms).persist()
         persisted.append(docs_tok)
         docs_dir = paths.docs if single else os.path.join(paths.stage, f"docs_c{chunk}")
         post_dir = paths.postings if single else os.path.join(paths.stage, f"post_c{chunk}")
@@ -906,6 +948,10 @@ def _build_index_impl(
     if fields:
         meta["fields"] = list(fields)
         meta["avgdl_by_field"] = avgdl_by_field
+    if stopwords:
+        meta["stopwords"] = list(stopwords)
+    if synonyms:
+        meta["synonyms"] = dict(synonyms)
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=2)
     if not keep_stage:

@@ -91,9 +91,7 @@ def significant_terms_indexed(
     """significant_terms over the index: bg df comes straight from
     term_stats; only the fg side touches postings (semi-joined on the
     fg term's docids). Same formula/rounding as the inline form."""
-    from solr_spark.analysis.analyzer import tokenize_py
-
-    toks = tokenize_py(fg_term)
+    toks = index.analyze(fg_term)
     spark = index.spark
     empty = spark.createDataFrame(
         [], "term string, fg_df long, bg_df long, score double"
@@ -177,12 +175,11 @@ def more_like_this_indexed(index, doc_text: str, exclude_docid: int | None = Non
     interesting_terms) — and the interesting-term OR query runs through
     the indexed BM25 engine. Corpus-sized work is only the final scoring
     scan over the selected terms' postings partitions."""
-    from solr_spark.analysis.analyzer import tokenize_py
     from solr_spark.functions.bm25 import idf_py
     from solr_spark.query.engine import bm25_topk
 
     tfs: dict[str, int] = {}
-    for t in tokenize_py(doc_text):
+    for t in index.analyze(doc_text):
         tfs[t] = tfs.get(t, 0) + 1
     stats = index.term_stats_for(list(tfs))
     n_docs = int(index.meta["n_docs"])
@@ -245,11 +242,9 @@ def spell_collate(
     """
     import itertools
 
-    from solr_spark.analysis.analyzer import tokenize_py
-
     spark = index.spark
     empty = spark.createDataFrame([], "collation string, hits long")
-    terms = tokenize_py(qtext)
+    terms = index.analyze(qtext)
     if not terms:
         return empty
     stats = index.term_stats_for(sorted(set(terms)), field=field)

@@ -32,10 +32,15 @@ from solr_spark.functions.bm25 import idf_py, tf_part_col
 from solr_spark.index.builder import Index
 
 
-def analyze_query(qtext: str) -> dict[str, int]:
-    """query text -> {term: qtf} via the shared analysis chain."""
+def analyze_query(qtext: str, index: Index | None = None) -> dict[str, int]:
+    """query text -> {term: qtf} via the shared analysis chain.
+
+    Pass `index` to honor its index-time analyzer config (stopwords /
+    synonyms stored in meta, round 3) — index and query analysis MUST
+    agree or stopworded/synonym terms silently never match."""
+    toks = index.analyze(qtext) if index is not None else tokenize_py(qtext)
     counts: dict[str, int] = {}
-    for t in tokenize_py(qtext):
+    for t in toks:
         counts[t] = counts.get(t, 0) + 1
     return counts
 
@@ -103,7 +108,7 @@ def bm25_scores(
     The value-source form: `query($q)` (ValueSourceParser.java:350-420,
     QueryValueSource) reads a subquery's score per document, so it needs
     the full score frame to join by docid, not a top-k."""
-    qterms = analyze_query(qtext)
+    qterms = analyze_query(qtext, index)
     scored, n_present = (
         _scored_postings(index, qterms, field) if qterms else (None, 0)
     )
@@ -133,7 +138,7 @@ def bm25_topk(
     an AND query with an absent term returns no rows. The main pass is
     ONE job: per-partition heap + driver merge (TakeOrderedAndProject).
     """
-    qterms = analyze_query(qtext)
+    qterms = analyze_query(qtext, index)
     scored, n_present = (
         _scored_postings(index, qterms, field) if qterms else (None, 0)
     )

@@ -302,7 +302,7 @@ def phrase_docids(
     spark = index.spark
     terms: list[str] = []
     for w in words:
-        terms.extend(tokenize_py(w))
+        terms.extend(index.analyze(w))
     empty = spark.createDataFrame([], "docid long, phrase_freq int")
     if not terms:
         return empty

@@ -107,7 +107,9 @@ def _filter_pred(fname: str, op: str, val, now=None) -> Column:
     raise ValueError(op)
 
 
-def _analyze_term(t: str) -> list[str]:
+def _analyze_term(t: str, index: Index | None = None) -> list[str]:
+    if index is not None:
+        return index.analyze(t)  # honors index-time stopwords/synonyms
     from solr_spark.analysis.analyzer import tokenize_py
 
     return tokenize_py(t)
@@ -192,7 +194,7 @@ def _eval_bool(index: Index, node: BoolNode, now=None) -> DataFrame:
     phrase_checks: list[DataFrame] = []
 
     def add_tokens(text: str, boost: float, occur: str):
-        for tok in _analyze_term(text):
+        for tok in _analyze_term(text, index):
             if occur == MUST_NOT:
                 continue  # handled by caller via ban scan
             weights[tok] = weights.get(tok, 0.0) + boost
@@ -203,7 +205,7 @@ def _eval_bool(index: Index, node: BoolNode, now=None) -> DataFrame:
     for occur, child in node.clauses:
         if isinstance(child, Term):
             if occur == MUST_NOT:
-                ban_tokens.update(_analyze_term(child.text))
+                ban_tokens.update(_analyze_term(child.text, index))
             else:
                 add_tokens(child.text, child.boost, occur)
         elif isinstance(child, PhraseNode):
@@ -213,7 +215,7 @@ def _eval_bool(index: Index, node: BoolNode, now=None) -> DataFrame:
                     not_parts.append(ban.select("docid"))
                 else:
                     for w in child.words:
-                        ban_tokens.update(_analyze_term(w))
+                        ban_tokens.update(_analyze_term(w, index))
             else:
                 # all words required + positional check when available
                 for w in child.words:

@@ -258,7 +258,7 @@ def bm25_topk_wand(
     runs extra count() jobs; the production path is ONE action.
     """
     spark = index.spark
-    qterms = analyze_query(qtext)
+    qterms = analyze_query(qtext, index)
     empty = spark.createDataFrame([], "docid long, score double")
     if not qterms:
         return empty

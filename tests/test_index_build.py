@@ -166,3 +166,41 @@ def test_checkpoint_manifests(spark, corpus, tmp_path):
     assert len(mans) == 2
     for m in (json.load(open(p)) for p in mans):
         assert m["status"] == "done" and m["docs_out"] > 0
+
+
+def test_index_time_analyzer_config(spark, tmp_path):
+    """Stopwords/synonyms configured at build time persist in meta and
+    the query side analyzes through the index handle, so both sides
+    agree (Solr's paired index/query analyzers)."""
+    from solr_spark.query.engine import bm25_topk
+    from solr_spark.query.positions import phrase_docids
+    from solr_spark.query.search_api import search
+
+    rows = [
+        ("r", "p1", "c", "the colour of the widget"),
+        ("r", "p2", "c", "color widget deluxe"),
+        ("r", "p3", "c", "unrelated words entirely"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "an"), num_buckets=4,
+        build_blocks=False, build_positions=True,
+        stopwords=["the", "of"], synonyms={"colour": "color"},
+    )
+    assert idx.meta["stopwords"] == ["the", "of"]
+    assert idx.analyze("The Colour") == ["color"]
+    # stopwords never entered the index
+    assert idx.term_stats_for(["the", "of"]) == {}
+    # querying 'colour' matches BOTH docs (canonicalized to 'color')
+    hits = {r["docid"] for r in bm25_topk(idx, "colour", k=10).collect()}
+    stored = {r["path"]: r["docid"] for r in idx.docs().collect()}
+    assert hits == {stored["p1"], stored["p2"]}
+    # search API honors the config too (stopword-only MUST term is gone)
+    s_hits = {r["docid"] for r in search(idx, "colour AND widget", k=10).collect()}
+    assert s_hits == {stored["p1"], stored["p2"]}
+    # phrase through positions: 'colour widget' ~ 'color widget' with
+    # stopword removed at index time ('of the' dropped -> adjacent)
+    ph = {r["docid"] for r in phrase_docids(idx, ["colour", "widget"], slop=0).collect()}
+    assert ph == {stored["p1"], stored["p2"]}
