@@ -55,7 +55,7 @@ def edismax_indexed(
     semantics exactly as edismax_inline. Same dictionary seek cost as a
     single-field query times the number of distinct terms."""
     spark = index.spark
-    qterms = analyze_query(qtext)
+    qterms = analyze_query(qtext, index)
     if not qterms:
         return spark.createDataFrame([], "docid long, score double")
     stats = index.term_stats_fielded(
