@@ -378,6 +378,7 @@ def _analyze_docs(
     fields: list[str] | None = None,
     stopwords: list[str] | None = None,
     synonyms: dict[str, str] | None = None,
+    store_content: bool = False,
 ) -> DataFrame:
     """corpus (+docid) -> docs with tokens materialized once.
 
@@ -399,8 +400,11 @@ def _analyze_docs(
         toks = chain("content")
         # every non-content column is a STORED field (the docs table is
         # the document store): filters — including date-math ranges —
-        # and payload fetch read them back without touching the corpus
-        passthrough = [c for c in corpus.columns if c not in ("docid", "content")]
+        # and payload fetch read them back without touching the corpus;
+        # store_content=True additionally stores the text itself (the
+        # stored="true" text field Solr highlighting requires)
+        excl = ("docid",) if store_content else ("docid", "content")
+        passthrough = [c for c in corpus.columns if c not in excl]
         return corpus.select(
             "docid",
             *passthrough,
@@ -410,7 +414,9 @@ def _analyze_docs(
             "dl_q", quantize_col("doclen").cast("int")
         )
     passthrough = [
-        c for c in corpus.columns if c != "docid" and c not in fields
+        c
+        for c in corpus.columns
+        if c != "docid" and (store_content or c not in fields)
     ]
     sha_src = F.concat_ws(
         "\x1f", *[F.coalesce(F.col(f), F.lit("")) for f in fields]
@@ -554,6 +560,7 @@ def build_index(
     fields: list[str] | None = None,
     stopwords: list[str] | None = None,
     synonyms: dict[str, str] | None = None,
+    store_content: bool = False,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
 
@@ -579,6 +586,7 @@ def build_index(
             fields=fields,
             stopwords=stopwords,
             synonyms=synonyms,
+            store_content=store_content,
             persisted=persisted,
         )
     finally:
@@ -606,6 +614,7 @@ def _build_index_impl(
     fields: list[str] | None,
     stopwords: list[str] | None,
     synonyms: dict[str, str] | None,
+    store_content: bool,
     persisted: list,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
@@ -668,7 +677,9 @@ def _build_index_impl(
         if num_chunks > 1:
             part = corpus.where(F.pmod(F.col("docid"), F.lit(num_chunks)) == chunk)
         tick = time.time()
-        docs_tok = _analyze_docs(part, fields, stopwords, synonyms).persist()
+        docs_tok = _analyze_docs(
+            part, fields, stopwords, synonyms, store_content
+        ).persist()
         persisted.append(docs_tok)
         docs_dir = paths.docs if single else os.path.join(paths.stage, f"docs_c{chunk}")
         post_dir = paths.postings if single else os.path.join(paths.stage, f"post_c{chunk}")
@@ -948,6 +959,8 @@ def _build_index_impl(
     if fields:
         meta["fields"] = list(fields)
         meta["avgdl_by_field"] = avgdl_by_field
+    if store_content:
+        meta["stored_content"] = True
     if stopwords:
         meta["stopwords"] = list(stopwords)
     if synonyms:

@@ -193,3 +193,35 @@ SELECT docid, {term_case} AS matched_term,
        substr(text, greatest(1, bp - {window})::INT, {2 * window}) AS snippet
 FROM best WHERE bp IS NOT NULL ORDER BY docid
 """
+
+
+def highlight_indexed(
+    index,
+    qtext: str,
+    k: int = 10,
+    text_col: str = "content",
+) -> DataFrame:
+    """Index-backed highlighting: BM25 top-k through the engine, then
+    snippets from the STORED text of the k winners only — the two-phase
+    shape of Solr highlighting (HighlightComponent runs over the
+    searcher's stored fields for the page of hits, never the corpus).
+    Requires build_index(store_content=True), the stored="true" text
+    field highlighting needs; raises otherwise instead of silently
+    rescanning the corpus."""
+    from solr_spark.query.wand import bm25_topk_auto
+
+    if not index.meta.get("stored_content"):
+        raise ValueError(
+            "highlight_indexed needs an index built with "
+            "store_content=True (the stored text field)"
+        )
+    top = bm25_topk_auto(index, qtext, k=k)
+    winners = top.join(index.docs().select("docid", text_col), "docid")
+    # analyze through the index so highlighted terms match its chain
+    terms = " ".join(index.analyze(qtext)) or qtext
+    snips = highlight(winners, terms, id_col="docid", text_col=text_col)
+    return (
+        top.join(snips, "docid", "left")
+        .select("docid", "score", "matched_term", "snippet")
+        .orderBy(F.desc("score"), F.asc("docid"))
+    )

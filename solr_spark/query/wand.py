@@ -456,8 +456,11 @@ def bm25_topk_wand(
     )
 
 
-def bm25_topk_auto(index: Index, qtext: str, k: int = 10, mode: str = "OR") -> DataFrame:
+def bm25_topk_auto(
+    index: Index, qtext: str, k: int = 10, mode: str = "OR",
+    field: str | None = None,
+) -> DataFrame:
     """Route: pruned path when blocks exist, flat path otherwise."""
     if index.meta.get("has_blocks"):
-        return bm25_topk_wand(index, qtext, k, mode)
+        return bm25_topk_wand(index, qtext, k, mode, field=field)
     return bm25_topk(index, qtext, k, mode, field=field)

@@ -204,3 +204,28 @@ def test_index_time_analyzer_config(spark, tmp_path):
     # stopword removed at index time ('of the' dropped -> adjacent)
     ph = {r["docid"] for r in phrase_docids(idx, ["colour", "widget"], slop=0).collect()}
     assert ph == {stored["p1"], stored["p2"]}
+
+
+def test_store_content_and_indexed_highlight(spark, corpus, tmp_path):
+    """store_content=True keeps the text in the docs table (Solr
+    stored=\"true\") and highlight_indexed snippets the k winners only;
+    unstored indexes refuse instead of rescanning the corpus."""
+    from solr_spark.operators.highlight import highlight_indexed
+
+    idx = build_index(
+        spark, corpus, str(tmp_path / "hl"), num_buckets=4,
+        build_blocks=False, store_content=True,
+    )
+    assert idx.meta["stored_content"] and "content" in idx.docs().columns
+    out = highlight_indexed(idx, "jsonParser bufferSize", k=5).collect()
+    assert len(out) == 5
+    assert any(r["snippet"] for r in out)
+    for r in out:
+        if r["snippet"]:
+            assert r["matched_term"] in r["snippet"].lower()
+    plain = build_index(
+        spark, corpus, str(tmp_path / "hl2"), num_buckets=4,
+        build_blocks=False,
+    )
+    with pytest.raises(ValueError):
+        highlight_indexed(plain, "jsonParser", k=5)
