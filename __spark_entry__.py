@@ -1570,7 +1570,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, d: TS.lang_id(_tok(s, d))
     q["doc_fingerprint"] = lambda s, d: TS.fingerprint(_tok(s, d))
 
-    return q
+    # ---- driver-oracle window rotation (round 4) -------------------
+    # The external driver oracles the FIRST 50 entries in insertion
+    # order; rounds 1-3 sampled the same leading 50, leaving 52
+    # in-repo-oracled entries (indexed BM25/edismax/phrase/highlight/
+    # LTR/blockjoin/...) never externally checked (VERDICT r3 item 1).
+    # Rotate those into the window, pinning a tiny BM25 core for
+    # round-over-round continuity. Names not present are skipped, so
+    # the list may safely reference entries added later in the round.
+    _WINDOW = [
+        "bm25_topk_or", "bm25_topk_and",
+        "bm25_indexed_topk", "bm25_indexed_and", "bm25_indexed_wand",
+        "bm25_indexed_mf_wand", "search_indexed_boolean",
+        "phrase_indexed", "terms_indexed",
+        "edismax_indexed_qf", "edismax_indexed_pf", "edismax_qf_tie",
+        "edismax_mm2", "edismax_pf",
+        "phrase_match", "phrase_match_slop2", "phrase_unordered_slop2",
+        "highlight_snippets", "highlight_fragments",
+        "ltr_fixed_rescore", "textlogit_label_totals", "igain_terms",
+        "atomic_update_merge", "atomic_array_ops",
+        "blockjoin_parents", "blockjoin_children", "uniqueblock_by_flag",
+        "rtg_overlay", "spell_collations",
+        "mlt_indexed", "relatedness_lang",
+        "func_parsed_v2", "func_parsed_v3",
+        "stream_expr_rollup", "merge_sorted_streams", "reduce_order_gaps",
+        "sample_deterministic",
+        "token_counts", "text_quality", "lang_id", "doc_fingerprint",
+        "ann_lsh_recall", "ann_ivf_recall",
+        # new this round
+        "bm25_stemmed_topk", "func_parsed_v4", "ann_lsh_persisted_recall",
+        "update_regex_clone", "update_ttl_expire", "update_uuid_assign",
+        "synonym_graph_analysis",
+    ]
+    _win = {k: q[k] for k in _WINDOW if k in q}
+    _rest = {k: v for k, v in q.items() if k not in _win}
+    return {**_win, **_rest}
 
 
 def _SPARK_DSUM(expr: str) -> str:

@@ -43,8 +43,8 @@ def igain_terms(
     shuffle; the label side broadcasts).
     """
     lab = labels.select("docid", F.col("label").cast("double").alias("_y"))
-    n = lab.count()
-    n_pos = lab.agg(F.sum("_y")).collect()[0][0] or 0.0
+    n, n_pos = lab.agg(F.count(F.lit(1)), F.sum("_y")).collect()[0]
+    n_pos = n_pos or 0.0
     base = float(n_pos) / n if n else 0.0
 
     post = tok_df.select(
