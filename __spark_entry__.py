@@ -133,6 +133,48 @@ def _gate_index_mf(spark, sf_dir):
     return idx
 
 
+def _gate_index_stemmed(spark, sf_dir):
+    """Cached gate index with the round-4 text_en-style chain: WDGF
+    catenation at index time only (the query side never catenates —
+    the reference's index/query analyzer asymmetry) plus Porter
+    stemming on both sides (meta.analyzer drives Index.analyze)."""
+    import hashlib
+    import os
+    import shutil
+
+    from solr_spark.index.builder import Index, build_index
+    from solr_spark.sources.corpus import documents_as_corpus
+
+    key = ("stem", sf_dir)
+    if key in _GATE_IDX:
+        return _GATE_IDX[key]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/solr_spark_gate/index_stem_{tag}"
+    meta = os.path.join(root, "meta.json")
+    if not os.path.exists(meta):
+        tmp = f"{root}.build_{os.getpid()}"
+        build_index(
+            spark,
+            documents_as_corpus(spark, sf_dir),
+            tmp,
+            num_buckets=8,
+            salt_threshold=200,
+            num_salts=4,
+            block_size=16,
+            build_blocks=True,
+            build_positions=False,
+            analyzer={"stem": "porter", "catenate": True},
+        )
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    idx = Index.load(spark, root)
+    _GATE_IDX[key] = idx
+    return idx
+
+
 def _round4_topk(df, k=10):
     """Gate determinism contract: order by ROUNDED score + docid (cross-
     engine float noise breaks raw-score ties differently)."""
@@ -302,6 +344,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id")
 
     q["update_parse_dates"] = update_parse_dates
+
+    def update_regex_clone(s, d):
+        """CloneField with regex name matching + capture-group dest
+        ($1_s dynamic-field style), plus the language-detect processor
+        stamped through the same chain."""
+        from solr_spark.operators import updateproc as UP
+
+        out = UP.apply_chain(
+            _t(s, d, "documents"),
+            [
+                UP.clone_field_regex(r"(lang|source)", r"$1_s"),
+                UP.detect_language("text", "cld_lang"),
+            ],
+        )
+        return (
+            out.select(
+                F.col("doc_id").cast("long").alias("docid"),
+                "lang_s", "source_s", "cld_lang",
+            )
+            .orderBy("docid")
+            .limit(300)
+        )
+
+    q["update_regex_clone"] = update_regex_clone
+
+    def update_ttl_expire(s, d):
+        """DocExpiration TTL: stamp _expire_at_ = ts + 7d, then the
+        reaper predicate at now=2024-01-20 — counts expired/live per
+        event_type."""
+        from solr_spark.operators import updateproc as UP
+
+        ev = UP.apply_chain(
+            _t(s, d, "events"), [UP.doc_expiration(7 * 86400, base_col="ts")]
+        )
+        exp = UP.expired_filter("2024-01-20 00:00:00")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.when(exp, 1)).alias("n_expired"),
+                F.count("*").alias("n_total"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["update_ttl_expire"] = update_ttl_expire
+
+    def update_uuid_assign(s, d):
+        """Name-based (v3-shaped, md5) deterministic UUID assignment —
+        the replayable strategy replacing the reference's random
+        UUIDUpdateProcessorFactory."""
+        from solr_spark.operators import updateproc as UP
+
+        out = UP.apply_chain(
+            _t(s, d, "orders").where(F.col("o_orderkey") <= 400),
+            [UP.uuid_v3_field("doc_uuid", "solr", ["o_orderkey"])],
+        )
+        return out.select("o_orderkey", "doc_uuid").orderBy("o_orderkey")
+
+    q["update_uuid_assign"] = update_uuid_assign
 
     def version_merge_entry(s, d):
         """DocBasedVersionConstraints: updates win only on strictly
@@ -981,6 +1082,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     q["bm25_indexed_topk"] = bm25_indexed("table spark", 10)
+
+    def bm25_stemmed_topk(s, d):
+        """Round-4 text_en-style chain end-to-end: catenated+stemmed
+        index, query analyzed through the index handle (so the query
+        terms stem identically but never catenate)."""
+        from solr_spark.query.engine import bm25_topk
+
+        idx = _gate_index_stemmed(s, d)
+        return _round4_topk(
+            bm25_topk(idx, "sparks merging hashing windows", k=100), 10
+        )
+
+    q["bm25_stemmed_topk"] = bm25_stemmed_topk
+
+    def synonym_graph_analysis(s, d):
+        """Multi-token synonym-graph expansion + catenation + Porter,
+        as a pure analysis entry (token stream shape oracled exactly)."""
+        from solr_spark.analysis.analyzer import (
+            synonym_graph_col, tokens_catenate_col,
+        )
+        from solr_spark.analysis.porter import porter_stem_col
+
+        g = {"spark": ["apache", "spark"], "js": ["java", "script"]}
+        toks = porter_stem_col(
+            synonym_graph_col(tokens_catenate_col(F.col("text")), g)
+        )
+        return (
+            _t(s, d, "documents")
+            .select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.size(toks).alias("n_toks"),
+                F.element_at(toks, 1).alias("first_tok"),
+                F.element_at(toks, -1).alias("last_tok"),
+            )
+            .orderBy("docid")
+            .limit(300)
+        )
+
+    q["synonym_graph_analysis"] = synonym_graph_analysis
     q["bm25_indexed_and"] = bm25_indexed("table spark vector", 10, "AND")
     q["bm25_indexed_wand"] = bm25_indexed("customer query group", 10, wand=True)
 
@@ -1708,6 +1848,37 @@ def oracle_sql() -> dict[str, str]:
                strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS ts_iso,
                CAST(NULL AS TIMESTAMP) AS ts_bad
         FROM events WHERE event_id < 200 ORDER BY event_id"""
+    from solr_spark.operators.textstats import LANG_WORDS as _LW
+    from solr_spark.operators.textstats import _count_in_sql as _cisql
+    from solr_spark.operators.updateproc import uuid_v3_sql as _uuid3
+
+    _lw_langs = sorted(_LW)
+    _lw_scores = ", ".join(
+        f"{_cisql('toks', _LW[lang])} AS s_{lang}" for lang in _lw_langs
+    )
+    _lw_case = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{x} >= s_{y}" for y in _lw_langs if y != x)
+        + f" THEN '{x}'"
+        for x in _lw_langs
+    ) + f" ELSE '{_lw_langs[-1]}' END"
+    o["update_regex_clone"] = f"""
+        WITH toks AS (SELECT doc_id, lang, source, {tokens_sql('text')} AS toks
+                      FROM documents),
+        scores AS (SELECT doc_id, lang, source, {_lw_scores} FROM toks)
+        SELECT doc_id::BIGINT AS docid, lang AS lang_s, source AS source_s,
+               {_lw_case} AS cld_lang
+        FROM scores ORDER BY docid LIMIT 300"""
+    o["update_ttl_expire"] = """
+        SELECT event_type,
+               count(*) FILTER (ts + INTERVAL 7 DAY
+                                <= TIMESTAMP '2024-01-20 00:00:00')::BIGINT
+                   AS n_expired,
+               count(*)::BIGINT AS n_total
+        FROM events GROUP BY event_type ORDER BY event_type"""
+    o["update_uuid_assign"] = f"""
+        SELECT o_orderkey, {_uuid3('solr', ['o_orderkey'])} AS doc_uuid
+        FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey"""
     o["update_version_merge"] = """
         WITH base AS (SELECT o_orderkey AS id, (o_orderkey % 5)::BIGINT AS v,
                              o_orderpriority AS body, 1 AS pref
@@ -2175,6 +2346,42 @@ scored AS (
     # --- real indexed engine twins (same SQL as the inline path: the
     # --- index is built from the same documents table, scores must agree)
     o["bm25_indexed_topk"] = G.bm25_sql("table spark", 10)
+
+    from collections import Counter as _Counter
+
+    from solr_spark.analysis.analyzer import (
+        synonym_graph_sql, tokenize_py, tokens_catenate_sql,
+    )
+    from solr_spark.analysis.porter import (
+        porter_stem_py, porter_stem_sql,
+    )
+
+    _stem_qterms = dict(
+        _Counter(
+            porter_stem_py(t)
+            for t in tokenize_py("sparks merging hashing windows")
+        )
+    )
+    o["bm25_stemmed_topk"] = G.bm25_sql(
+        "",
+        10,
+        tok_expr=porter_stem_sql(tokens_catenate_sql("text")),
+        qterms=_stem_qterms,
+    )
+
+    _sg_toks = porter_stem_sql(
+        synonym_graph_sql(
+            tokens_catenate_sql("text"),
+            {"spark": ["apache", "spark"], "js": ["java", "script"]},
+        )
+    )
+    o["synonym_graph_analysis"] = f"""
+        SELECT doc_id::BIGINT AS docid,
+               len({_sg_toks})::INT AS n_toks,
+               ({_sg_toks})[1] AS first_tok,
+               ({_sg_toks})[-1] AS last_tok
+        FROM documents ORDER BY docid LIMIT 300
+    """
     o["bm25_indexed_and"] = G.bm25_sql("table spark vector", 10, "AND")
     o["bm25_indexed_wand"] = G.bm25_sql("customer query group", 10)
     o["bm25_indexed_mf_wand"] = G.bm25_sql("customer query group", 10)

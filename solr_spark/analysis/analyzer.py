@@ -100,9 +100,77 @@ def tokens_sql(col_expr: str) -> str:
 # classes are public Lucene behavior). Both are OPTIONAL stages layered
 # over the base chain — the default chain stays filter-free (the
 # `_default` configset ships an empty stopword set), so every existing
-# index/oracle is unchanged. Synonyms here are the single-token
-# canonical-mapping form (a -> b); multi-token graph expansion changes
-# token positions and is out of scope (documented).
+# index/oracle is unchanged. Synonyms come in two forms: the
+# single-token canonical mapping (a -> b) below, and the multi-token
+# graph expansion (`synonym_graph_*`, further down) for the
+# position-changing case.
+
+
+_WS = r"\s+"
+_LD_SPLITS = [(r"([a-z])([0-9])", r"\1 \2"), (r"([0-9])([a-z])", r"\1 \2")]
+
+
+def tokens_catenate_col(col: Column | str) -> Column:
+    """Base chain + WDGF catenation (index-side `catenateWords=1
+    catenateNumbers=1`, ref managed-schema.xml:402): per
+    whitespace-delimited chunk, emit the subword parts PLUS the
+    catenated maximal letter-runs and digit-runs ("Wi-Fi" -> wi, fi,
+    wifi) — skipping catenations identical to an existing part, the
+    Lucene behavior for single-part runs. The reference pairs this
+    index-side chain with a catenate-free QUERY chain (index != query
+    analyzer asymmetry); `Index.analyze` preserves that by never
+    catenating. All regexes are RE2-safe so the DuckDB twin matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    chunks = F.filter(F.split(c, _WS), lambda x: x != "")
+
+    def per_chunk(ch):
+        parts = F.filter(
+            F.split(
+                F.lower(F.regexp_replace(ch, _FUSED_SPLIT, r"$1 ")), _TOKEN_SEP
+            ),
+            lambda x: x != "",
+        )
+        joined = F.regexp_replace(F.lower(ch), "[^a-z0-9]", "")
+        runs = joined
+        for pat, rep in _LD_SPLITS:
+            runs = F.regexp_replace(runs, pat, rep.replace("\\1", "$1").replace("\\2", "$2"))
+        runs = F.filter(F.split(runs, " "), lambda x: x != "")
+        extras = F.filter(runs, lambda r: ~F.array_contains(parts, r))
+        return F.concat(parts, extras)
+
+    return F.flatten(F.transform(chunks, per_chunk))
+
+
+def tokenize_catenate_py(text: str) -> list[str]:
+    out: list[str] = []
+    for ch in re.split(_WS, text):
+        if not ch:
+            continue
+        parts = tokenize_py(ch)
+        joined = re.sub("[^a-z0-9]", "", ch.lower())
+        for pat, rep in _LD_SPLITS:
+            joined = re.sub(pat, rep, joined)
+        runs = [r for r in joined.split(" ") if r]
+        out.extend(parts)
+        out.extend(r for r in runs if r not in parts)
+    return out
+
+
+def tokens_catenate_sql(col_expr: str) -> str:
+    part_e = tokens_sql("_ck")
+    joined = "regexp_replace(lower(_ck), '[^a-z0-9]', '', 'g')"
+    for pat, rep in _LD_SPLITS:
+        joined = f"regexp_replace({joined}, '{pat}', '{rep}', 'g')"
+    runs = f"list_filter(regexp_split_to_array({joined}, ' '), _r -> _r <> '')"
+    per = (
+        f"list_concat({part_e},"
+        f" list_filter({runs}, _r -> NOT list_contains({part_e}, _r)))"
+    )
+    chunks = (
+        f"list_filter(regexp_split_to_array({col_expr}, '{_WS}'),"
+        f" _ck -> _ck <> '')"
+    )
+    return f"flatten(list_transform({chunks}, _ck -> {per}))"
 
 
 def stop_filter_col(toks: Column, stopwords: list[str]) -> Column:
@@ -145,3 +213,47 @@ def synonym_filter_sql(expr: str, mapping: dict[str, str]) -> str:
         f"WHEN _sy = '{k}' THEN '{v}'" for k, v in sorted(mapping.items())
     )
     return f"list_transform({expr}, _sy -> CASE {cases} ELSE _sy END)"
+
+
+# Multi-token synonym graph (SynonymGraphFilterFactory with expansions,
+# ref managed-schema.xml text_en query chains; public Lucene behavior):
+# one token expands to a multi-token sequence in place ("ml" ->
+# "machine learning"). This is the position-changing form the 1:1
+# canonical mapping above cannot express; downstream doclen/BM25 see
+# the expanded stream, matching Lucene's graph flattening at index
+# time. Expansions are applied one pass (no recursive re-expansion).
+
+
+def synonym_graph_col(toks: Column, graph: dict[str, list[str]]) -> Column:
+    if not graph:
+        return toks
+    m = F.create_map(
+        *[
+            x
+            for k, vs in sorted(graph.items())
+            for x in (F.lit(k), F.array(*[F.lit(v) for v in vs]))
+        ]
+    )
+    return F.flatten(F.transform(toks, lambda t: F.coalesce(m[t], F.array(t))))
+
+
+def synonym_graph_py(toks: list[str], graph: dict[str, list[str]]) -> list[str]:
+    out: list[str] = []
+    for t in toks:
+        out.extend(graph.get(t, [t]))
+    return out
+
+
+def synonym_graph_sql(expr: str, graph: dict[str, list[str]]) -> str:
+    if not graph:
+        return expr
+    cases = " ".join(
+        "WHEN _sg = '{}' THEN [{}]".format(
+            k, ",".join(f"'{v}'" for v in vs)
+        )
+        for k, vs in sorted(graph.items())
+    )
+    return (
+        f"flatten(list_transform({expr},"
+        f" _sg -> CASE {cases} ELSE [_sg] END))"
+    )

@@ -44,8 +44,11 @@ from pyspark.sql import functions as F
 from solr_spark.analysis.analyzer import (
     stop_filter_col,
     synonym_filter_col,
+    synonym_graph_col,
+    tokens_catenate_col,
     tokens_col,
 )
+from solr_spark.analysis.porter import porter_stem_col
 from solr_spark.functions.smallfloat import quantize_col
 from solr_spark.index.blocks import BLOCKS_SCHEMA, make_block_encoder
 
@@ -274,9 +277,16 @@ class Index:
         the index handle so both sides agree — Solr pairs index/query
         analyzers in the same fieldType for the same reason."""
         from solr_spark.analysis.analyzer import (
-            stop_filter_py, synonym_filter_py, tokenize_py,
+            stop_filter_py, synonym_filter_py, synonym_graph_py, tokenize_py,
         )
+        from solr_spark.analysis.porter import porter_stem_py
 
+        # QUERY side deliberately never catenates even when the index
+        # side did (meta.analyzer.catenate) — the reference's
+        # text_en_splitting pairs catenateWords=1 at index time with
+        # catenateWords=0 at query time (managed-schema.xml:390-423);
+        # the catenated index tokens are what let a one-word query
+        # ("wifi") match a delimited document ("Wi-Fi").
         toks = tokenize_py(text)
         sw = self.meta.get("stopwords")
         if sw:
@@ -284,6 +294,11 @@ class Index:
         syn = self.meta.get("synonyms")
         if syn:
             toks = synonym_filter_py(toks, syn)
+        az = self.meta.get("analyzer") or {}
+        if az.get("synonym_graph"):
+            toks = synonym_graph_py(toks, az["synonym_graph"])
+        if az.get("stem") == "porter":
+            toks = [porter_stem_py(t) for t in toks]
         return toks
 
     def term_dictionary(self, field: str | None = None) -> DataFrame:
@@ -379,6 +394,7 @@ def _analyze_docs(
     stopwords: list[str] | None = None,
     synonyms: dict[str, str] | None = None,
     store_content: bool = False,
+    analyzer: dict | None = None,
 ) -> DataFrame:
     """corpus (+docid) -> docs with tokens materialized once.
 
@@ -388,12 +404,24 @@ def _analyze_docs(
     (solr/core/src/java/org/apache/solr/schema/IndexSchema.java fields +
     FieldType analyzers; per-field norms in the Lucene similarity).
     """
+    # Round-4 stages live in the `analyzer` config dict: `catenate`
+    # (index-side WDGF catenation — query side never catenates, the
+    # reference's text_en_splitting index/query asymmetry,
+    # managed-schema.xml:390-423), `synonym_graph` (multi-token
+    # expansions), `stem` ("porter"). Stage order mirrors Solr's
+    # text_en chain: tokenize -> stop -> synonyms -> stem.
+    az = analyzer or {}
+
     def chain(col):
-        t = tokens_col(col)
+        t = tokens_catenate_col(col) if az.get("catenate") else tokens_col(col)
         if stopwords:
             t = stop_filter_col(t, stopwords)
         if synonyms:
             t = synonym_filter_col(t, synonyms)
+        if az.get("synonym_graph"):
+            t = synonym_graph_col(t, az["synonym_graph"])
+        if az.get("stem") == "porter":
+            t = porter_stem_col(t)
         return t
 
     if not fields:
@@ -561,6 +589,7 @@ def build_index(
     stopwords: list[str] | None = None,
     synonyms: dict[str, str] | None = None,
     store_content: bool = False,
+    analyzer: dict | None = None,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
 
@@ -587,6 +616,7 @@ def build_index(
             stopwords=stopwords,
             synonyms=synonyms,
             store_content=store_content,
+            analyzer=analyzer,
             persisted=persisted,
         )
     finally:
@@ -615,6 +645,7 @@ def _build_index_impl(
     stopwords: list[str] | None,
     synonyms: dict[str, str] | None,
     store_content: bool,
+    analyzer: dict | None,
     persisted: list,
 ) -> Index:
     """Build (or resume building) the full index at `out_dir`.
@@ -678,7 +709,7 @@ def _build_index_impl(
             part = corpus.where(F.pmod(F.col("docid"), F.lit(num_chunks)) == chunk)
         tick = time.time()
         docs_tok = _analyze_docs(
-            part, fields, stopwords, synonyms, store_content
+            part, fields, stopwords, synonyms, store_content, analyzer
         ).persist()
         persisted.append(docs_tok)
         docs_dir = paths.docs if single else os.path.join(paths.stage, f"docs_c{chunk}")
@@ -965,6 +996,8 @@ def _build_index_impl(
         meta["stopwords"] = list(stopwords)
     if synonyms:
         meta["synonyms"] = dict(synonyms)
+    if analyzer:
+        meta["analyzer"] = dict(analyzer)
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=2)
     if not keep_stage:

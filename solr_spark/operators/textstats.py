@@ -100,6 +100,32 @@ def lang_id(tok_df: DataFrame) -> DataFrame:
     return df.select("docid", "pred_lang").orderBy("docid")
 
 
+def lang_id_col(text_col):
+    """`lang_id` as a single Column over raw text (tokenize + stopword
+    hit counts + deterministic argmax, ties alphabetical) — the form
+    the TikaLanguageIdentifier-style update processor plugs into a doc
+    chain. Same decision rule as `lang_id`, so the two agree."""
+    from solr_spark.analysis.analyzer import tokens_col
+
+    toks = tokens_col(text_col)
+    langs = sorted(LANG_WORDS)
+    scores = {lang: _count_in(toks, LANG_WORDS[lang]) for lang in langs}
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    return pred.otherwise(F.lit(langs[-1]))
+
+
 def fingerprint(tok_df: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     the signature role of SignatureUpdateProcessorFactory (ref

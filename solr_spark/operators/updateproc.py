@@ -192,6 +192,117 @@ def uuid_field(dst: str, from_cols: list[str]) -> Processor:
     return run
 
 
+def clone_field_regex(pattern: str, dest_template: str) -> Processor:
+    """CloneFieldUpdateProcessorFactory with regex field matching
+    (solr/core/src/java/org/apache/solr/update/processor/
+    CloneFieldUpdateProcessorFactory.java: `pattern`/`dest` pair where
+    dest may reference capture groups, e.g. pattern="feat(.*)s"
+    dest="$1_full"): every column whose NAME fully matches `pattern`
+    is cloned to the name produced by substituting the groups into
+    `dest_template` ($1-style). Pure schema-level projection — no data
+    movement; existing dest columns are overwritten, matching the
+    reference's clone-then-chain behavior."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def run(df):
+        for c in df.columns:
+            m = rx.fullmatch(c)
+            if m:
+                dst = _re.sub(
+                    r"\$(\d+)", lambda g: m.group(int(g.group(1))), dest_template
+                )
+                if dst != c:
+                    df = df.withColumn(dst, F.col(c))
+        return df
+
+    return run
+
+
+def doc_expiration(
+    ttl_seconds: int,
+    *,
+    base_col: str = "_timestamp_",
+    expire_col: str = "_expire_at_",
+) -> Processor:
+    """DocExpirationUpdateProcessorFactory
+    (solr/core/src/java/org/apache/solr/update/processor/
+    DocExpirationUpdateProcessorFactory.java): stamp an expiration
+    instant = base + TTL onto every doc. The reference computes
+    NOW()+TTL and runs a reaper thread; here the base instant comes
+    from an existing column (replayable — a retried partition at 100 TB
+    must stamp identical values) and reaping is the `expired_filter`
+    predicate pushed down to the scan instead of a delete daemon."""
+    def run(df):
+        return df.withColumn(
+            expire_col,
+            F.col(base_col) + F.make_dt_interval(secs=F.lit(float(ttl_seconds))),
+        )
+
+    return run
+
+
+def expired_filter(now: str, expire_col: str = "_expire_at_") -> Column:
+    """Docs whose TTL has passed at instant `now` (ISO string) — the
+    query-time half of DocExpiration's reaper."""
+    return F.col(expire_col) <= F.lit(now).cast("timestamp")
+
+
+def uuid_v3_field(dst: str, namespace: str, from_cols: list[str]) -> Processor:
+    """UUIDUpdateProcessorFactory, name-based strategy: RFC 4122
+    version-3-shaped UUID from md5(namespace || unit-sep-joined key
+    fields) with the version nibble forced to 3 and the variant bits
+    to 10xx. Unlike the reference's random UUIDs this is
+    content-addressed (same doc -> same id on replay); the bit
+    surgery is plain string ops so the DuckDB oracle can mirror it."""
+
+    def run(df):
+        h = F.md5(
+            F.concat_ws(
+                "\x1f", F.lit(namespace), *[F.col(c).cast("string") for c in from_cols]
+            )
+        )
+        variant = F.translate(
+            F.substring(h, 17, 1), "0123456789abcdef", "89ab89ab89ab89ab"
+        )
+        return df.withColumn(
+            dst,
+            F.concat_ws(
+                "-",
+                F.substring(h, 1, 8),
+                F.substring(h, 9, 4),
+                F.concat(F.lit("3"), F.substring(h, 14, 3)),
+                F.concat(variant, F.substring(h, 18, 3)),
+                F.substring(h, 21, 12),
+            ),
+        )
+
+    return run
+
+
+def uuid_v3_sql(namespace: str, from_cols: list[str]) -> str:
+    """DuckDB twin of `uuid_v3_field` (same md5 + bit surgery)."""
+    joined = " || chr(31) || ".join(f"({c})::VARCHAR" for c in from_cols)
+    h = f"md5('{namespace}' || chr(31) || {joined})"
+    return (
+        f"substr({h},1,8) || '-' || substr({h},9,4) || '-3' || "
+        f"substr({h},14,3) || '-' || "
+        f"translate(substr({h},17,1),'0123456789abcdef','89ab89ab89ab89ab')"
+        f" || substr({h},18,3) || '-' || substr({h},21,12)"
+    )
+
+
+def detect_language(src: str, dst: str = "language_s") -> Processor:
+    """TikaLanguageIdentifierUpdateProcessorFactory analog
+    (solr/contrib/langid): stamp the n-gram-heuristic language id of a
+    text column onto the doc, reusing the pipeline's `lang_id`
+    expression (pure Column, no UDF)."""
+    from solr_spark.operators.textstats import lang_id_col
+
+    return lambda df: df.withColumn(dst, lang_id_col(F.col(src)))
+
+
 def parse_numeric(col: str, dtype: str = "double") -> Processor:
     """ParseDoubleFieldUpdateProcessorFactory family (unparseable -> null)."""
     return lambda df: df.withColumn(col, F.col(col).cast(dtype))

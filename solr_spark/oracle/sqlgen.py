@@ -14,29 +14,46 @@ from solr_spark.functions.bm25 import idf_sql, tf_part_sql
 from solr_spark.functions.smallfloat import quantize_sql
 from solr_spark.query.engine import analyze_query
 
-DOC_TOKS = f"""
+def doc_toks_cte(tok_expr: str | None = None) -> str:
+    """The shared toks/doclens CTE; `tok_expr` swaps in a non-default
+    analysis chain (e.g. catenate + porter for a stemmed index)."""
+    e = tok_expr or tokens_sql("text")
+    return f"""
 toks AS (
-  SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents
+  SELECT doc_id AS docid, {e} AS toks FROM documents
 ),
 doclens AS (
   SELECT docid, len(toks) AS doclen, {quantize_sql('len(toks)')} AS dl_q FROM toks
 )"""
 
 
+DOC_TOKS = doc_toks_cte()
+
+
 def bm25_sql(
-    qtext: str, k: int = 10, mode: str = "OR", order_decimals: int = 4
+    qtext: str,
+    k: int = 10,
+    mode: str = "OR",
+    order_decimals: int = 4,
+    tok_expr: str | None = None,
+    qterms: dict[str, int] | None = None,
 ) -> str:
     """`order_decimals`: the indexed engine orders by round(score, 9) +
     docid (see engine.bm25_topk); its gate twins pass 9 so both sides
-    break mathematical ties identically. The inline gate entries keep 4."""
-    qterms = analyze_query(qtext)
+    break mathematical ties identically. The inline gate entries keep 4.
+
+    `tok_expr`/`qterms` override the document analysis chain and the
+    analyzed query terms for indexes built with a non-default analyzer
+    (stemming, catenation) — both sides must come from the SAME chain
+    definition or the oracle tests nothing."""
+    qterms = qterms if qterms is not None else analyze_query(qtext)
     if not qterms:
         return "SELECT doc_id::BIGINT AS docid, 0.0::DOUBLE AS score FROM documents WHERE false"
     terms_in = ",".join(f"'{t}'" for t in qterms)
     qvals = ",".join(f"('{t}', {float(c)})" for t, c in qterms.items())
     and_filter = f"WHERE nm = {len(qterms)}" if mode == "AND" else ""
     return f"""
-WITH {DOC_TOKS},
+WITH {doc_toks_cte(tok_expr)},
 meta AS (
   SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl
   FROM doclens

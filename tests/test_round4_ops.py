@@ -91,3 +91,259 @@ def test_lsh_persisted_matches_inline(spark, tmp_path):
         ).collect()
     ]
     assert a == b
+
+
+# ---------------------------------------------------------------- porter
+
+PORTER_VECTORS = {
+    # examples from the published algorithm (Porter 1980)
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "fizzed": "fizz", "failing": "fail", "filing": "file", "happy": "happi",
+    "sky": "sky", "relational": "relat", "conditional": "condit",
+    "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+    "digitizer": "digit", "conformabli": "conform", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic", "operator": "oper",
+    "feudalism": "feudal", "decisiveness": "decis", "hopefulness": "hope",
+    "callousness": "callous", "formaliti": "formal", "sensitiviti": "sensit",
+    "sensibiliti": "sensibl", "triplicate": "triplic", "formative": "form",
+    "formalize": "formal", "electriciti": "electr", "electrical": "electr",
+    "hopeful": "hope", "goodness": "good", "revival": "reviv",
+    "allowance": "allow", "inference": "infer", "airliner": "airlin",
+    "gyroscopic": "gyroscop", "adjustable": "adjust", "defensible": "defens",
+    "irritant": "irrit", "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+    "communism": "commun", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    # longest-match exclusivity: failed long-suffix condition blocks
+    # the shorter suffixes in the same step
+    "element": "element", "cement": "cement",
+    # short words unchanged; vowel-y marking chains
+    "is": "is", "as": "as", "dying": "dy", "lying": "ly",
+    "syzygy": "syzygi", "sky": "sky", "crying": "cry", "string": "string",
+    "meetings": "meet", "news": "new",
+}
+
+
+def test_porter_paper_vectors():
+    from solr_spark.analysis.porter import porter_stem_py
+
+    bad = {
+        w: (porter_stem_py(w), e)
+        for w, e in PORTER_VECTORS.items()
+        if porter_stem_py(w) != e
+    }
+    assert not bad, bad
+
+
+def _fuzz_words(n=1500, seed=11):
+    import random
+
+    random.seed(seed)
+    sufs = [
+        "", "s", "es", "ies", "sses", "eed", "ed", "ing", "y", "ational",
+        "tional", "enci", "izer", "ization", "ation", "iveness", "aliti",
+        "icate", "ative", "al", "ance", "er", "ement", "ment", "ent", "ion",
+        "ism", "ate", "ous", "ize", "e", "ll", "yy", "ly",
+    ]
+    out = []
+    for _ in range(n):
+        base = "".join(
+            random.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(random.randint(1, 8))
+        )
+        out.append(base + random.choice(sufs))
+    out += ["a", "ab", "yyy", "y", "sayyid", "gypsy", "8", "123", "x9"]
+    return list(dict.fromkeys(out))
+
+
+def test_porter_three_form_parity(spark):
+    """The Column, Python and DuckDB forms implement the SAME rule
+    chain — fuzz all three over suffix-heavy random words."""
+    import duckdb
+
+    from solr_spark.analysis.porter import (
+        porter_scalar_sql, porter_stem_col, porter_stem_py,
+    )
+
+    words = _fuzz_words()
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT t, " + porter_scalar_sql("t")
+        + " FROM (SELECT unnest(?) AS t)", [words]
+    ).fetchall()
+    assert all(porter_stem_py(t) == s for t, s in rows)
+
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    out = df.select(
+        "t", F.element_at(porter_stem_col(F.array("t")), 1).alias("s")
+    ).collect()
+    assert all(porter_stem_py(r["t"]) == r["s"] for r in out)
+
+
+def test_catenate_and_graph_parity(spark):
+    import duckdb
+
+    from solr_spark.analysis.analyzer import (
+        synonym_graph_col, synonym_graph_py, synonym_graph_sql,
+        tokenize_catenate_py, tokens_catenate_col, tokens_catenate_sql,
+    )
+
+    graph = {"wifi": ["wireless", "fidelity"], "db": ["data", "base"]}
+    texts = [
+        "Wi-Fi camelCase HTTPServer utf-8 500-42 data base",
+        "state-of-the-art x9y mid-2020s model",
+        "wi-fi wi-fi wifi", "ab-ab data-base DataBase", "", "hello",
+        "a-b-c-1-2-3", "ALL CAPS-LOCK", "foo_bar-baz  qux",
+    ]
+    import random
+
+    random.seed(9)
+    for _ in range(200):
+        texts.append(
+            "".join(random.choice("ab1- _xY") for _ in range(random.randint(0, 25)))
+        )
+
+    con = duckdb.connect()
+    sql = synonym_graph_sql(tokens_catenate_sql("txt"), graph)
+    rows = con.execute(
+        f"SELECT txt, {sql} FROM (SELECT unnest(?) AS txt)", [texts]
+    ).fetchall()
+    for txt, got in rows:
+        assert list(got) == synonym_graph_py(tokenize_catenate_py(txt), graph), txt
+
+    df = spark.createDataFrame([(t,) for t in texts], "txt string")
+    out = df.select(
+        "txt", synonym_graph_col(tokens_catenate_col("txt"), graph).alias("o")
+    ).collect()
+    for r in out:
+        assert list(r["o"]) == synonym_graph_py(
+            tokenize_catenate_py(r["txt"]), graph
+        ), r["txt"]
+
+
+def test_catenate_semantics():
+    from solr_spark.analysis.analyzer import tokenize_catenate_py
+
+    # parts + catenated word runs and number runs; no duplicate for
+    # single-part runs
+    assert tokenize_catenate_py("Wi-Fi") == ["wi", "fi", "wifi"]
+    assert tokenize_catenate_py("camelCase") == ["camel", "case", "camelcase"]
+    assert tokenize_catenate_py("data") == ["data"]
+    assert tokenize_catenate_py("500-42") == ["500", "42", "50042"]
+    # digit parts break word runs (catenateWords joins letter runs only)
+    toks = tokenize_catenate_py("utf-8x")
+    assert toks[:3] == ["utf", "8", "x"] and "utf8x" not in toks
+
+
+def test_stemmed_index_end_to_end(spark, tmp_path):
+    """Build an index with the text_en-style chain; a one-word query
+    must match a delimited doc (catenation) and an inflected doc
+    (stemming), with the query analyzed through the index handle."""
+    from solr_spark.index.builder import Index, build_index
+    from solr_spark.query.engine import bm25_topk
+
+    rows = [
+        (0, "the Wi-Fi router dropped the connection"),
+        (1, "running processes were merged nightly"),
+        (2, "totally unrelated zebra text"),
+    ]
+    corpus = spark.createDataFrame(rows, "docid long, content string")
+    idx = build_index(
+        spark,
+        corpus,
+        str(tmp_path / "stemidx"),
+        num_buckets=4,
+        build_blocks=False,
+        analyzer={"stem": "porter", "catenate": True},
+    )
+    # catenation: "wifi" (one token) matches doc 0's "Wi-Fi"
+    hits = {r["docid"] for r in bm25_topk(idx, "wifi", k=5).collect()}
+    assert 0 in hits
+    # stemming both sides: "runs merge" -> run/merg matches doc 1
+    hits = {r["docid"] for r in bm25_topk(idx, "runs merges", k=5).collect()}
+    assert 1 in hits and 2 not in hits
+    # query side never catenates: analyze() leaves "Wi-Fi" as parts only
+    assert idx.analyze("Wi-Fi") == ["wi", "fi"]
+    # config survives reload
+    idx2 = Index.load(spark, str(tmp_path / "stemidx"))
+    assert idx2.meta["analyzer"]["stem"] == "porter"
+    assert idx2.analyze("running") == ["run"]
+
+
+# ------------------------------------------------------- update processors
+
+def test_clone_field_regex(spark):
+    from solr_spark.operators.updateproc import apply_chain, clone_field_regex
+
+    df = spark.createDataFrame(
+        [(1, "a", "b", "c")], "id long, feat_xs string, feat_ys string, other string"
+    )
+    out = apply_chain(df, [clone_field_regex(r"feat_(.*)s", r"$1_full")])
+    assert set(out.columns) == {"id", "feat_xs", "feat_ys", "other", "x_full", "y_full"}
+    r = out.collect()[0]
+    assert r["x_full"] == "a" and r["y_full"] == "b"
+
+
+def test_doc_expiration_ttl(spark):
+    from solr_spark.operators.updateproc import (
+        apply_chain, doc_expiration, expired_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-15 00:00:00")],
+        "id long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = apply_chain(df, [doc_expiration(7 * 86400, base_col="ts")])
+    assert "_expire_at_" in out.columns
+    expired = out.where(expired_filter("2024-01-10 00:00:00"))
+    assert [r["id"] for r in expired.collect()] == [1]
+
+
+def test_uuid_v3_shape_and_determinism(spark):
+    import duckdb
+
+    from solr_spark.operators.updateproc import (
+        apply_chain, uuid_v3_field, uuid_v3_sql,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    out = apply_chain(df, [uuid_v3_field("u", "ns", ["k"])]).collect()
+    import re
+
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    assert all(pat.match(r["u"]) for r in out)
+    assert len({r["u"] for r in out}) == 50  # distinct keys -> distinct ids
+    # DuckDB twin produces identical ids
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT k, {uuid_v3_sql('ns', ['k'])} AS u"
+        " FROM (SELECT unnest(range(50)) AS k)"
+    ).fetchall()
+    want = {r["k"]: r["u"] for r in out}
+    assert all(want[k] == u for k, u in rows)
+
+
+def test_detect_language_matches_lang_id(spark):
+    """The processor Column form and the pipeline DataFrame form share
+    one decision rule."""
+    from solr_spark.analysis.analyzer import tokens_col
+    from solr_spark.operators.textstats import lang_id, lang_id_col
+    from solr_spark.operators.updateproc import apply_chain, detect_language
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("docid"), "text"
+    )
+    via_proc = apply_chain(docs, [detect_language("text", "pl")]).select(
+        "docid", F.col("pl").alias("pred_lang")
+    )
+    via_frame = lang_id(docs.select("docid", tokens_col("text").alias("toks")))
+    assert via_proc.orderBy("docid").collect() == via_frame.orderBy("docid").collect()
