@@ -1511,6 +1511,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["func_parsed_v3"] = func_parsed_v3
 
+    def func_parsed_v4(s, d):
+        """Round-4 ValueSources: payload() JSON-props lookup with
+        default, currency() static-rate conversion, hsin() radian
+        haversine, literal()/true() constants — all through the public
+        function-query syntax."""
+        from solr_spark.functions.valuesources import parse_func
+
+        ev = _t(s, d, "events").where(F.col("event_id") < 500)
+        return ev.select(
+            "event_id",
+            F.round(parse_func("payload(props,'k',-1)"), 4).alias("pay_k"),
+            F.round(parse_func("currency(value,'EUR')"), 4).alias("eur"),
+            F.round(
+                parse_func(
+                    "hsin(6371,rad(48.8566),rad(2.3522),"
+                    "rad(div(value,2)),rad(mod(event_id,90)))"
+                ),
+                2,
+            ).alias("dist_km"),
+            parse_func("concat(literal('ev:'),event_type)").alias("tag"),
+            parse_func("if(true(),payload(props,'k'),0)").alias("pay_or0"),
+        ).orderBy("event_id")
+
+    q["func_parsed_v4"] = func_parsed_v4
+
     # --- update processor chain over orders ---
     def update_chain(s, d):
         from solr_spark.operators import updateproc as UP
@@ -2506,6 +2531,18 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
     o["func_parsed_v3"] = G.query_tf_norm_boost_sql(
         "spark hash", "table", 2.0, 0.01, 0.0001, 20
     )
+    o["func_parsed_v4"] = """
+        SELECT event_id,
+               round(coalesce(json_extract(props, '$.k')::DOUBLE, -1), 4) AS pay_k,
+               round(value * 1.08, 4) AS eur,
+               round(2 * 6371 * asin(least(sqrt(
+                   pow(sin((radians(value / 2) - radians(48.8566)) / 2), 2)
+                   + cos(radians(48.8566)) * cos(radians(value / 2))
+                     * pow(sin((radians(event_id % 90) - radians(2.3522)) / 2), 2)
+               ), 1.0)), 2) AS dist_km,
+               'ev:' || event_type AS tag,
+               coalesce(json_extract(props, '$.k')::DOUBLE, 0.0) AS pay_or0
+        FROM events WHERE event_id < 500 ORDER BY event_id"""
     o["func_parsed_showcase"] = """
         SELECT doc_id::BIGINT AS docid,
                round(1000.0 / (abs(n_chars - 300) + 1000.0), 4) AS recip_d,

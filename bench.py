@@ -48,29 +48,73 @@ QUERY_SET = [
 WAND_SET = ("q_or_mixed", "q_and_head", "q_mixed_tail")
 
 
+def _contention_markers() -> dict:
+    """Record how noisy the box is WHEN the bench ran, so cross-round
+    comparisons can spot a contended run instead of re-litigating VM
+    variance (round-3 lesson: identical code measured 44 s vs 85 s in
+    different windows). `cal_ms` is a fixed single-thread md5 loop —
+    a portable per-core-speed calibration constant."""
+    import hashlib
+
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    blob = b"x" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(blob)
+    return {
+        "load_1m": round(load1, 2),
+        "load_5m": round(load5, 2),
+        "cal_ms": round((time.time() - t0) * 1000.0, 1),
+    }
+
+
 def run(cores: int | None = None, out: dict | None = None) -> dict:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+    #: clean-run protocol: the build measurements (the noisiest, and the
+    #: headline numbers) run REPEATS times; the best is reported and the
+    #: raw list is kept in the JSON so a contended repeat is visible
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     spark = get_spark(f"bench_{cores}", cores=cores)
     res: dict = out if out is not None else {}
+    res["contention"] = _contention_markers()
+    raw_builds: dict[str, list[float]] = {}
     queries: dict[str, float] = {}
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     idx_dir = f"{base}/solr_spark_bench/index_{cores}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
 
     # --- index build throughput (north-rule corpus) ---
     corpus = synthesize_corpus(spark, n_docs, seed=42).persist()
     corpus.count()  # materialize generation outside the timed window
-    t0 = time.time()
-    index = build_index(
-        spark, corpus, idx_dir, num_buckets=16, salt_threshold=20000, num_salts=8
-    )
-    build_s = time.time() - t0
-    queries["index_build"] = round(build_s, 3)
-    res["docs_per_sec"] = round(n_docs / build_s, 1)
 
-    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "build":
+    scaling_mode = os.environ.get("SPARK_GRAFT_BENCH_MODE") == "build"
+
+    def timed_build(dirpath, name, **kw):
+        reps = 1 if scaling_mode else repeats
+        best_idx, vals = None, []
+        for _ in range(reps):
+            shutil.rmtree(dirpath, ignore_errors=True)
+            t0 = time.time()
+            best_idx = build_index(spark, corpus, dirpath, **kw)
+            vals.append(round(time.time() - t0, 3))
+        raw_builds[name] = vals
+        queries[name] = min(vals)
+        return best_idx
+
+    index = timed_build(
+        idx_dir, "index_build",
+        num_buckets=16, salt_threshold=20000, num_salts=8,
+    )
+    build_s = queries["index_build"]
+    res["docs_per_sec"] = round(n_docs / build_s, 1)
+    res["raw_builds"] = raw_builds
+
+    if scaling_mode:
         # scaling-proxy mode: the efficiency metric is docs/sec only
         corpus.unpersist()
         spark.stop()
@@ -109,30 +153,25 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     # positions build + indexed phrase query (round-2: phrase without a
     # corpus re-tokenize); positions are an optional index component so
     # their build cost is reported separately from index_build
-    from solr_spark.index.builder import build_index as _bi
     from solr_spark.query.positions import phrase_docids
     from solr_spark.operators.phrase import phrase_match
 
     pos_dir = f"{base}/solr_spark_bench/index_pos_{cores}"
-    shutil.rmtree(pos_dir, ignore_errors=True)
-    t = time.time()
-    pos_index = _bi(
-        spark, corpus, pos_dir, num_buckets=16, salt_threshold=20000,
+    pos_index = timed_build(
+        pos_dir, "positions_build",
+        num_buckets=16, salt_threshold=20000,
         num_salts=8, build_blocks=False, build_positions=True,
     )
-    queries["positions_build"] = round(time.time() - t, 3)
     # the realistic deployment shape: ONE build producing postings +
     # blocks + positions (what the gate index and a production user run;
     # index_build + positions_build above double-pay tokenize/invert to
     # stay comparable with earlier rounds)
     full_dir = f"{base}/solr_spark_bench/index_full_{cores}"
-    shutil.rmtree(full_dir, ignore_errors=True)
-    t = time.time()
-    _bi(
-        spark, corpus, full_dir, num_buckets=16, salt_threshold=20000,
+    timed_build(
+        full_dir, "combined_build",
+        num_buckets=16, salt_threshold=20000,
         num_salts=8, build_blocks=True, build_positions=True,
     )
-    queries["combined_build"] = round(time.time() - t, 3)
     shutil.rmtree(full_dir, ignore_errors=True)
     t = time.time()
     phrase_docids(pos_index, ["json", "parser"], slop=0).count()

@@ -138,7 +138,11 @@ _REGISTRY: dict[str, tuple[int, int, object]] = {
     "gte": (2, 2, lambda a: a[0] >= a[1]),
     "lte": (2, 2, lambda a: a[0] <= a[1]),
     "eq": (2, 2, lambda a: a[0] == a[1]),
-    "field": (1, 1, lambda a: a[0]),
+    # "field" moved to _RAW_REGISTRY (multivalued min/max selector)
+    "literal": (1, 1, lambda a: a[0]),  # LiteralValueSource
+    "true": (0, 0, lambda a: F.lit(True)),
+    "false": (0, 0, lambda a: F.lit(False)),
+    "hsin": (5, 5, lambda a: _hsin(*a)),  # HaversineFunction (radians)
     "ms": (1, 2, lambda a: _ms(a)),
     "geodist": (4, 4, lambda a: _geodist(*a)),
     "rad": (1, 1, lambda a: F.radians(a[0])),
@@ -165,6 +169,17 @@ def _ms(args):
     if len(args) == 1:
         return millis(args[0])
     return millis(args[0]) - millis(args[1])
+
+
+def _hsin(radius, x1, y1, x2, y2):
+    # hsin(radius, x1, y1, x2, y2): great-circle distance over a sphere
+    # of `radius`, coordinates in RADIANS (ValueSourceParser "hsin" ->
+    # HaversineFunction; the degree-based convenience is geodist())
+    h = (
+        F.pow(F.sin((x2 - x1) / 2), 2)
+        + F.cos(x1) * F.cos(x2) * F.pow(F.sin((y2 - y1) / 2), 2)
+    )
+    return 2 * radius * F.asin(F.least(F.sqrt(h), F.lit(1.0)))
 
 
 def _geodist(lat1, lon1, lat2, lon2):
@@ -293,6 +308,61 @@ def _sttf(raws, index):
         fld if index.meta.get("fields") else None
     ).agg(F.sum("cttf").alias("s")).collect()[0]
     return F.lit(float(row["s"] or 0.0))
+
+
+#: Static exchange rates for currency() — the FileExchangeRateProvider
+#: analog (CurrencyFieldType.java): rates are configuration, not data,
+#: so they resolve at parse time into a literal multiplier. Extend via
+#: plain dict update before parsing.
+CURRENCY_RATES: dict[str, float] = {
+    "USD": 1.0,
+    "EUR": 1.08,
+    "GBP": 1.27,
+    "JPY": 0.0068,
+    "CHF": 1.13,
+}
+
+
+def _payload(args, raws):
+    # payload(field, key[, default]) — per-doc keyed numeric lookup
+    # (ValueSourceParser "payload" -> FloatPayloadValueSource). The
+    # engine's stored fields carry payloads as a JSON-props column, so
+    # the lookup is a JSON path read, not a posting-payload decode.
+    key = _need_str(raws[1], "payload", 1)
+    val = F.get_json_object(args[0], f"$.{key}").cast("double")
+    dflt = args[2] if len(args) > 2 else F.lit(0.0)
+    return F.coalesce(val, dflt)
+
+
+def _currency(args, raws):
+    # currency(field, CODE): field amount (base currency) converted by
+    # the static rate table — deterministic, parse-time-folded.
+    code = _need_str(raws[1], "currency", 1).upper()
+    if code not in CURRENCY_RATES:
+        raise FuncParseError(f"currency(): no rate for {code!r}")
+    return args[0].cast("double") * F.lit(float(CURRENCY_RATES[code]))
+
+
+def _field_sel(args, raws):
+    # field(name[, min|max]): the multivalued selector form
+    # (FieldValueSource with FieldType.MultiValueSelector)
+    if len(args) == 1:
+        return args[0]
+    sel = _need_str(raws[1], "field", 1).lower()
+    if sel == "min":
+        return F.array_min(args[0])
+    if sel == "max":
+        return F.array_max(args[0])
+    raise FuncParseError(f"field(): selector must be min/max, got {sel!r}")
+
+
+#: functions that need RAW argument tokens (string keys/selectors), but
+#: no index context
+_RAW_REGISTRY: dict[str, tuple[int, int, object]] = {
+    "payload": (2, 3, _payload),
+    "currency": (2, 2, _currency),
+    "field": (1, 2, _field_sel),
+}
 
 
 #: PER-DOC index value sources (ValueSourceParser.java:350-420
@@ -539,6 +609,13 @@ def parse_func(
                             "task; pass allow_rank=True to opt in knowingly"
                         )
                     return _ord(args[0], asc=(name == "ord"))
+                if name in _RAW_REGISTRY:
+                    lo, hi, builder = _RAW_REGISTRY[name]
+                    if not (lo <= len(args) <= hi):
+                        raise FuncParseError(
+                            f"{v}() takes {lo}..{hi} args, got {len(args)}"
+                        )
+                    return builder(args, raws)
                 if name not in _REGISTRY:
                     raise FuncParseError(f"unknown function {v!r}")
                 lo, hi, builder = _REGISTRY[name]

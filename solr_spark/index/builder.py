@@ -182,7 +182,15 @@ def assign_docids(
             yield pdf
 
     ids = sorted_keys.mapInPandas(add_ids, schema=out_schema)
-    return df.join(ids, list(keys))
+    # BOTH join sides are corpus-sized, so broadcasting is never
+    # correct here — but Catalyst can wildly UNDER-estimate either side
+    # (a spark.range-derived corpus stats at 8 bytes/row; the real rows
+    # carry kilobyte content strings) and pick a broadcast join that
+    # collects the whole corpus through the driver (observed: 1M docs
+    # -> ~1 GB of task results -> spark.driver.maxResultSize kill).
+    # The shuffle_hash hint pins a shuffled hash join: each task builds
+    # only its partition's id map, nothing crosses the driver.
+    return df.join(ids.hint("shuffle_hash"), list(keys))
 
 
 @dataclass

@@ -347,3 +347,132 @@ def test_detect_language_matches_lang_id(spark):
     )
     via_frame = lang_id(docs.select("docid", tokens_col("text").alias("toks")))
     assert via_proc.orderBy("docid").collect() == via_frame.orderBy("docid").collect()
+
+
+# ---------------------------------------------------------- value sources
+
+def test_value_sources_tranche4(spark):
+    from solr_spark.functions.valuesources import FuncParseError, parse_func
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7.5}', 100.0, [3.0, 1.0, 2.0], "A")],
+        "id long, props string, value double, arr array<double>, tag string",
+    )
+    row = df.select(
+        parse_func("payload(props,'k')").alias("p"),
+        parse_func("payload(props,'missing',42)").alias("pd"),
+        parse_func("currency(value,'EUR')").alias("eur"),
+        parse_func("field(arr,'min')").alias("amin"),
+        parse_func("field(arr,'max')").alias("amax"),
+        parse_func("literal('x')").alias("lit"),
+        parse_func("if(true(),1,2)").alias("t"),
+        parse_func("if(false(),1,2)").alias("f"),
+        parse_func("hsin(1,0,0,0,0)").alias("zero"),
+    ).collect()[0]
+    assert row["p"] == 7.5 and row["pd"] == 42.0
+    assert abs(row["eur"] - 108.0) < 1e-9
+    assert row["amin"] == 1.0 and row["amax"] == 3.0
+    assert row["lit"] == "x" and row["t"] == 1 and row["f"] == 2
+    assert row["zero"] == 0.0
+    # hsin: quarter circumference on unit sphere, radians
+    import math
+
+    q = df.select(
+        parse_func(f"hsin(1,0,0,0,{math.pi / 2})").alias("q")
+    ).collect()[0]["q"]
+    assert abs(q - math.pi / 2) < 1e-9
+    with _pt.raises(FuncParseError):
+        parse_func("currency(value,'XXX')")
+    with _pt.raises(FuncParseError):
+        parse_func("field(arr,'median')")
+
+
+# ------------------------------------------------------------- snapshots
+
+def test_snapshot_publish_read_incremental(spark, tmp_path):
+    """Snapshot-committed parquet table: atomic versioned commits,
+    consistent pinned reads, batch-pull incremental consumption (the
+    topic() checkpoint contract over snapshots)."""
+    import os
+
+    from solr_spark.sources import snapshots as S
+
+    tbl = str(tmp_path / "events_tbl")
+    d1 = spark.range(0, 10).withColumnRenamed("id", "event_id")
+    d2 = spark.range(10, 15).withColumnRenamed("id", "event_id")
+    assert S.current_version(tbl) == 0
+    v1 = S.publish(tbl, d1)
+    assert v1 == 1 and S.read(spark, tbl).count() == 10
+    # torn write: a data dir WITHOUT a manifest is invisible
+    os.makedirs(os.path.join(tbl, "data", "v99"), exist_ok=True)
+    assert S.read(spark, tbl).count() == 10
+    # incremental: consumer checkpoints the returned version
+    inc, v = S.incremental_read(spark, tbl, 0)
+    assert v == 1 and inc.count() == 10
+    none_inc, v_same = S.incremental_read(spark, tbl, v)
+    assert none_inc is None and v_same == 1
+    v2 = S.publish(tbl, d2)  # append snapshot
+    inc2, v = S.incremental_read(spark, tbl, v1)
+    assert v == v2 == 2
+    assert sorted(r["event_id"] for r in inc2.collect()) == [10, 11, 12, 13, 14]
+    # full view at latest = both dirs; pinned read at v1 = old view
+    assert S.read(spark, tbl).count() == 15
+    assert S.read(spark, tbl, version=1).count() == 10
+    # overwrite snapshot replaces the view and stops incremental chains
+    S.publish(tbl, d2, mode="overwrite")
+    assert S.read(spark, tbl).count() == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overwrite"):
+        S.incremental_read(spark, tbl, v2)
+
+
+def test_index_snapshot_versioned_publish(spark, tmp_path):
+    """Two index builds into one snapshot root: readers loading through
+    the pointer switch atomically; a pinned version stays loadable."""
+    from solr_spark.query.engine import bm25_topk
+    from solr_spark.sources import snapshots as S
+
+    root = str(tmp_path / "idx_tbl")
+    c1 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha alpha delta")],
+        "docid long, content string",
+    )
+    c2 = spark.createDataFrame(
+        [(0, "epsilon zeta"), (1, "epsilon eta theta"), (2, "alpha iota")],
+        "docid long, content string",
+    )
+    S.build_index_versioned(spark, c1, root, num_buckets=2, build_blocks=False)
+    assert S.current_version(root) == 1
+    i1 = S.load_index_snapshot(spark, root)
+    assert {r["docid"] for r in bm25_topk(i1, "alpha", k=5).collect()} == {0, 1}
+    S.build_index_versioned(spark, c2, root, num_buckets=2, build_blocks=False)
+    assert S.current_version(root) == 2
+    i2 = S.load_index_snapshot(spark, root)
+    assert {r["docid"] for r in bm25_topk(i2, "alpha", k=5).collect()} == {2}
+    # pinned old version still serves
+    i1b = S.load_index_snapshot(spark, root, version=1)
+    assert {r["docid"] for r in bm25_topk(i1b, "alpha", k=5).collect()} == {0, 1}
+
+
+def test_topic_resume_over_snapshots(spark, tmp_path):
+    """topic() over a snapshot table's append-only data dirs: drain,
+    publish a new snapshot, drain again with the SAME checkpoint —
+    exactly-once into the sink, only the new snapshot's rows added."""
+    from solr_spark.sources import snapshots as S
+    from solr_spark.streaming.topic import run_topic_once, topic_stream
+
+    tbl = str(tmp_path / "topic_tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    S.publish(tbl, spark.range(0, 8).withColumnRenamed("id", "event_id"))
+    stream = topic_stream(spark, f"{tbl}/data/*", "event_id long")
+    run_topic_once(stream, out, ckpt)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(8))
+    S.publish(tbl, spark.range(8, 12).withColumnRenamed("id", "event_id"))
+    stream = topic_stream(spark, f"{tbl}/data/*", "event_id long")
+    run_topic_once(stream, out, ckpt)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(12))  # no duplicates, new rows delivered
