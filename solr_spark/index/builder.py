@@ -605,6 +605,27 @@ def build_index(
     persists is unpersisted on exit (success OR failure) so long-lived
     sessions that build several indexes (the gate does) never accumulate
     cached RDDs (round-2 VERDICT hygiene item)."""
+    # Build-scoped shuffle sizing (round-4 scaling study,
+    # BENCH/stage_profile_*c_1000000.json): the invert reduce ran at
+    # 3x-cores partitions coalesced UP to ~50 MB by AQE's 64 MB
+    # advisory, and its per-task hash tables fell out of cache — task
+    # CPU time inflated 13x at 32 cores vs 8 (memory stalls bill as CPU
+    # time). Small reduce partitions (~8 MB) keep the agg tables
+    # cache-resident: measured 1M-doc 32-core build 385 s -> 140 s
+    # (2596 -> 7150 docs/s) with shuffle.partitions 96->256 + 8 MB
+    # advisory. Scoped here (saved/restored) so query workloads keep
+    # the session's latency-oriented sizing.
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    build_parts = max(64, 8 * spark.sparkContext.defaultParallelism)
+    conf.set("spark.sql.shuffle.partitions", str(build_parts))
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     persisted: list[DataFrame] = []
     try:
         return _build_index_impl(
@@ -628,6 +649,11 @@ def build_index(
             persisted=persisted,
         )
     finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
         for df in persisted:
             try:
                 df.unpersist()
