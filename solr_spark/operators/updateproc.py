@@ -293,6 +293,41 @@ def uuid_v3_sql(namespace: str, from_cols: list[str]) -> str:
     )
 
 
+def ignore_fields(pattern: str) -> Processor:
+    """IgnoreFieldUpdateProcessorFactory: drop every column whose name
+    fully matches `pattern` (schema-level projection, no data move)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def run(df):
+        keep = [c for c in df.columns if not rx.fullmatch(c)]
+        return df.select(*keep)
+
+    return run
+
+
+def first_field_value(col: str) -> Processor:
+    """FirstFieldValueUpdateProcessorFactory: collapse a multivalued
+    (array) column to its first element."""
+    return lambda df: df.withColumn(col, F.element_at(F.col(col), 1))
+
+
+def last_field_value(col: str) -> Processor:
+    """LastFieldValueUpdateProcessorFactory."""
+    return lambda df: df.withColumn(col, F.element_at(F.col(col), -1))
+
+
+def min_field_value(col: str) -> Processor:
+    """MinFieldValueUpdateProcessorFactory: multivalued -> min element."""
+    return lambda df: df.withColumn(col, F.array_min(F.col(col)))
+
+
+def max_field_value(col: str) -> Processor:
+    """MaxFieldValueUpdateProcessorFactory."""
+    return lambda df: df.withColumn(col, F.array_max(F.col(col)))
+
+
 def detect_language(src: str, dst: str = "language_s") -> Processor:
     """TikaLanguageIdentifierUpdateProcessorFactory analog
     (solr/contrib/langid): stamp the n-gram-heuristic language id of a

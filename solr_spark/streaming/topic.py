@@ -71,6 +71,50 @@ def run_daemon_once(
     q.awaitTermination()
 
 
+def run_daemon(
+    stream: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    interval: str = "1 second",
+    iterations: int | None = None,
+    timeout_s: float | None = None,
+):
+    """daemon(runInterval): the RESIDENT form — a continuous
+    foreachBatch query on a processingTime trigger, the direct analogue
+    of DaemonStream's wake-every-interval loop (io/stream/
+    DaemonStream.java:51-62; run_daemon_once above is the one-shot
+    drain). Stops after `iterations` non-empty batches or `timeout_s`
+    seconds (whichever comes first; both None = caller manages the
+    returned query). Returns the StreamingQuery."""
+    import threading
+    import time as _time
+
+    done = threading.Event()
+    seen = {"n": 0}
+
+    def counted(batch_df, batch_id):
+        batch_fn(batch_df, batch_id)
+        if batch_df.take(1):
+            seen["n"] += 1
+            if iterations is not None and seen["n"] >= iterations:
+                done.set()
+
+    q = (
+        stream.writeStream.foreachBatch(counted)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    if iterations is None and timeout_s is None:
+        return q
+    deadline = _time.time() + (timeout_s or 3600.0)
+    while _time.time() < deadline and not done.is_set() and q.isActive:
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return q
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str,

@@ -476,3 +476,60 @@ def test_topic_resume_over_snapshots(spark, tmp_path):
     run_topic_once(stream, out, ckpt)
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(12))  # no duplicates, new rows delivered
+
+
+def test_field_value_selectors_and_ignore(spark):
+    from solr_spark.operators.updateproc import (
+        apply_chain, first_field_value, ignore_fields, last_field_value,
+        max_field_value, min_field_value,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2], [3, 1, 2], [3, 1, 2], [3, 1, 2], "x")],
+        "id long, a array<int>, b array<int>, c array<int>, d array<int>, tmp_junk string",
+    )
+    out = apply_chain(
+        df,
+        [
+            first_field_value("a"),
+            last_field_value("b"),
+            min_field_value("c"),
+            max_field_value("d"),
+            ignore_fields(r"tmp_.*"),
+        ],
+    )
+    assert "tmp_junk" not in out.columns
+    r = out.collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 2, 1, 3)
+
+
+def test_run_daemon_resident(spark, tmp_path):
+    """Resident daemon(): processingTime loop picks up files that
+    arrive AFTER the query starts — the DaemonStream wake-interval
+    contract the one-shot drain can't express."""
+    import threading
+    import time
+
+    from solr_spark.streaming.topic import run_daemon, topic_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out: list[int] = []
+    spark.range(0, 5).toDF("v").coalesce(1).write.mode("append").parquet(str(src))
+
+    def feed():
+        time.sleep(2.0)
+        spark.range(5, 9).toDF("v").coalesce(1).write.mode("append").parquet(str(src))
+
+    t = threading.Thread(target=feed)
+    t.start()
+    run_daemon(
+        topic_stream(spark, str(src), "v long"),
+        lambda b, _id: out.extend(r["v"] for r in b.collect()),
+        str(tmp_path / "ckpt"),
+        interval="500 milliseconds",
+        iterations=2,
+        timeout_s=60,
+    )
+    t.join()
+    assert sorted(out) == list(range(9))
