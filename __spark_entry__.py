@@ -31,6 +31,7 @@ from solr_spark.operators import graph as GR
 from solr_spark.operators import relevance as R
 from solr_spark.operators import similarity as SIM
 from solr_spark.operators import streams as S
+from solr_spark.operators import spatial as SP
 from solr_spark.operators import textstats as TS
 from solr_spark.oracle import sqlgen as G
 from solr_spark.operators import blockjoin as BJ
@@ -1762,6 +1763,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, d: TS.lang_id(_tok(s, d))
     q["doc_fingerprint"] = lambda s, d: TS.fingerprint(_tok(s, d))
 
+    # --- spatial family ({!geofilt} / {!bbox} / rect range / geodist sort)
+    # Coordinates are derived from c_custkey with pure integer/decimal
+    # arithmetic so the DuckDB oracle reproduces them exactly; the
+    # haversine formula is term-for-term identical on both sides.
+    def _cust_pts(s, d):
+        c = _t(s, d, "customer")
+        return c.select(
+            "c_custkey",
+            ((F.col("c_custkey") * 7919 % 17000) / 100.0 - 85.0).alias("lat"),
+            ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+
+    def geofilt_entry(s, d):
+        pts = _cust_pts(s, d)
+        hit = SP.geofilt(pts, "lat", "lon", 40.7, -74.0, 3000.0)
+        return hit.select(
+            "c_custkey",
+            F.round(SP.geodist_km("lat", "lon", 40.7, -74.0), 4).alias("dist_km"),
+        ).orderBy("c_custkey")
+
+    q["geofilt_customers"] = geofilt_entry
+
+    def bbox_entry(s, d):
+        pts = _cust_pts(s, d)
+        return (
+            pts.where(SP.bbox_predicate("lat", "lon", 40.7, -74.0, 3000.0))
+            .select("c_custkey")
+            .orderBy("c_custkey")
+        )
+
+    q["bbox_customers"] = bbox_entry
+
+    def rect_entry(s, d):
+        # wrapped box across the date line exercises the lon1>lon2 branch
+        pts = _cust_pts(s, d)
+        return (
+            SP.rect_query(pts, "lat", "lon", -30.0, 150.0, 30.0, -150.0)
+            .select("c_custkey")
+            .orderBy("c_custkey")
+        )
+
+    q["rect_range_customers"] = rect_entry
+
+    def geodist_sort_entry(s, d):
+        # overfetch then re-rank on (rounded dist, key): cross-engine
+        # float noise must not flip the boundary (same contract as
+        # _round4_topk)
+        pts = _cust_pts(s, d)
+        top = SP.geodist_sort(pts, "lat", "lon", 48.8566, 2.3522, k=40)
+        return (
+            top.select(
+                "c_custkey", F.round("dist_km", 4).alias("dist_km")
+            )
+            .orderBy("dist_km", "c_custkey")
+            .limit(20)
+        )
+
+    q["geodist_sort_top20"] = geodist_sort_entry
+
     # ---- driver-oracle window rotation (round 4) -------------------
     # The external driver oracles the FIRST 50 entries in insertion
     # order; rounds 1-3 sampled the same leading 50, leaving 52
@@ -2669,6 +2729,45 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
     o["edismax_indexed_pf"] = edismax_sql(
         "fast merge", {"text": 1.0}, pf={"text": 2.0}, ps=1, k=10
     )
+
+    # --- spatial family (twin formula via SP.geodist_sql; box constants
+    # computed by the same bounding_box() used Spark-side so the two
+    # engines test literally identical literals) ---
+    _pts_cte = (
+        "WITH pts AS (SELECT c_custkey, "
+        "(c_custkey * 7919 % 17000) / 100.0 - 85.0 AS lat, "
+        "(c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon FROM customer)"
+    )
+    _gd_nyc = SP.geodist_sql("lat", "lon", 40.7, -74.0)
+    o["geofilt_customers"] = f"""
+        {_pts_cte}
+        SELECT c_custkey, round({_gd_nyc}, 4) AS dist_km
+        FROM pts WHERE {_gd_nyc} <= 3000.0 ORDER BY c_custkey"""
+    _bb = SP.bounding_box(40.7, -74.0, 3000.0)
+    _bb_pred = (
+        f"lat >= {_bb[0]!r} AND lat <= {_bb[1]!r} AND "
+        + (
+            f"(lon >= {_bb[2]!r} OR lon <= {_bb[3]!r})"
+            if _bb[4]
+            else f"lon >= {_bb[2]!r} AND lon <= {_bb[3]!r}"
+        )
+    )
+    o["bbox_customers"] = f"""
+        {_pts_cte}
+        SELECT c_custkey FROM pts WHERE {_bb_pred} ORDER BY c_custkey"""
+    o["rect_range_customers"] = f"""
+        {_pts_cte}
+        SELECT c_custkey FROM pts
+        WHERE lat >= -30.0 AND lat <= 30.0
+          AND (lon >= 150.0 OR lon <= -150.0)
+        ORDER BY c_custkey"""
+    _gd_paris = SP.geodist_sql("lat", "lon", 48.8566, 2.3522)
+    o["geodist_sort_top20"] = f"""
+        {_pts_cte}
+        SELECT c_custkey, round(dist, 4) AS dist_km
+        FROM (SELECT c_custkey, {_gd_paris} AS dist FROM pts
+              ORDER BY dist LIMIT 40)
+        ORDER BY dist_km, c_custkey LIMIT 20"""
 
     # no oracle (rows-only check): ann_cosine_lsh, hll_users_by_type
     # (approximate sketches are engine-specific; their bounded twins
