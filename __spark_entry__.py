@@ -1244,6 +1244,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blockjoin_children"] = blockjoin_children
 
+    def blockjoin_childfield(s, d):
+        """childfield(field) sort source over a {!parent} result: each
+        order carries the l_extendedprice of its highest-quantity
+        lineitem with l_discount >= 0.05 (ChildFieldValueSourceParser;
+        explicit max_by pick — see operators/blockjoin.childfield)."""
+        out = BJ.childfield(
+            _t(s, d, "orders").where(F.col("o_orderkey") <= 2000),
+            _t(s, d, "lineitem").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            "o_orderkey",
+            field="l_extendedprice",
+            child_pred=F.col("l_discount") >= 0.05,
+            order_by="l_quantity",
+            alias="top_child_price",
+        )
+        return (
+            out.where(F.col("top_child_price").isNotNull())
+            .select("o_orderkey", "top_child_price")
+            .orderBy(F.col("top_child_price").desc(), "o_orderkey")
+            .limit(50)
+        )
+
+    q["blockjoin_childfield"] = blockjoin_childfield
+
     def uniqueblock_entry(s, d):
         return BJ.unique_block(
             _t(s, d, "lineitem").where(F.col("l_quantity") >= 30),
@@ -1536,6 +1561,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("event_id")
 
     q["func_parsed_v4"] = func_parsed_v4
+
+    def func_parsed_v5(s, d):
+        """Round-4 tranche 5 ValueSources: geohash() 12-char
+        bit-interleave encode, ghhsin() haversine between geohash cell
+        centers, vector() multi-source array, top() identity wrapper —
+        all through the public function-query syntax, all JVM-side
+        (ValueSourceParser.java "geohash"/"ghhsin"/"vector"/"top")."""
+        from solr_spark.functions.valuesources import parse_func
+
+        c = _t(s, d, "customer").where(F.col("c_custkey") <= 400)
+        pts = c.select(
+            "c_custkey",
+            ((F.col("c_custkey") * 7919 % 17000) / 100.0 - 85.0).alias("lat"),
+            ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+        return pts.select(
+            "c_custkey",
+            parse_func("geohash(lat, lon)").alias("gh"),
+            F.round(
+                parse_func(
+                    "ghhsin(6371.0087714, geohash(lat, lon), "
+                    "geohash(40.7, -74.0))"
+                ),
+                4,
+            ).alias("gh_dist_km"),
+            F.round(
+                F.element_at(parse_func("vector(lat, lon)"), 2), 4
+            ).alias("vec_lon"),
+            F.round(parse_func("top(add(lat, lon))"), 4).alias("top_sum"),
+        ).orderBy("c_custkey")
+
+    q["func_parsed_v5"] = func_parsed_v5
+
+    def agg_funcs_lineitem(s, d):
+        """Round-4 tranche 6: the agg_* JSON-Facet aggregation parsers
+        (ValueSourceParser.java:944-1088) as groupBy aggregate Columns —
+        count/countvals/missing/sum/avg/sumsq/min/max/variance/stddev/
+        unique/percentile, inner args through the full scalar function
+        parser (sum(mul(...)) composes); corrected variance per
+        AggUtil.java:61-64."""
+        from solr_spark.functions.valuesources import parse_agg
+
+        li = _t(s, d, "lineitem")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(
+                parse_agg("count()").alias("n"),
+                parse_agg("countvals(l_shipdate)").alias("cv"),
+                parse_agg("missing(l_shipdate)").alias("miss"),
+                parse_agg(
+                    "sum(mul(l_extendedprice, sub(1, l_discount)))"
+                ).alias("rev"),
+                parse_agg("avg(l_quantity)").alias("avg_qty"),
+                parse_agg("agg(sumsq(l_tax))").alias("ssq_tax"),
+                parse_agg("min(l_extendedprice)").alias("min_price"),
+                parse_agg("max(l_extendedprice)").alias("max_price"),
+                parse_agg("variance(l_extendedprice)").alias("var_price"),
+                parse_agg("stddev(l_extendedprice)").alias("sd_price"),
+                parse_agg("unique(l_suppkey)").alias("uniq_supp"),
+                parse_agg("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    q["agg_funcs_lineitem"] = agg_funcs_lineitem
+
+    def func_joindf_lang(s, d):
+        """joindf(lang, lang) over the multi-field gate index: per doc,
+        the docfreq (in the indexed lang field) of the doc's own stored
+        lang value — JoinDocFreqValueSource (ValueSourceParser.java:331)
+        as one docs-scan joined to the term dictionary."""
+        from solr_spark.functions.valuesources import parse_func_df
+
+        idx = _gate_index_mf(s, d)
+        # lang is an INDEXED field on the mf index (not stored in docs),
+        # so the caller frame carries the per-doc value
+        base = (
+            _t(s, d, "documents")
+            .select(F.col("doc_id").cast("long").alias("docid"), "lang")
+            .where(F.col("docid") < 500)
+        )
+        out, col = parse_func_df("joindf(lang, lang)", base, index=idx)
+        return out.select(
+            "docid", col.alias("lang_df")
+        ).orderBy("docid")
+
+    q["func_joindf_lang"] = func_joindf_lang
+
+    def update_chain_v3(s, d):
+        """Round-4 processor tranche 3 as one chain: Signature (md5 +
+        lookup3-width), Template, RegexpBoost (composing multiplies),
+        URLClassify, ParseBoolean, FieldNameMutating — every processor
+        a pure column transform (update/processor/ factories; see each
+        function's docstring for the file cite)."""
+        from solr_spark.operators import updateproc as UP
+
+        docs = (
+            _t(s, d, "documents")
+            .where(F.col("doc_id") < 400)
+            .select(
+                F.col("doc_id").cast("long").alias("docid"),
+                "source",
+                "lang",
+                "text",
+            )
+            .withColumn(
+                "url",
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/docs/"),
+                    F.col("docid").cast("string"), F.lit("/page"),
+                ),
+            )
+            .withColumn(
+                "flag",
+                F.when(F.col("docid") % 3 == 0, F.lit("Yes"))
+                .when(F.col("docid") % 3 == 1, F.lit("off"))
+                .otherwise(F.lit("maybe")),
+            )
+        )
+        out = UP.apply_chain(docs, [
+            UP.signature_field("sig", ["source", "lang"]),
+            UP.signature_field("sig64", ["source", "lang"], algo="lookup3"),
+            UP.template_field("label", "{source}:{lang}"),
+            UP.regexp_boost("text", "the", 2.0),
+            UP.regexp_boost("text", "and", 3.0),
+            UP.url_classify("url"),
+            UP.parse_boolean("flag"),
+            UP.field_name_mutating("^text$", "body"),
+        ])
+        return out.select(
+            "docid", "sig", "sig64", "label",
+            F.round("boost_d", 4).alias("boost_d"),
+            "url_levels", "url_toplevel", "url_landingpage",
+            "url_canonical",
+            F.coalesce(F.col("flag").cast("string"), F.lit("null")).alias(
+                "flag_s"
+            ),
+        ).orderBy("docid")
+
+    q["update_chain_v3"] = update_chain_v3
 
     # --- update processor chain over orders ---
     def update_chain(s, d):
@@ -2603,6 +2769,87 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                'ev:' || event_type AS tag,
                coalesce(json_extract(props, '$.k')::DOUBLE, 0.0) AS pay_or0
         FROM events WHERE event_id < 500 ORDER BY event_id"""
+    from solr_spark.functions.valuesources import geohash_sql, ghhsin_sql
+
+    o["func_parsed_v5"] = f"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 (c_custkey * 7919 % 17000) / 100.0 - 85.0 AS lat,
+                 (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+          FROM customer WHERE c_custkey <= 400)
+        SELECT c_custkey,
+               {geohash_sql('lat', 'lon')} AS gh,
+               round({ghhsin_sql(6371.0087714, geohash_sql('lat', 'lon'),
+                                 geohash_sql('40.7', '-74.0'))}, 4)
+                 AS gh_dist_km,
+               round(lon, 4) AS vec_lon,
+               round(lat + lon, 4) AS top_sum
+        FROM pts ORDER BY c_custkey"""
+    o["agg_funcs_lineitem"] = """
+        SELECT l_returnflag,
+               count(*) AS n,
+               count(l_shipdate) AS cv,
+               count(*) - count(l_shipdate) AS miss,
+               round(cast(sum(cast((l_extendedprice * (1 - l_discount))
+                 as DECIMAL(30,6))) as DOUBLE), 4) AS rev,
+               round(cast(sum(cast(l_quantity as DECIMAL(30,6))) as DOUBLE)
+                 / count(l_quantity)::DOUBLE, 4) AS avg_qty,
+               round(cast(sum(cast((l_tax * l_tax) as DECIMAL(30,6)))
+                 as DOUBLE), 4) AS ssq_tax,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               round((count(l_extendedprice)::DOUBLE
+                   * cast(sum(cast((l_extendedprice * l_extendedprice)
+                       as DECIMAL(30,6))) as DOUBLE)
+                   - pow(cast(sum(cast(l_extendedprice as DECIMAL(30,6)))
+                       as DOUBLE), 2))
+                 / (count(l_extendedprice)::DOUBLE
+                   * (count(l_extendedprice)::DOUBLE - 1.0)), 4) AS var_price,
+               round(sqrt(round((count(l_extendedprice)::DOUBLE
+                   * cast(sum(cast((l_extendedprice * l_extendedprice)
+                       as DECIMAL(30,6))) as DOUBLE)
+                   - pow(cast(sum(cast(l_extendedprice as DECIMAL(30,6)))
+                       as DOUBLE), 2))
+                 / (count(l_extendedprice)::DOUBLE
+                   * (count(l_extendedprice)::DOUBLE - 1.0)), 4)), 4)
+                 AS sd_price,
+               count(distinct l_suppkey) AS uniq_supp,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    o["func_joindf_lang"] = """
+        WITH lc AS (SELECT lang, count(*) AS df FROM documents GROUP BY lang)
+        SELECT d.doc_id::BIGINT AS docid, cast(lc.df as DOUBLE) AS lang_df
+        FROM documents d JOIN lc USING (lang)
+        WHERE d.doc_id < 500 ORDER BY docid"""
+    o["update_chain_v3"] = """
+        SELECT doc_id::BIGINT AS docid,
+               md5(source || chr(31) || lang) AS sig,
+               substr(md5(source || chr(31) || lang), 1, 16) AS sig64,
+               source || ':' || lang AS label,
+               round((CASE WHEN regexp_matches(text, 'the')
+                           THEN 2.0 ELSE 1.0 END)
+                   * (CASE WHEN regexp_matches(text, 'and')
+                           THEN 3.0 ELSE 1.0 END), 4) AS boost_d,
+               3 AS url_levels,
+               'com' AS url_toplevel,
+               false AS url_landingpage,
+               'https://' || lower(source) || '.example.com/docs/'
+                 || doc_id || '/page' AS url_canonical,
+               CASE WHEN doc_id % 3 = 0 THEN 'true'
+                    WHEN doc_id % 3 = 1 THEN 'false'
+                    ELSE 'null' END AS flag_s
+        FROM documents WHERE doc_id < 400 ORDER BY docid"""
+    o["blockjoin_childfield"] = """
+        WITH k AS (
+          SELECT l_orderkey, l_extendedprice, row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_quantity DESC, l_extendedprice DESC) AS rn
+          FROM lineitem WHERE l_discount >= 0.05)
+        SELECT o.o_orderkey::BIGINT AS o_orderkey,
+               k.l_extendedprice AS top_child_price
+        FROM orders o JOIN k ON k.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey <= 2000 AND k.rn = 1
+        ORDER BY top_child_price DESC, o_orderkey LIMIT 50"""
     o["func_parsed_showcase"] = """
         SELECT doc_id::BIGINT AS docid,
                round(1000.0 / (abs(n_chars - 300) + 1000.0), 4) AS recip_d,

@@ -140,6 +140,10 @@ _REGISTRY: dict[str, tuple[int, int, object]] = {
     "eq": (2, 2, lambda a: a[0] == a[1]),
     # "field" moved to _RAW_REGISTRY (multivalued min/max selector)
     "literal": (1, 1, lambda a: a[0]),  # LiteralValueSource
+    # cscore(): the first-pass score inside a rerank context
+    # (ValueSourceParser "cscore" -> RankQuery rescoring) — our rerank
+    # frames carry that score in the `score` column
+    "cscore": (0, 0, lambda a: F.col("score")),
     "true": (0, 0, lambda a: F.lit(True)),
     "false": (0, 0, lambda a: F.lit(False)),
     "hsin": (5, 5, lambda a: _hsin(*a)),  # HaversineFunction (radians)
@@ -149,6 +153,14 @@ _REGISTRY: dict[str, tuple[int, int, object]] = {
     "deg": (1, 1, lambda a: F.degrees(a[0])),
     "dist": (3, 99, lambda a: _dist(a)),
     "sqedist": (2, 99, lambda a: _sqedist(a)),
+    # round-4 tranche 5
+    "vector": (1, 99, lambda a: F.array(*a)),  # VectorValueSource
+    # top(x): Solr wraps the source to read per-top-level-reader ords
+    # instead of per-segment (ValueSourceParser "top"); Spark columns
+    # are already frame-global, so the faithful analogue is identity
+    "top": (1, 1, lambda a: a[0]),
+    "geohash": (2, 2, lambda a: _gh_encode(a[0], a[1])),
+    "ghhsin": (3, 3, lambda a: _ghhsin(a[0], a[1], a[2])),
 }
 
 #: functions needing DataFrame context (scale) or an explicit opt-in
@@ -169,6 +181,175 @@ def _ms(args):
     if len(args) == 1:
         return millis(args[0])
     return millis(args[0]) - millis(args[1])
+
+
+#: geohash base-32 alphabet (Lucene GeohashUtils.BASE_32 — the public
+#: geohash standard; ValueSourceParser "geohash"/"ghhsin" registrations)
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 30  # 12 chars * 5 bits = 60 = 30 lat + 30 lon
+
+
+def _gh_encode(lat, lon) -> Column:
+    """geohash(lat, lon) -> 12-char geohash of the containing cell.
+
+    Pure integer bit math, entirely JVM-side (shiftleft/shiftright over
+    a 30-bit quantization per axis, lon leading the interleave — the
+    standard geohash layout). No UDF; the same arithmetic is emitted as
+    DuckDB SQL by geohash_sql() so oracle twins hash-match."""
+    one = F.lit(1).cast("long")
+    latb = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << _GH_BITS))),
+        F.lit((1 << _GH_BITS) - 1),
+    ).cast("long")
+    lonb = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << _GH_BITS))),
+        F.lit((1 << _GH_BITS) - 1),
+    ).cast("long")
+    alphabet = F.array(*[F.lit(c) for c in _GH_ALPHABET])
+    # per-char directly from the axis words (the 60-bit interleave word
+    # is never materialized: referencing it from all 12 char extractions
+    # re-inlines its whole subtree 12x in Catalyst, which does not CSE
+    # repeated Column references)
+    chars = []
+    for j in range(12):
+        val = F.lit(0).cast("long")
+        for k in range(5):
+            g = 5 * j + k  # global bit index from MSB; even=lon
+            src, idx = (lonb, g // 2) if g % 2 == 0 else (latb, (g - 1) // 2)
+            bit = F.shiftright(src, _GH_BITS - 1 - idx).bitwiseAND(one)
+            val = val + F.shiftleft(bit, 4 - k)
+        chars.append(F.element_at(alphabet, (val + 1).cast("int")))
+    return F.concat(*chars)
+
+
+def _balanced_sum(cols: list[Column]) -> Column:
+    """Sum Columns as a balanced tree: a left-assoc chain of 30 terms
+    whose every term embeds a shared subtree makes Catalyst's tree
+    (which inlines, not CSEs, repeated references) quadratic; balancing
+    keeps analysis/codegen linear."""
+    while len(cols) > 1:
+        cols = [
+            cols[i] + cols[i + 1] if i + 1 < len(cols) else cols[i]
+            for i in range(0, len(cols), 2)
+        ]
+    return cols[0]
+
+
+def _gh_decode(gh):
+    """12-char geohash -> (lat, lon) degrees of the CELL CENTER.
+
+    Decodes per-CHAR (each char's 5 bits scatter straight into the
+    lat/lon words) — never materializes the 60-bit interleave word,
+    whose re-inlining at every bit extraction blew the expression tree
+    up quadratically in the first cut."""
+    alphabet = F.array(*[F.lit(c) for c in _GH_ALPHABET])
+    one = F.lit(1).cast("long")
+    # gh is referenced exactly ONCE per axis word: split -> per-char
+    # 5-bit values -> flatten to 60 bits -> dot-product against a
+    # literal weight array. transform/zip_with/aggregate lambdas bind
+    # their element at runtime, so a composed gh expression (e.g.
+    # ghhsin over two inline geohash() encodes) is not re-inlined per
+    # bit the way a Python-level loop of Column subtrees would be.
+    vals = F.transform(
+        F.slice(F.split(gh, ""), 1, 12),
+        lambda ch: (F.array_position(alphabet, ch) - 1).cast("long"),
+    )
+    bits = F.flatten(F.transform(vals, lambda v: F.array(*[
+        F.shiftright(v, s).bitwiseAND(one) for s in (4, 3, 2, 1, 0)
+    ])))
+    lon_w = [(1 << (_GH_BITS - 1 - g // 2)) if g % 2 == 0 else 0 for g in range(60)]
+    lat_w = [(1 << (_GH_BITS - 1 - (g - 1) // 2)) if g % 2 == 1 else 0 for g in range(60)]
+
+    def dot(weights):
+        warr = F.array(*[F.lit(w).cast("long") for w in weights])
+        return F.aggregate(
+            F.zip_with(bits, warr, lambda b, w: b * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    latb = dot(lat_w)
+    lonb = dot(lon_w)
+    lat = (latb.cast("double") + F.lit(0.5)) / F.lit(float(1 << _GH_BITS)) * F.lit(180.0) - F.lit(90.0)
+    lon = (lonb.cast("double") + F.lit(0.5)) / F.lit(float(1 << _GH_BITS)) * F.lit(360.0) - F.lit(180.0)
+    return lat, lon
+
+
+def _ghhsin(radius, gh1, gh2) -> Column:
+    # ghhsin(radius, gh1, gh2): haversine between two geohash cell
+    # centers over a sphere of `radius` (GeoHashHaversineFunction)
+    lat1, lon1 = _gh_decode(gh1)
+    lat2, lon2 = _gh_decode(gh2)
+    rad = math.pi / 180.0
+    dphi = (lat2 - lat1) * rad / 2.0
+    dlmb = (lon2 - lon1) * rad / 2.0
+    h = F.sin(dphi) * F.sin(dphi) + (
+        F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return F.lit(2.0) * radius * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+def geohash_sql(lat_expr: str, lon_expr: str) -> str:
+    """DuckDB SQL emitting the identical geohash as _gh_encode."""
+    latb = (f"least(cast(floor((({lat_expr}) + 90.0) / 180.0 * {1 << _GH_BITS}) as bigint), "
+            f"{(1 << _GH_BITS) - 1})")
+    lonb = (f"least(cast(floor((({lon_expr}) + 180.0) / 360.0 * {1 << _GH_BITS}) as bigint), "
+            f"{(1 << _GH_BITS) - 1})")
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"((({lonb} >> {_GH_BITS - 1 - i}) & 1) << {59 - 2 * i})")
+        terms.append(f"((({latb} >> {_GH_BITS - 1 - i}) & 1) << {58 - 2 * i})")
+    total = _sql_balanced_sum(terms)
+    chars = [
+        f"substr('{_GH_ALPHABET}', cast((({total} >> {55 - 5 * j}) & 31) + 1 as int), 1)"
+        for j in range(12)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def _sql_balanced_sum(terms: list[str]) -> str:
+    """Sum SQL terms as a balanced binary tree — DuckDB's binder caps
+    expression DEPTH at 128, which a 30-term left-associative chain of
+    already-nested terms exceeds; a balanced tree needs only log2(n)."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def ghhsin_sql(radius: float, gh1_expr: str, gh2_expr: str) -> str:
+    """DuckDB SQL twin of _ghhsin over two geohash-string expressions.
+
+    Decodes per-CHAR (each char's 5 bits scatter into the lat/lon words
+    directly) instead of via the 60-bit total, so the interleave word is
+    never inlined 60 times — keeps the bound expression tree shallow."""
+    def decode(gh):
+        lat_terms, lon_terms = [], []
+        for j in range(12):
+            v = (f"(cast(strpos('{_GH_ALPHABET}', substr({gh}, {j + 1}, 1)) "
+                 f"as bigint) - 1)")
+            for k in range(5):
+                g = 5 * j + k  # global bit index from MSB; even=lon
+                bit = f"(({v} >> {4 - k}) & 1)"
+                if g % 2 == 0:
+                    lon_terms.append(f"({bit} << {_GH_BITS - 1 - g // 2})")
+                else:
+                    lat_terms.append(f"({bit} << {_GH_BITS - 1 - (g - 1) // 2})")
+        latb = _sql_balanced_sum(lat_terms)
+        lonb = _sql_balanced_sum(lon_terms)
+        lat = f"((cast({latb} as double) + 0.5) / {float(1 << _GH_BITS)} * 180.0 - 90.0)"
+        lon = f"((cast({lonb} as double) + 0.5) / {float(1 << _GH_BITS)} * 360.0 - 180.0)"
+        return lat, lon
+
+    lat1, lon1 = decode(gh1_expr)
+    lat2, lon2 = decode(gh2_expr)
+    rad = math.pi / 180.0
+    h = (f"(pow(sin((({lat2}) - ({lat1})) * {rad} / 2.0), 2) + "
+         f"cos(({lat1}) * {rad}) * cos(({lat2}) * {rad}) * "
+         f"pow(sin((({lon2}) - ({lon1})) * {rad} / 2.0), 2))")
+    return f"(2.0 * {radius!r} * asin(least(1.0, sqrt({h}))))"
 
 
 def _hsin(radius, x1, y1, x2, y2):
@@ -375,16 +556,23 @@ _RAW_REGISTRY: dict[str, tuple[int, int, object]] = {
 #: compose e.g. div(tf(...), add(tf(...), 1.2)) for a BM25-ish shape)
 _PERDOC_ARITY = {
     "query": (1, 2), "tf": (2, 2), "termfreq": (2, 2), "norm": (1, 1),
+    # boost('q', f): BoostedQuery — score of the subquery times f
+    # (ValueSourceParser "boost"); same docid-join shape as query()
+    "boost": (2, 2),
+    # joindf(f0, qf): JoinDocFreqValueSource (ValueSourceParser.java:331)
+    # — per doc, the docfreq in field qf of the term equal to the doc's
+    # stored value of field f0. One docs-scan -> dictionary join.
+    "joindf": (2, 2),
 }
 
 
-def _perdoc_frame(name, args, raws, index, tag):
+def _perdoc_frame(name, args, raws, index, tag, df=None):
     """Build (frame keyed by docid with one value column `tag`,
     default_for_missing_docs) for a per-doc value source."""
-    if name == "query":
-        qtext = _need_str(raws[0], "query", 0)
+    if name in ("query", "boost"):
+        qtext = _need_str(raws[0], name, 0)
         default = 0.0
-        if len(raws) == 2:
+        if name == "query" and len(raws) == 2:
             if raws[1] is None or raws[1][0] != "num":
                 raise FuncParseError("query() default must be a number")
             default = float(raws[1][1])
@@ -394,6 +582,36 @@ def _perdoc_frame(name, args, raws, index, tag):
             "docid", F.round("score", 9).alias(tag)
         )
         return frame, default
+    if name == "joindf":
+        f0 = _need_str(raws[0], "joindf", 0)
+        qf = _need_str(raws[1], "joindf", 1)
+        base = index.docs()
+        if f0 not in base.columns:
+            # an INDEXED (non-stored) field isn't in the docs table; the
+            # caller's frame can carry the value instead (Solr reads it
+            # from the field cache either way)
+            if df is not None and f0 in df.columns and "docid" in df.columns:
+                base = df
+            else:
+                raise FuncParseError(
+                    f"joindf(): field {f0!r} is neither stored in the docs "
+                    "table nor present on the caller's frame"
+                )
+        dictionary = index.term_dictionary(qf).select(
+            F.col("term").alias("__jdf_term"),
+            F.col("df").alias("__jdf_df"),
+        )
+        frame = (
+            base.select("docid", F.col(f0).cast("string").alias("__jdf_val"))
+            .join(dictionary, F.col("__jdf_val") == F.col("__jdf_term"), "left")
+            .select(
+                "docid",
+                F.coalesce(F.col("__jdf_df"), F.lit(0))
+                .cast("double")
+                .alias(tag),
+            )
+        )
+        return frame, 0.0
     if name in ("tf", "termfreq"):
         fld = _need_str(raws[0], name, 0)
         term = _need_str(raws[1], name, 1)
@@ -583,11 +801,40 @@ def parse_func(
                             "index=...)"
                         )
                     tag = f"_vs{len(_enrich)}"
-                    frame, default = _perdoc_frame(name, args, raws, index, tag)
+                    frame, default = _perdoc_frame(
+                        name, args, raws, index, tag, df=df
+                    )
                     if frame is None:
-                        return F.lit(default)
-                    _enrich.append(frame)
-                    return F.coalesce(F.col(tag), F.lit(default))
+                        base = F.lit(default)
+                    else:
+                        _enrich.append(frame)
+                        base = F.coalesce(F.col(tag), F.lit(default))
+                    if name == "boost":
+                        return base * args[1]
+                    return base
+                if name == "sleep":
+                    # sleep(ms, source): pauses the PARSING thread then
+                    # returns source unchanged (ValueSourceParser.java:153
+                    # sleeps in parse(); a test/debug utility) — capped at
+                    # 5s so a bad expression can't wedge the driver
+                    if len(args) != 2:
+                        raise FuncParseError("sleep(ms, source) takes 2 args")
+                    if raws[0] is None or raws[0][0] != "num":
+                        raise FuncParseError("sleep() ms must be a literal")
+                    import time as _time
+
+                    _time.sleep(min(float(raws[0][1]), 5000.0) / 1000.0)
+                    return args[1]
+                if name == "threadid":
+                    # threadid(): parse-time constant of the executing
+                    # thread's id (LongConstValueSource(currentThread),
+                    # ValueSourceParser.java:147) — debug utility, value
+                    # is inherently run-dependent (no oracle)
+                    if args:
+                        raise FuncParseError("threadid() takes no args")
+                    import threading as _threading
+
+                    return F.lit(_threading.get_ident()).cast("long")
                 if name in _SPECIAL_ARITY:
                     lo, hi = _SPECIAL_ARITY[name]
                     if not (lo <= len(args) <= hi):
@@ -643,3 +890,112 @@ def frange(col: Column, lower: float | None = None, upper: float | None = None,
     if upper is not None:
         pred = pred & (col <= upper if incu else col < upper)
     return pred
+
+
+# ---------------------------------------------------------------------------
+# JSON Facet aggregation parsers — the reference's agg_* ValueSourceParser
+# registrations (ValueSourceParser.java:944-1088: "agg", "agg_count",
+# "agg_unique", "agg_uniqueBlock", "agg_hll", "agg_sum", "agg_avg",
+# "agg_sumsq", "agg_variance", "agg_stddev", "agg_missing",
+# "agg_countvals", "agg_min", "agg_max", "agg_percentile"). In Solr these
+# compile to AggValueSource slot accumulators inside the JSON Facet
+# engine; the Spark-native shape is an aggregate Column dropped into any
+# groupBy().agg(...) — partial aggregation, whole-stage codegen, and the
+# shuffle strategy all come from Catalyst. The inner argument is a full
+# function query (e.g. sum(mul(price,qty))) compiled by parse_func, so
+# the whole 77-name scalar registry composes under every agg.
+#
+# Determinism contract: sum/avg/sumsq/variance/stddev go through exact
+# DECIMAL components and round to 4 decimals (functions/det.py rationale)
+# so results hash-match a single-node DuckDB oracle; variance/stddev use
+# the reference's CORRECTED (sample) formula
+# (search/facet/AggUtil.java:61-64: (n*sumSq - sum^2) / (n*(n-1))).
+# ---------------------------------------------------------------------------
+
+def _agg_components(col: Column):
+    c = col.cast("double")
+    s = F.sum(c.cast(DEC := "decimal(30,6)")).cast("double")
+    s2 = F.sum((c * c).cast(DEC)).cast("double")
+    n = F.count(c).cast("double")  # count of NON-NULL values (CountValsAgg)
+    return s, s2, n
+
+
+def _agg_variance(col: Column) -> Column:
+    s, s2, n = _agg_components(col)
+    return F.round(
+        F.when(n <= 1, F.lit(0.0)).otherwise(
+            (n * s2 - s * s) / (n * (n - F.lit(1.0)))
+        ),
+        4,
+    )
+
+
+_AGG_REGISTRY: dict[str, tuple[int, int, object]] = {
+    # name: (min_args, max_args, builder(cols) -> aggregate Column)
+    "count": (0, 0, lambda a: F.count(F.lit(1))),
+    "countvals": (1, 1, lambda a: F.count(a[0])),
+    "missing": (1, 1, lambda a: F.count(F.lit(1)) - F.count(a[0])),
+    "sum": (1, 1, lambda a: F.round(
+        F.sum(a[0].cast("double").cast("decimal(30,6)")).cast("double"), 4)),
+    "sumsq": (1, 1, lambda a: F.round(
+        F.sum((a[0].cast("double") * a[0].cast("double"))
+              .cast("decimal(30,6)")).cast("double"), 4)),
+    "avg": (1, 1, lambda a: F.round(
+        F.sum(a[0].cast("double").cast("decimal(30,6)")).cast("double")
+        / F.count(a[0]).cast("double"), 4)),
+    "min": (1, 1, lambda a: F.min(a[0])),
+    "max": (1, 1, lambda a: F.max(a[0])),
+    "variance": (1, 1, lambda a: _agg_variance(a[0])),
+    "stddev": (1, 1, lambda a: F.round(F.sqrt(_agg_variance(a[0])), 4)),
+    "unique": (1, 1, lambda a: F.count_distinct(a[0])),
+    # uniqueBlock(_root_) — distinct block roots under the bucket
+    # (UniqueBlockFieldAgg); same aggregate, block-id column argument
+    "uniqueblock": (1, 1, lambda a: F.count_distinct(a[0])),
+    # hll: sketch-based estimate — engines' sketches differ, so gates
+    # using it get a bounded-error check, not a hash oracle (HLLAgg)
+    "hll": (1, 1, lambda a: F.approx_count_distinct(a[0])),
+    # percentile(x, p) — exact interpolated (reference uses t-digest;
+    # we compute exact, see operators/facets.percentiles_facet)
+    "percentile": (2, 99, lambda a: F.round(F.percentile(a[0], a[1]), 4)),
+}
+
+
+def parse_agg(expr: str, allow_rank: bool = False) -> Column:
+    """Compile a JSON-Facet aggregation expression to an aggregate
+    Column for groupBy().agg(...).
+
+    `agg(...)` unwraps to its inner aggregation (the reference's generic
+    "agg" parser delegates to FunctionQParser.parseAgg the same way).
+    The aggregation's argument is compiled through parse_func, so any
+    scalar function-query expression nests: parse_agg(
+    "sum(mul(l_extendedprice, sub(1, l_discount)))"). percentile takes
+    literal p in [0,1] as its 2nd..nth args (one output per p is Solr's
+    surface; here one call = one p — callers pass several parse_agg
+    columns for several ps)."""
+    expr = expr.strip()
+    m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\((.*)\)$", expr, re.S)
+    if not m:
+        raise FuncParseError(f"not an aggregation expression: {expr!r}")
+    name, inner = m.group(1).lower(), m.group(2).strip()
+    if name == "agg":
+        return parse_agg(inner, allow_rank=allow_rank)
+    if name not in _AGG_REGISTRY:
+        raise FuncParseError(f"unknown aggregation {name!r}")
+    lo, hi, builder = _AGG_REGISTRY[name]
+    # split top-level commas (inner args may contain nested parens)
+    args: list[Column] = []
+    if inner:
+        depth, start, parts = 0, 0, []
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(inner[start:i])
+                start = i + 1
+        parts.append(inner[start:])
+        args = [parse_func(p.strip(), allow_rank=allow_rank) for p in parts]
+    if not (lo <= len(args) <= hi):
+        raise FuncParseError(f"{name}() takes {lo}..{hi} args, got {len(args)}")
+    return builder(args)

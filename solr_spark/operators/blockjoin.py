@@ -58,3 +58,44 @@ def unique_block(
         .agg(F.countDistinct(root_col).alias("unique_blocks"))
         .orderBy(bucket_col)
     )
+
+
+def childfield(
+    parents: DataFrame,
+    children: DataFrame,
+    root_col: str,
+    field: str,
+    child_pred: Column | None = None,
+    order_by: str | None = None,
+    descending: bool = True,
+    parent_key: str | None = None,
+    alias: str = "childfield",
+) -> DataFrame:
+    """childfield(field) — the reference's ChildFieldValueSourceParser
+    (solr/core/src/java/org/apache/solr/search/join/
+    ChildFieldValueSourceParser.java, registered as "childfield" in
+    ValueSourceParser.java:1088): for each PARENT, the value of `field`
+    taken from one of its children, usable as a sort key on a {!parent}
+    query.
+
+    The reference picks the child by segment-local docid order inside
+    the block; block layout is an index-storage artifact, so the Spark
+    form makes the pick explicit: the child that maximizes (descending,
+    the reference's sortedByDesc default) or minimizes `order_by`
+    (default: `field` itself) among children matching `child_pred`.
+    One max_by aggregation on the root key — a single shuffle,
+    broadcast-joined back to the parents when small (Catalyst picks).
+    Parents with no matching child carry null (the reference returns
+    the field type's missing value)."""
+    pk = parent_key or root_col
+    kids = children if child_pred is None else children.where(child_pred)
+    ob = order_by or field
+    # composite pick key (order_by, field): ties on order_by resolve to
+    # the extreme field value, so the RETURNED value is deterministic
+    # even when the winning child is ambiguous
+    key = F.struct(F.col(ob), F.col(field))
+    pick = (
+        F.max_by(F.col(field), key) if descending else F.min_by(F.col(field), key)
+    )
+    per_parent = kids.groupBy(F.col(root_col).alias(pk)).agg(pick.alias(alias))
+    return parents.join(per_parent, pk, "left")

@@ -358,6 +358,196 @@ def max_field(col: str, ceil_value) -> Processor:
     return lambda df: df.withColumn(col, F.least(F.col(col), F.lit(ceil_value)))
 
 
+def signature_field(
+    dst: str, cols: list[str], algo: str = "md5"
+) -> Processor:
+    """SignatureUpdateProcessorFactory
+    (solr/core/src/java/org/apache/solr/update/processor/
+    SignatureUpdateProcessorFactory.java): stamp a content signature
+    over the named fields for dedup. The reference ships MD5Signature
+    (exact, hex) and Lookup3Signature (64-bit); here `md5` is the full
+    hex digest and `lookup3` the first 16 hex chars of it (a 64-bit
+    content hash with the same role — the exact Lookup3 bit pattern is
+    not part of any query contract). Null fields hash as empty, joined
+    with a unit separator so ("ab","c") != ("a","bc")."""
+    if algo not in ("md5", "lookup3"):
+        raise ValueError(f"signature_field: unknown algo {algo!r}")
+    def run(df):
+        src = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+        )
+        sig = F.md5(src)
+        if algo == "lookup3":
+            sig = sig.substr(1, 16)
+        return df.withColumn(dst, sig)
+
+    return run
+
+
+def template_field(dst: str, template: str) -> Processor:
+    """TemplateUpdateProcessorFactory
+    (update/processor/TemplateUpdateProcessorFactory.java): build a
+    field from a template with {fieldName} substitutions, e.g.
+    "{firstName} {lastName}". Unknown names substitute as empty (the
+    reference's leniency); pure concat — whole-stage codegen."""
+    import re as _re
+
+    parts = _re.split(r"(\{[A-Za-z_][A-Za-z0-9_.]*\})", template)
+
+    def run(df):
+        cols = []
+        for p in parts:
+            if p.startswith("{") and p.endswith("}"):
+                name = p[1:-1]
+                cols.append(
+                    F.coalesce(F.col(name).cast("string"), F.lit(""))
+                    if name in df.columns
+                    else F.lit("")
+                )
+            elif p:
+                cols.append(F.lit(p))
+        return df.withColumn(dst, F.concat(*cols) if cols else F.lit(""))
+
+    return run
+
+
+def regexp_boost(
+    src: str, pattern: str, boost: float, boost_col: str = "boost_d"
+) -> Processor:
+    """RegexpBoostProcessor
+    (update/processor/RegexpBoostProcessor.java): when `src` matches
+    `pattern`, MULTIPLY the running boost field by `boost` (the
+    reference reads/writes a boost field so multiple rules compose).
+    Creates the boost column at 1.0 if absent."""
+    def run(df):
+        base = (
+            F.col(boost_col).cast("double")
+            if boost_col in df.columns
+            else F.lit(1.0)
+        )
+        return df.withColumn(
+            boost_col,
+            F.when(F.col(src).rlike(pattern), base * F.lit(boost)).otherwise(base),
+        )
+
+    return run
+
+
+def url_classify(src: str, prefix: str = "url_") -> Processor:
+    """URLClassifyProcessor
+    (update/processor/URLClassifyProcessor.java): derive url_length,
+    url_levels (path depth), url_toplevel (registered domain's last
+    label), url_landingpage (path is / or empty), and a canonical form
+    (lowercased scheme+host, default ports dropped, trailing / trimmed)
+    from a URL column — all JVM-side via parse_url/regexp."""
+    def run(df):
+        u = F.col(src)
+        host = F.lower(F.parse_url(u, F.lit("HOST")))
+        path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+        scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+        canonical = F.concat(
+            scheme, F.lit("://"), host,
+            F.regexp_replace(path, r"/$", ""),
+        )
+        levels = F.size(
+            F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+        )
+        return (
+            df.withColumn(f"{prefix}length", F.length(u).cast("int"))
+            .withColumn(f"{prefix}levels", levels)
+            .withColumn(
+                f"{prefix}toplevel",
+                F.element_at(F.split(host, r"\."), -1),
+            )
+            .withColumn(
+                f"{prefix}landingpage",
+                (path == F.lit("")) | (path == F.lit("/")),
+            )
+            .withColumn(f"{prefix}canonical", canonical)
+        )
+
+    return run
+
+
+def ignore_large_document(max_bytes: int, cols: list[str] | None = None) -> Processor:
+    """IgnoreLargeDocumentProcessorFactory
+    (update/processor/IgnoreLargeDocumentProcessorFactory.java): DROP
+    documents whose estimated size exceeds `max_bytes` (the reference
+    throws per-doc; a DataFrame chain filters — the Tolerant behavior).
+    Size = sum of string lengths of `cols` (default: all string
+    columns), a predicate the scan can evaluate without materializing
+    the doc."""
+    def run(df):
+        use = cols or [
+            c for c, t in df.dtypes if t == "string"
+        ]
+        size = None
+        for c in use:
+            term = F.coalesce(F.length(F.col(c)), F.lit(0)).cast("long")
+            size = term if size is None else size + term
+        return df.where((size if size is not None else F.lit(0)) <= max_bytes)
+
+    return run
+
+
+def skip_existing(existing: DataFrame, id_col: str) -> Processor:
+    """SkipExistingDocumentsProcessorFactory
+    (update/processor/SkipExistingDocumentsProcessorFactory.java):
+    drop incoming docs whose id already exists — a LEFT ANTI join
+    against the index's docs frame (broadcast when small, shuffle
+    co-partitioned on the id otherwise; Catalyst picks)."""
+    keyed = existing.select(F.col(id_col).alias("__skip_id")).distinct()
+
+    def run(df):
+        return df.join(
+            keyed, df[id_col] == F.col("__skip_id"), "left_anti"
+        )
+
+    return run
+
+
+def field_name_mutating(pattern: str, replacement: str) -> Processor:
+    """FieldNameMutatingUpdateProcessorFactory
+    (update/processor/FieldNameMutatingUpdateProcessorFactory.java):
+    rename every column by regex substitution (the reference's
+    pattern/replacement config). Pure projection; a rename that
+    collides with an existing name raises (same as the reference's
+    last-wins overwrite would silently lose data — we fail loudly)."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def run(df):
+        newnames = [rx.sub(replacement, c) for c in df.columns]
+        if len(set(newnames)) != len(newnames):
+            raise ValueError(
+                f"field_name_mutating: renames collide: {newnames}"
+            )
+        return df.select(
+            *[F.col(c).alias(n) for c, n in zip(df.columns, newnames)]
+        )
+
+    return run
+
+
+def parse_boolean(
+    col: str,
+    true_values: tuple[str, ...] = ("true", "t", "1", "on", "yes", "y"),
+) -> Processor:
+    """ParseBooleanFieldUpdateProcessorFactory
+    (update/processor/ParseBooleanFieldUpdateProcessorFactory.java):
+    case-insensitive membership in trueValues -> true, in the
+    reference's default falseValues -> false, else null."""
+    false_values = ("false", "f", "0", "off", "no", "n")
+    lc = F.lower(F.trim(F.col(col).cast("string")))
+    return lambda df: df.withColumn(
+        col,
+        F.when(lc.isin([v.lower() for v in true_values]), F.lit(True))
+        .when(lc.isin(list(false_values)), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean")),
+    )
+
+
 def apply_chain(df: DataFrame, processors: list[Processor]) -> DataFrame:
     """Run the ordered chain (UpdateRequestProcessorChain.createProcessor
     composition order)."""

@@ -159,3 +159,33 @@ def test_model_store_load_classify(spark, tmp_path):
         assert g["prediction"] == int(r["prediction"])
     # perfect separation on this toy set
     assert all(g["prediction"] == i % 2 for i, g in got.items())
+
+
+def test_childfield_pick_and_missing(spark):
+    """childfield(field): per-parent child value with explicit pick
+    (max_by on (order_by, field) — deterministic under ties); parents
+    with no matching child carry null."""
+    from solr_spark.operators import blockjoin as BJ
+
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "pid long")
+    children = spark.createDataFrame(
+        [(1, 10.0, 5.0), (1, 20.0, 9.0), (1, 30.0, 9.0),  # qty tie -> max price
+         (2, 40.0, 1.0)],                                  # filtered out below
+        "pid long, price double, qty double",
+    )
+    out = {
+        r["pid"]: r["childfield"]
+        for r in BJ.childfield(
+            parents, children, "pid", field="price",
+            child_pred=F.col("qty") >= 2.0, order_by="qty",
+        ).collect()
+    }
+    assert out == {1: 30.0, 2: None, 3: None}
+    lo = {
+        r["pid"]: r["childfield"]
+        for r in BJ.childfield(
+            parents, children, "pid", field="price",
+            order_by="qty", descending=False,
+        ).collect()
+    }
+    assert lo[2] == 40.0 and lo[1] == 10.0

@@ -533,3 +533,181 @@ def test_run_daemon_resident(spark, tmp_path):
     )
     t.join()
     assert sorted(out) == list(range(9))
+
+
+# --------------------------------------------------- value-source tranche 6
+
+def test_agg_parsers_match_local(spark):
+    """agg_* JSON-Facet aggregation parsers (ValueSourceParser.java:
+    944-1088) — sum/avg/sumsq/variance/stddev/min/max/count/countvals/
+    missing/unique/percentile over a grouped frame, checked against a
+    locally computed oracle with the reference's corrected variance
+    (AggUtil.java:61-64)."""
+    from solr_spark.functions.valuesources import FuncParseError, parse_agg
+    import pytest as _pt
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+        ("b", 10.0), ("b", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            parse_agg("count()").alias("n"),
+            parse_agg("countvals(x)").alias("cv"),
+            parse_agg("missing(x)").alias("miss"),
+            parse_agg("sum(x)").alias("s"),
+            parse_agg("avg(x)").alias("m"),
+            parse_agg("sumsq(x)").alias("ssq"),
+            parse_agg("min(x)").alias("lo"),
+            parse_agg("max(x)").alias("hi"),
+            parse_agg("variance(x)").alias("var"),
+            parse_agg("stddev(x)").alias("sd"),
+            parse_agg("unique(g)").alias("u"),
+            parse_agg("percentile(x, 0.5)").alias("p50"),
+            parse_agg("agg(sum(mul(x, 2)))").alias("s2"),
+        )
+        .collect()
+    }
+    a = out["a"]
+    # group a: values 1,2,3 (one null). corrected variance of 1,2,3 = 1
+    assert a["n"] == 4 and a["cv"] == 3 and a["miss"] == 1
+    assert a["s"] == 6.0 and a["m"] == 2.0 and a["ssq"] == 14.0
+    assert a["lo"] == 1.0 and a["hi"] == 3.0
+    assert a["var"] == 1.0 and a["sd"] == 1.0
+    assert a["u"] == 1 and a["p50"] == 2.0 and a["s2"] == 12.0
+    b = out["b"]
+    assert b["var"] == 0.0 and b["sd"] == 0.0 and b["miss"] == 0
+    # hll is approximate: equals exact on tiny cardinalities
+    h = df.groupBy("g").agg(parse_agg("hll(x)").alias("h")).collect()
+    assert all(r["h"] >= 1 for r in h)
+    with _pt.raises(FuncParseError):
+        parse_agg("nosuchagg(x)")
+    with _pt.raises(FuncParseError):
+        parse_agg("sum(x, y)")
+    with _pt.raises(FuncParseError):
+        parse_agg("plainscalar")
+
+
+def test_sleep_threadid_parse_time(spark):
+    """sleep(ms, src) pauses at PARSE time and returns src unchanged;
+    threadid() is a parse-time long constant (ValueSourceParser.java:
+    147-165) — both debug utilities, neither touches the plan."""
+    import time
+
+    from solr_spark.functions.valuesources import parse_func
+
+    df = spark.createDataFrame([(5.0,)], "x double")
+    t0 = time.monotonic()
+    col = parse_func("sleep(120, add(x, 1))")
+    assert time.monotonic() - t0 >= 0.1  # slept while parsing
+    assert df.select(col.alias("v")).collect()[0]["v"] == 6.0
+    tid = df.select(parse_func("threadid()").alias("t")).collect()[0]["t"]
+    import threading
+
+    assert tid == threading.get_ident()
+
+
+def test_joindf_docfreq_lookup(spark, tmp_path):
+    """joindf(f0, qf): per-doc docfreq of the term equal to the doc's
+    stored f0 value (JoinDocFreqValueSource, ValueSourceParser.java:331)
+    — resolved as one docs-scan joined to the term dictionary."""
+    from solr_spark.functions.valuesources import parse_func_df
+    from solr_spark.index.builder import build_index
+
+    rows = [
+        (0, "apple banana", "apple"),
+        (1, "banana cherry", "banana"),
+        (2, "cherry apple banana", "kiwi"),
+    ]
+    corpus = spark.createDataFrame(rows, "docid long, content string, tag string")
+    idx = build_index(
+        spark, corpus, str(tmp_path / "jdfidx"), num_buckets=4,
+        build_blocks=False,
+    )
+    base = idx.docs().select("docid")
+    out, col = parse_func_df("joindf(tag, content)", base, index=idx)
+    got = {r["docid"]: r["v"] for r in out.select("docid", col.alias("v")).collect()}
+    # df(apple)=2, df(banana)=3, kiwi absent -> 0
+    assert got == {0: 2.0, 1: 3.0, 2: 0.0}
+
+
+# --------------------------------------------- update-processor tranche 3
+
+def test_signature_and_template(spark):
+    """SignatureUpdateProcessorFactory (md5 + lookup3-width) and
+    TemplateUpdateProcessorFactory {field} substitution."""
+    import hashlib
+
+    from solr_spark.operators import updateproc as UP
+
+    df = spark.createDataFrame(
+        [("ab", "c"), ("a", "bc"), (None, "c")], "x string, y string"
+    )
+    out = UP.apply_chain(df, [
+        UP.signature_field("sig", ["x", "y"]),
+        UP.signature_field("sig64", ["x", "y"], algo="lookup3"),
+        UP.template_field("greet", "hi {x}!{missing}"),
+    ]).collect()
+    want = hashlib.md5("ab\x1fc".encode()).hexdigest()
+    assert out[0]["sig"] == want and out[0]["sig64"] == want[:16]
+    # unit separator keeps ("ab","c") != ("a","bc")
+    assert out[0]["sig"] != out[1]["sig"]
+    # null hashes as empty
+    assert out[2]["sig"] == hashlib.md5("\x1fc".encode()).hexdigest()
+    assert out[0]["greet"] == "hi ab!" and out[2]["greet"] == "hi !"
+
+
+def test_regexp_boost_composes(spark):
+    from solr_spark.operators import updateproc as UP
+
+    df = spark.createDataFrame(
+        [("spark rocks",), ("plain text",)], "t string"
+    )
+    out = UP.apply_chain(df, [
+        UP.regexp_boost("t", r".*spark.*", 2.0),
+        UP.regexp_boost("t", r".*rocks.*", 3.0),  # multiplies the running boost
+    ]).collect()
+    assert out[0]["boost_d"] == 6.0 and out[1]["boost_d"] == 1.0
+
+
+def test_url_classify(spark):
+    from solr_spark.operators import updateproc as UP
+
+    df = spark.createDataFrame(
+        [("https://Docs.Example.COM/a/b/page.html",),
+         ("http://example.org/",)],
+        "url string",
+    )
+    out = UP.url_classify("url")(df).collect()
+    r0, r1 = out
+    assert r0["url_levels"] == 3 and r0["url_toplevel"] == "com"
+    assert not r0["url_landingpage"] and r1["url_landingpage"]
+    assert r0["url_canonical"] == "https://docs.example.com/a/b/page.html"
+    assert r1["url_canonical"] == "http://example.org"
+    assert r0["url_length"] == len("https://Docs.Example.COM/a/b/page.html")
+
+
+def test_ignore_large_skip_existing_rename_parsebool(spark):
+    from solr_spark.operators import updateproc as UP
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "short", "Yes"), (2, "x" * 100, "off"), (3, "mid", "maybe")],
+        "id long, body string, flag string",
+    )
+    out = UP.apply_chain(df, [
+        UP.ignore_large_document(50),
+        UP.parse_boolean("flag"),
+        UP.field_name_mutating(r"^body$", "text"),
+    ])
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3} and "text" in out.columns
+    assert rows[1]["flag"] is True and rows[3]["flag"] is None
+    existing = spark.createDataFrame([(1,)], "id long")
+    left = UP.skip_existing(existing, "id")(df)
+    assert sorted(r["id"] for r in left.collect()) == [2, 3]
+    with _pt.raises(ValueError):
+        UP.field_name_mutating(r"^(id|flag)$", "same")(df)
