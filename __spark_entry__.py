@@ -295,6 +295,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["analysis_filters"] = analysis_filters_entry
 
+    def analysis_filters_v2(s, d):
+        """Round-4 filter tranche: ascii_fold -> length(2..8) ->
+        edge_ngram(2,3) and a separate shingle(2) count, all three-form
+        (ASCIIFolding/Length/EdgeNGram/ShingleFilterFactory)."""
+        from solr_spark.analysis import analyzer as A
+        from solr_spark.query.inline import doc_tokens
+
+        toks = doc_tokens(_docs(s, d), id_col="doc_id", text_col="text")
+        folded = A.length_filter_col(
+            A.ascii_fold_col(F.col("toks")), 2, 8
+        )
+        grams = A.edge_ngram_col(folded, 2, 3)
+        sh = A.shingle_col(F.col("toks"), 2)
+        return (
+            toks.select(
+                "docid",
+                F.size(grams).alias("n_grams"),
+                F.element_at(grams, 1).alias("first_gram"),
+                F.element_at(grams, -1).alias("last_gram"),
+                F.size(sh).alias("n_shingles"),
+                F.element_at(sh, -1).alias("last_shingle"),
+            )
+            .where(F.col("docid") < 300)
+            .orderBy("docid")
+        )
+
+    q["analysis_filters_v2"] = analysis_filters_v2
+
     # --- term dictionary / relevance ---
     q["terms_top_df"] = lambda s, d: R.terms_component(_tok(s, d), limit=20)
     q["significant_terms"] = lambda s, d: R.significant_terms(
@@ -778,6 +806,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return GR.gather_nodes(_graph_edges(s, d), seeds, 2)
 
     q["graph_gather_2hop"] = graph_2hop
+
+    def facet_domain_chain(s, d):
+        """JSON Facet domain-change pipeline (FacetRequest.Domain):
+        filter (l_quantity >= 45) -> blockParent (lineitem -> orders)
+        -> join domain (o_custkey -> c_custkey) -> terms facet on
+        c_mktsegment. Three domain transforms then one grouped count —
+        the reference's domain pipeline as DataFrame composition."""
+        li = _t(s, d, "lineitem").where(F.col("l_quantity") >= 45)
+        orders = FA.domain_to_parent(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            _t(s, d, "orders"),
+            "o_orderkey",
+        )
+        custs = FA.join_domain(
+            orders, _t(s, d, "customer"), "o_custkey", "c_custkey"
+        )
+        return (
+            custs.groupBy(F.col("c_mktsegment").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "value")
+        )
+
+    q["facet_domain_chain"] = facet_domain_chain
 
     # --- nested facet / percentiles / unique ---
     q["facet_subfacet_lang_source"] = lambda s, d: FA.subfacet(
@@ -2057,6 +2108,31 @@ def oracle_sql() -> dict[str, str]:
                len({_filtered_toks})::INT AS n_toks,
                ({_filtered_toks})[1] AS first_tok
         FROM documents WHERE doc_id < 300 ORDER BY docid"""
+    from solr_spark.analysis.analyzer import (
+        ascii_fold_sql, edge_ngram_sql, length_filter_sql, shingle_sql,
+    )
+
+    _v2_grams = edge_ngram_sql(
+        length_filter_sql(ascii_fold_sql(tokens_sql("text")), 2, 8), 2, 3
+    )
+    _v2_sh = shingle_sql(tokens_sql("text"), 2)
+    o["analysis_filters_v2"] = f"""
+        SELECT doc_id::BIGINT AS docid,
+               len({_v2_grams})::INT AS n_grams,
+               ({_v2_grams})[1] AS first_gram,
+               ({_v2_grams})[-1] AS last_gram,
+               len({_v2_sh})::INT AS n_shingles,
+               ({_v2_sh})[-1] AS last_shingle
+        FROM documents WHERE doc_id < 300 ORDER BY docid"""
+    o["facet_domain_chain"] = """
+        SELECT c.c_mktsegment AS value, count(*) AS cnt
+        FROM customer c
+        WHERE c.c_custkey IN (
+          SELECT DISTINCT o.o_custkey FROM orders o
+          WHERE o.o_orderkey IN (
+            SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_quantity >= 45))
+        GROUP BY c.c_mktsegment ORDER BY cnt DESC, value"""
 
     o["terms_top_df"] = G.terms_top_df_sql(20)
     o["significant_terms"] = G.significant_terms_sql("spark", 3, 15)

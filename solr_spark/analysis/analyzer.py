@@ -257,3 +257,174 @@ def synonym_graph_sql(expr: str, graph: dict[str, list[str]]) -> str:
         f"flatten(list_transform({expr},"
         f" _sg -> CASE {cases} ELSE [_sg] END))"
     )
+
+
+# ASCII folding (ASCIIFoldingFilterFactory, Lucene ASCIIFoldingFilter —
+# public behavior; ref default schemas expose it as text_general_rev /
+# folding variants): accented Latin chars fold to their ASCII base,
+# ligatures and special letters expand (AE/ae/OE/oe/ss/TH/th/D/d). The
+# 1:1 page is a translate() table (same builtin in Spark, DuckDB and
+# Python) and the expansions a short replace chain — all three forms
+# share these two module-level tables so they cannot drift.
+
+_FOLD_FROM = (
+    "ÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖØÙÚÛÜÝÇÑ"
+    "àáâãäåèéêëìíîïòóôõöøùúûüýÿçñ"
+    "ĀāĂăĄąĆćĈĉĊċČčĎďĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİı"
+    "ĴĵĶķĹĺĻļĽľŁłŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŨũŪūŬŭŮůŰűŲų"
+    "ŴŵŶŷŸŹźŻżŽž"
+)
+_FOLD_TO = (
+    "AAAAAAEEEEIIIIOOOOOOUUUUYCN"
+    "aaaaaaeeeeiiiioooooouuuuyycn"
+    "AaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIi"
+    "JjKkLlLlLlLlNnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuUu"
+    "WwYyYZzZzZz"
+)
+assert len(_FOLD_FROM) == len(_FOLD_TO)
+_FOLD_EXPAND = [
+    ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"),
+    ("ß", "ss"), ("Þ", "TH"), ("þ", "th"), ("Ð", "D"), ("ð", "d"),
+]
+
+
+def ascii_fold_str_col(c: Column) -> Column:
+    """String-level fold — the CHAR-FILTER position. Because this
+    engine's tokenizer charset is ASCII ([^a-z0-9] separates), folding
+    must run BEFORE tokenization (Solr's MappingCharFilter slot) or
+    accented chars split tokens apart ("café" -> "caf"); Lucene can
+    afford ASCIIFoldingFilter as a token filter only because
+    StandardTokenizer keeps Unicode letters together."""
+    for a, b in _FOLD_EXPAND:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return F.translate(c, _FOLD_FROM, _FOLD_TO)
+
+
+def ascii_fold_str_py(s: str) -> str:
+    for a, b in _FOLD_EXPAND:
+        s = s.replace(a, b)
+    return s.translate(str.maketrans(_FOLD_FROM, _FOLD_TO))
+
+
+def ascii_fold_str_sql(expr: str) -> str:
+    inner = expr
+    for a, b in _FOLD_EXPAND:
+        inner = f"replace({inner}, '{a}', '{b}')"
+    return f"translate({inner}, '{_FOLD_FROM}', '{_FOLD_TO}')"
+
+
+def ascii_fold_col(toks: Column) -> Column:
+    """Token-array form (post-tokenize); see ascii_fold_str_col for why
+    the builder chain uses the string form instead."""
+    return F.transform(toks, ascii_fold_str_col)
+
+
+def ascii_fold_py(toks: list[str]) -> list[str]:
+    return [ascii_fold_str_py(t) for t in toks]
+
+
+def ascii_fold_sql(expr: str) -> str:
+    return f"list_transform({expr}, _af -> {ascii_fold_str_sql('_af')})"
+
+
+# Token length bounds (LengthFilterFactory, min/max inclusive —
+# solr/core default schemas gate suggest fields with it)
+
+
+def length_filter_col(toks: Column, min_len: int, max_len: int) -> Column:
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) >= min_len) & (F.length(t) <= max_len),
+    )
+
+
+def length_filter_py(toks: list[str], min_len: int, max_len: int) -> list[str]:
+    return [t for t in toks if min_len <= len(t) <= max_len]
+
+
+def length_filter_sql(expr: str, min_len: int, max_len: int) -> str:
+    return (
+        f"list_filter({expr}, _lf -> len(_lf) >= {min_len}"
+        f" AND len(_lf) <= {max_len})"
+    )
+
+
+# Edge n-grams (EdgeNGramFilterFactory — the autocomplete/suggester
+# index shape): each token emits its prefixes of length
+# min_gram..min(max_gram, len); tokens shorter than min_gram emit
+# nothing (preserveOriginal=false, the factory default). Index-side
+# only — the query side matches its literal prefix against the grams.
+
+
+def edge_ngram_col(toks: Column, min_gram: int, max_gram: int) -> Column:
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.transform(
+                F.filter(
+                    F.sequence(F.lit(min_gram), F.lit(max_gram)),
+                    lambda n: n <= F.length(t),
+                ),
+                lambda n: t.substr(F.lit(1), n),
+            ),
+        )
+    )
+
+
+def edge_ngram_py(toks: list[str], min_gram: int, max_gram: int) -> list[str]:
+    return [
+        t[:n]
+        for t in toks
+        for n in range(min_gram, max_gram + 1)
+        if n <= len(t)
+    ]
+
+
+def edge_ngram_sql(expr: str, min_gram: int, max_gram: int) -> str:
+    return (
+        f"flatten(list_transform({expr}, _t -> "
+        f"list_transform(list_filter(range({min_gram}, {max_gram + 1}),"
+        f" _n -> _n <= len(_t)), _n -> substr(_t, 1, _n))))"
+    )
+
+
+# Shingles (ShingleFilterFactory): word n-grams across adjacent
+# positions; outputUnigrams=true (the factory default) keeps the
+# original tokens and appends the shingles. The reference interleaves
+# by position; tf/df counting is order-independent, and the positions
+# index is built from the pre-shingle stream, so append order is the
+# faithful-and-cheaper Spark shape.
+
+
+def shingle_col(
+    toks: Column, size: int = 2, sep: str = " ", output_unigrams: bool = True
+) -> Column:
+    n = F.size(toks)
+    count = F.greatest(n - F.lit(size - 1), F.lit(0))
+    sh = F.transform(
+        F.slice(toks, 1, count),
+        lambda t, i: F.concat_ws(
+            sep, *[F.element_at(toks, i + F.lit(j + 1)) for j in range(size)]
+        ),
+    )
+    return F.concat(toks, sh) if output_unigrams else sh
+
+
+def shingle_py(
+    toks: list[str], size: int = 2, sep: str = " ", output_unigrams: bool = True
+) -> list[str]:
+    sh = [sep.join(toks[i : i + size]) for i in range(len(toks) - size + 1)]
+    return toks + sh if output_unigrams else sh
+
+
+def shingle_sql(
+    expr: str, size: int = 2, sep: str = " ", output_unigrams: bool = True
+) -> str:
+    parts = " || '{}' || ".format(sep).join(
+        f"({expr})[_i + {j}]" for j in range(size)
+    )
+    sh = (
+        f"list_transform(range(1, greatest(len({expr}) - {size - 1}, 0) + 1),"
+        f" _i -> {parts})"
+    )
+    return f"list_concat({expr}, {sh})" if output_unigrams else sh

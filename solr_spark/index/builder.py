@@ -295,6 +295,11 @@ class Index:
         # catenateWords=0 at query time (managed-schema.xml:390-423);
         # the catenated index tokens are what let a one-word query
         # ("wifi") match a delimited document ("Wi-Fi").
+        az = self.meta.get("analyzer") or {}
+        if az.get("ascii_fold"):
+            from solr_spark.analysis.analyzer import ascii_fold_str_py
+
+            text = ascii_fold_str_py(text)
         toks = tokenize_py(text)
         sw = self.meta.get("stopwords")
         if sw:
@@ -302,11 +307,18 @@ class Index:
         syn = self.meta.get("synonyms")
         if syn:
             toks = synonym_filter_py(toks, syn)
-        az = self.meta.get("analyzer") or {}
         if az.get("synonym_graph"):
             toks = synonym_graph_py(toks, az["synonym_graph"])
         if az.get("stem") == "porter":
             toks = [porter_stem_py(t) for t in toks]
+        if az.get("length"):
+            from solr_spark.analysis.analyzer import length_filter_py
+
+            lo, hi = az["length"]
+            toks = length_filter_py(toks, lo, hi)
+        # edge_ngram / shingle are INDEX-side stages (suggester shape):
+        # the query side matches its literal tokens against the grams,
+        # mirroring the catenate asymmetry above
         return toks
 
     def term_dictionary(self, field: str | None = None) -> DataFrame:
@@ -421,7 +433,14 @@ def _analyze_docs(
     az = analyzer or {}
 
     def chain(col):
-        t = tokens_catenate_col(col) if az.get("catenate") else tokens_col(col)
+        src = F.col(col) if isinstance(col, str) else col
+        if az.get("ascii_fold"):
+            # char-filter slot: fold BEFORE tokenizing, or accents split
+            # tokens on the ASCII charset (see ascii_fold_str_col)
+            from solr_spark.analysis.analyzer import ascii_fold_str_col
+
+            src = ascii_fold_str_col(src)
+        t = tokens_catenate_col(src) if az.get("catenate") else tokens_col(src)
         if stopwords:
             t = stop_filter_col(t, stopwords)
         if synonyms:
@@ -430,6 +449,22 @@ def _analyze_docs(
             t = synonym_graph_col(t, az["synonym_graph"])
         if az.get("stem") == "porter":
             t = porter_stem_col(t)
+        if az.get("length"):
+            from solr_spark.analysis.analyzer import length_filter_col
+
+            lo, hi = az["length"]
+            t = length_filter_col(t, lo, hi)
+        # shape-changing suggester stages last (index-side only: the
+        # query analyzes to plain tokens that match the grams/shingles)
+        if az.get("edge_ngram"):
+            from solr_spark.analysis.analyzer import edge_ngram_col
+
+            g0, g1 = az["edge_ngram"]
+            t = edge_ngram_col(t, g0, g1)
+        if az.get("shingle"):
+            from solr_spark.analysis.analyzer import shingle_col
+
+            t = shingle_col(t, int(az["shingle"]))
         return t
 
     if not fields:
@@ -461,7 +496,9 @@ def _analyze_docs(
         "docid",
         *passthrough,
         F.sha2(sha_src, 256).alias("sha256"),
-        *[tokens_col(f).alias(f"_tokens_{i}") for i in range(len(fields))
+        # per-field chain: analyzer/stopword/synonym config applies to
+        # every indexed field (was silently single-field-only before)
+        *[chain(f).alias(f"_tokens_{i}") for i in range(len(fields))
           for f in [fields[i]]],
     )
     total = None

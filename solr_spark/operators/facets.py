@@ -354,3 +354,52 @@ def facet_meta(df: DataFrame, field: str) -> DataFrame:
         F.count(F.lit(1)).alias("all_buckets_cnt"),
         F.sum(c.isNull().cast("long")).alias("missing_cnt"),
     )
+
+
+# JSON Facet domain changes (FacetRequest.Domain,
+# search/facet/FacetRequest.java:138-258: `filter`, `toParent`
+# (blockParent), `toChildren` (blockChildren), `join` field transforms;
+# excludeTags re-widens by dropping a tagged filter). Each transform
+# maps the current facet DOMAIN (a DataFrame) to a new one, then any
+# facet in this module runs over the result — the same composition
+# model as the reference's domain pipeline, with `filter` being a plain
+# .where() and excludeTags being "compose the chain without that
+# predicate" (explicit in code rather than via tag bookkeeping).
+
+
+def domain_to_parent(
+    children: DataFrame, parents: DataFrame, root_col: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """blockParent: the matched children's domain becomes their parent
+    blocks (semi-join up — one shuffle on the root key)."""
+    from solr_spark.operators.blockjoin import parent_query
+
+    return parent_query(parents, children, root_col, F.lit(True),
+                        parent_key=parent_key)
+
+
+def domain_to_children(
+    parents: DataFrame, children: DataFrame, root_col: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """blockChildren: the matched parents' domain becomes all their
+    children."""
+    from solr_spark.operators.blockjoin import child_query
+
+    return child_query(parents, children, root_col, F.lit(True),
+                       parent_key=parent_key)
+
+
+def join_domain(
+    base: DataFrame, target: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """join domain ({!join from= to=} as a domain transform,
+    FacetRequest.Domain.JoinField): rows of `target` whose `to_col`
+    appears among the domain's `from_col` values. Distinct on the join
+    key first so a hot key in the domain doesn't fan the semi-join out;
+    Catalyst broadcasts the key set when small."""
+    keys = base.select(F.col(from_col).alias("__jd_key")).distinct()
+    return target.join(
+        keys, target[to_col] == F.col("__jd_key"), "left_semi"
+    )

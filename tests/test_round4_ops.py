@@ -711,3 +711,112 @@ def test_ignore_large_skip_existing_rename_parsebool(spark):
     assert sorted(r["id"] for r in left.collect()) == [2, 3]
     with _pt.raises(ValueError):
         UP.field_name_mutating(r"^(id|flag)$", "same")(df)
+
+
+# ------------------------------------------------ analysis filter tranche
+
+def test_fold_length_ngram_shingle_three_form_parity(spark):
+    """ascii_fold / length_filter / edge_ngram / shingle: Column ==
+    Python == DuckDB on text exercising accents, ligatures, short/long
+    tokens (the same tri-form contract as stop/synonym/stem)."""
+    import duckdb
+
+    from solr_spark.analysis import analyzer as A
+
+    texts = [
+        "Crème brûlée & Ærø straße",
+        "a bb ccc dddd eeeee",
+        "Ångström naïve façade Œuvre",
+        "",
+        "x",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    con = duckdb.connect()
+
+    def all3(col_fn, py_fn, sql_fn):
+        base = A.tokens_col("text")
+        got_col = [
+            r["t"] for r in df.select(col_fn(base).alias("t")).collect()
+        ]
+        got_py = [py_fn(A.tokenize_py(t)) for t in texts]
+        sql = sql_fn(A.tokens_sql("text"))
+        got_sql = [
+            list(r[0])
+            for r in con.execute(
+                f"SELECT {sql} FROM (SELECT unnest(?) AS text)", [texts]
+            ).fetchall()
+        ]
+        assert got_col == got_py == got_sql
+
+    all3(A.ascii_fold_col, A.ascii_fold_py, A.ascii_fold_sql)
+    all3(
+        lambda c: A.length_filter_col(c, 2, 4),
+        lambda t: A.length_filter_py(t, 2, 4),
+        lambda s: A.length_filter_sql(s, 2, 4),
+    )
+    all3(
+        lambda c: A.edge_ngram_col(c, 2, 3),
+        lambda t: A.edge_ngram_py(t, 2, 3),
+        lambda s: A.edge_ngram_sql(s, 2, 3),
+    )
+    all3(A.shingle_col, A.shingle_py, A.shingle_sql)
+    all3(
+        lambda c: A.shingle_col(c, 3, "_", False),
+        lambda t: A.shingle_py(t, 3, "_", False),
+        lambda s: A.shingle_sql(s, 3, "_", False),
+    )
+
+
+def test_fold_semantics():
+    from solr_spark.analysis.analyzer import ascii_fold_py
+
+    assert ascii_fold_py(["crème", "straße", "ærø", "œuvre"]) == [
+        "creme", "strasse", "aero", "oeuvre"
+    ]
+
+
+def test_edge_ngram_index_autocomplete(spark, tmp_path):
+    """Suggester shape end-to-end: an edge_ngram index matches a
+    literal prefix query; the query side analyzes to plain tokens
+    (index!=query asymmetry, like catenate)."""
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.engine import bm25_topk
+
+    rows = [
+        (0, "distributed database systems"),
+        (1, "distillation methods"),
+        (2, "zebra crossings"),
+    ]
+    corpus = spark.createDataFrame(rows, "docid long, content string")
+    idx = build_index(
+        spark, corpus, str(tmp_path / "ngidx"), num_buckets=4,
+        build_blocks=False,
+        analyzer={"ascii_fold": True, "edge_ngram": (3, 6)},
+    )
+    assert idx.analyze("dist") == ["dist"]  # query side: no grams
+    hits = [r["docid"] for r in bm25_topk(idx, "dist", k=10).collect()]
+    assert set(hits) == {0, 1}
+    hits2 = [r["docid"] for r in bm25_topk(idx, "distil", k=10).collect()]
+    assert hits2 == [1]
+
+
+def test_facet_domain_transforms(spark):
+    """Domain changes compose: filter -> toParent -> toChildren round
+    trips to exactly the children of matched blocks; join_domain maps
+    through an arbitrary from/to key pair."""
+    from solr_spark.operators import facets as FA
+
+    parents = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "pid long, seg string"
+    )
+    children = spark.createDataFrame(
+        [(1, 5.0), (1, 50.0), (2, 7.0), (3, 60.0)], "pid long, v double"
+    )
+    hit_kids = children.where(F.col("v") >= 50)
+    up = FA.domain_to_parent(hit_kids, parents, "pid")
+    assert sorted(r["pid"] for r in up.collect()) == [1, 3]
+    down = FA.domain_to_children(up, children, "pid")
+    assert sorted(r["v"] for r in down.collect()) == [5.0, 50.0, 60.0]
+    segs = spark.createDataFrame([("x", 10), ("y", 20), ("z", 30)], "seg string, w long")
+    j = FA.join_domain(up, segs, "seg", "seg")
+    assert sorted(r["w"] for r in j.collect()) == [10]
