@@ -2047,8 +2047,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotate those into the window, pinning a tiny BM25 core for
     # round-over-round continuity. Names not present are skipped, so
     # the list may safely reference entries added later in the round.
+    # Round-4 late swap: six entries with external oracle rows from
+    # rounds 1-3 (bm25_topk_and r3, sample_deterministic r1, the four
+    # textstats r2) yield their slots to the six newest gates so the
+    # round-4 driver run externally checks them too; union coverage
+    # only grows.
     _WINDOW = [
-        "bm25_topk_or", "bm25_topk_and",
+        "bm25_topk_or",
+        "func_parsed_v5", "agg_funcs_lineitem", "func_joindf_lang",
+        "update_chain_v3", "blockjoin_childfield", "analysis_filters_v2",
         "bm25_indexed_topk", "bm25_indexed_and", "bm25_indexed_wand",
         "bm25_indexed_mf_wand", "search_indexed_boolean",
         "phrase_indexed", "terms_indexed",
@@ -2063,8 +2070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_indexed", "relatedness_lang",
         "func_parsed_v2", "func_parsed_v3",
         "stream_expr_rollup", "merge_sorted_streams", "reduce_order_gaps",
-        "sample_deterministic",
-        "token_counts", "text_quality", "lang_id", "doc_fingerprint",
         "ann_lsh_recall", "ann_ivf_recall",
         # new this round
         "bm25_stemmed_topk", "func_parsed_v4", "ann_lsh_persisted_recall",
