@@ -1800,6 +1800,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_expr_rollup"] = stream_expr
 
+    def stream_expr_having(s, d):
+        """Round-4 eval() tranche 2 in one composed expression: facet
+        source -> having (evaluator tree gt/add) -> sort
+        (HavingStream/SortStream/FacetStream via the expression
+        compiler)."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        df = eval_expr(
+            'sort(having(facet(orders, buckets="o_orderpriority", '
+            "sum(o_totalprice), count(*)), "
+            'gt(count(*), 100)), by="o_orderpriority asc")',
+            {"orders": _t(s, d, "orders")},
+        )
+        return df.select(
+            F.col("o_orderpriority"),
+            F.round(F.col("sum(o_totalprice)"), 2).alias("sum_price"),
+            F.col("count(*)").alias("cnt"),
+        )
+
+    q["stream_expr_having"] = stream_expr_having
+
     # --- scoreNodes over a customer->orders traversal ---
     def score_nodes_entry(s, d):
         orders = _t(s, d, "orders")
@@ -2966,6 +2987,11 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                count(*) AS cnt
         FROM lineitem WHERE l_quantity >= 30
         GROUP BY l_returnflag ORDER BY l_returnflag"""
+    o["stream_expr_having"] = """
+        SELECT o_orderpriority, round(sum(o_totalprice), 2) AS sum_price,
+               count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority HAVING count(*) > 100
+        ORDER BY o_orderpriority"""
 
     # --- scoreNodes ---
     o["score_nodes_custs"] = """

@@ -262,7 +262,109 @@ def _eval(node, tables) -> DataFrame:
         return priority_stream(
             _eval(node.args[0], tables), _eval(node.args[1], tables)
         )
+    if name == "having":
+        # having(stream, booleanEvaluator) — HavingStream.java; the
+        # evaluator tree (eq/gt/lt/gteq/lteq/and/or/not over fields,
+        # numbers, and arithmetic) compiles to one filter Column
+        df = _eval(node.args[0], tables)
+        return df.where(_bool_eval(node.args[1]))
+    if name == "sort":
+        # sort(stream, by="f asc,...") — full re-sort (SortStream.java
+        # materializes and sorts; Spark's orderBy is the same barrier)
+        df = _eval(node.args[0], tables)
+        return df.orderBy(*_sort_cols(kw["by"]))
+    if name in ("leftOuterJoin", "outerHashJoin"):
+        left = _eval(node.args[0], tables)
+        right = _eval(node.args[1], tables)
+        on = _fields(kw["on"])
+        if name == "outerHashJoin":  # hash-side broadcast, like hashJoin
+            from pyspark.sql.functions import broadcast as _bc
+
+            right = _bc(right)
+        return left.join(right, on, "left")
+    if name == "cartesianProduct":
+        df = _eval(node.args[0], tables)
+        return S.cartesian_product(df, str(_unlit(node.args[1])))
+    if name == "facet":
+        # facet(collection, buckets="a,b", metric(), ...) — push the
+        # grouped agg down (FacetStream.java sends a JSON facet)
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        buckets = _fields(kw["buckets"])
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Call)]
+        return df.groupBy(*buckets).agg(*metrics).orderBy(*buckets)
+    if name == "stats":
+        # stats(collection, metric(), ...) — one global aggregate row
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Call)]
+        return df.agg(*metrics)
+    if name == "random":
+        # random(collection, rows=N) — deterministic sample: hash-order
+        # the rows (RandomStream.java uses a random sort; a seeded hash
+        # keeps replays identical, the repo-wide determinism contract)
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        n = int(_unlit(kw["rows"])) if "rows" in kw else 10
+        return df.orderBy(F.md5(F.concat_ws("\x1f", *df.columns))).limit(n)
     raise StreamExprError(f"unknown stream function {name!r}")
+
+
+#: boolean/arithmetic evaluator names (io.eval.* — the subset the
+#: HavingStream doc examples use; raw field names and numbers pass
+#: through)
+_EVAL_BOOL = {
+    "eq": lambda a, b: a == b, "gt": lambda a, b: a > b,
+    "lt": lambda a, b: a < b, "gteq": lambda a, b: a >= b,
+    "lteq": lambda a, b: a <= b,
+}
+_EVAL_ARITH = {
+    "add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+    "mult": lambda a, b: a * b, "div": lambda a, b: a / b,
+}
+
+
+def _bool_eval(node) -> Column:
+    if isinstance(node, tuple):
+        if node[0] == "ident":
+            return F.col(node[1])
+        return F.lit(node[1])
+    name = node.name
+    if name in _EVAL_BOOL:
+        return _EVAL_BOOL[name](_bool_eval(node.args[0]), _bool_eval(node.args[1]))
+    if name in _EVAL_ARITH:
+        return _EVAL_ARITH[name](_bool_eval(node.args[0]), _bool_eval(node.args[1]))
+    if name == "and":
+        out = _bool_eval(node.args[0])
+        for a in node.args[1:]:
+            out = out & _bool_eval(a)
+        return out
+    if name == "or":
+        out = _bool_eval(node.args[0])
+        for a in node.args[1:]:
+            out = out | _bool_eval(a)
+        return out
+    if name == "not":
+        return ~_bool_eval(node.args[0])
+    if name.lower() in ("count", "sum", "avg", "min", "max"):
+        # metric-shaped reference inside having(): names the upstream
+        # rollup/facet output column ("sum(v)", "count(*)") — Solr's
+        # having-over-rollup addresses the metric by the same identifier
+        arg = node.args[0][1] if node.args else "*"
+        return F.col(f"{name.lower()}({arg})")
+    raise StreamExprError(f"unknown evaluator {name!r}")
 
 
 def priority_stream(high: DataFrame, low: DataFrame) -> DataFrame:

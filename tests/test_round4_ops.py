@@ -820,3 +820,54 @@ def test_facet_domain_transforms(spark):
     segs = spark.createDataFrame([("x", 10), ("y", 20), ("z", 30)], "seg string, w long")
     j = FA.join_domain(up, segs, "seg", "seg")
     assert sorted(r["w"] for r in j.collect()) == [10]
+
+
+# ----------------------------------------- stream expression tranche 2
+
+def test_stream_expr_having_sort_outer(spark):
+    """New eval() stream types: having (boolean evaluator tree), sort,
+    leftOuterJoin/outerHashJoin, cartesianProduct, facet, stats,
+    random (deterministic sample)."""
+    from solr_spark.plans.streamexpr import eval_expr
+
+    t = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 5.0), ("c", 4, 7.0)],
+        "k string, id long, v double",
+    )
+    r = spark.createDataFrame([("a", 100), ("b", 200)], "k string, w int")
+    tables = {"t": t, "r": r}
+
+    hv = eval_expr(
+        'having(search(t), and(gt(v, 6), lteq(id, 2)))', tables
+    ).collect()
+    assert sorted(x["id"] for x in hv) == [1, 2]
+    hv2 = eval_expr(
+        'having(search(t), or(eq(k, "c"), gt(add(v, id), 21)))', tables
+    ).collect()
+    assert sorted(x["id"] for x in hv2) == [2, 4]
+
+    so = eval_expr('sort(search(t), by="v desc")', tables).collect()
+    assert [x["id"] for x in so] == [2, 1, 4, 3]
+
+    lo = eval_expr('leftOuterJoin(search(t), search(r), on="k")', tables)
+    rows = {x["id"]: x["w"] for x in lo.collect()}
+    assert rows[1] == 100 and rows[4] is None
+    oh = eval_expr('outerHashJoin(search(t), search(r), on="k")', tables)
+    assert {x["id"]: x["w"] for x in oh.collect()} == rows
+
+    fc = eval_expr(
+        'facet(t, buckets="k", sum(v), count(*))', tables
+    ).collect()
+    assert [(x["k"], x["sum(v)"]) for x in fc] == [
+        ("a", 30.0), ("b", 5.0), ("c", 7.0)
+    ]
+    st = eval_expr('stats(t, sum(v), max(id))', tables).collect()[0]
+    assert st["sum(v)"] == 42.0 and st["max(id)"] == 4
+
+    rnd1 = [x["id"] for x in eval_expr('random(t, rows=2)', tables).collect()]
+    rnd2 = [x["id"] for x in eval_expr('random(t, rows=2)', tables).collect()]
+    assert rnd1 == rnd2 and len(rnd1) == 2  # deterministic replay
+
+    arr = spark.createDataFrame([(1, [10, 20])], "id long, xs array<int>")
+    cp = eval_expr('cartesianProduct(search(a), xs)', {"a": arr}).collect()
+    assert sorted(x["xs"] for x in cp) == [10, 20]
