@@ -1754,6 +1754,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["update_chain_v3"] = update_chain_v3
 
+    def update_tolerant_split(s, d):
+        """TolerantUpdateProcessor as a quarantine split: rows failing
+        any check carry the sorted failed-label set; this gate returns
+        the quarantine side (the reference's per-doc error report)."""
+        from solr_spark.operators import updateproc as UP
+
+        orders = _t(s, d, "orders").where(F.col("o_orderkey") <= 3000)
+        ok, bad = UP.tolerant_split(orders, {
+            "big_price": F.col("o_totalprice") <= 400000,
+            "low_prio": F.col("o_orderpriority") != "5-LOW",
+        })
+        return (
+            bad.select(
+                "o_orderkey",
+                F.array_join("_errors_", ",").alias("errors"),
+            )
+            .orderBy("o_orderkey")
+        )
+
+    q["update_tolerant_split"] = update_tolerant_split
+
     # --- update processor chain over orders ---
     def update_chain(s, d):
         from solr_spark.operators import updateproc as UP
@@ -2941,6 +2962,16 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                     WHEN doc_id % 3 = 1 THEN 'false'
                     ELSE 'null' END AS flag_s
         FROM documents WHERE doc_id < 400 ORDER BY docid"""
+    o["update_tolerant_split"] = """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 400000 AND o_orderpriority = '5-LOW'
+                    THEN 'big_price,low_prio'
+                    WHEN o_totalprice > 400000 THEN 'big_price'
+                    ELSE 'low_prio' END AS errors
+        FROM orders
+        WHERE o_orderkey <= 3000
+          AND (o_totalprice > 400000 OR o_orderpriority = '5-LOW')
+        ORDER BY o_orderkey"""
     o["blockjoin_childfield"] = """
         WITH k AS (
           SELECT l_orderkey, l_extendedprice, row_number() OVER (

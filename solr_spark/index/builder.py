@@ -321,6 +321,34 @@ class Index:
         # mirroring the catenate asymmetry above
         return toks
 
+    def build_report(self) -> dict:
+        """Doc/term/postings metrics plus per-chunk lineage — the
+        'resumable from checkpoint with per-partition lineage +
+        metrics' reporting surface. Combines the meta rollups with
+        every committed chunk manifest (_checkpoints/chunk_*.json:
+        per-chunk docs_out/postings_out/elapsed_ms) and the dictionary/
+        postings row counts (parquet count() is a footer read, not a
+        data pass)."""
+        import glob as _glob
+
+        chunks = []
+        for p in sorted(
+            _glob.glob(os.path.join(self.paths.checkpoints, "chunk_*.json"))
+        ):
+            with open(p) as f:
+                chunks.append(json.load(f))
+        return {
+            "n_docs": self.meta.get("n_docs"),
+            "avgdl": self.meta.get("avgdl"),
+            "n_terms": self.term_stats().count(),
+            "n_postings": self.postings().count(),
+            "num_chunks": self.meta.get("num_chunks"),
+            "build_seconds": self.meta.get("build_seconds"),
+            "has_blocks": self.meta.get("has_blocks"),
+            "has_positions": self.meta.get("has_positions"),
+            "chunks": chunks,
+        }
+
     def term_dictionary(self, field: str | None = None) -> DataFrame:
         """The term_stats frame restricted to ONE field's dictionary.
 

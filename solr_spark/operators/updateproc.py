@@ -548,6 +548,69 @@ def parse_boolean(
     )
 
 
+def tolerant_split(
+    df: DataFrame, checks: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """TolerantUpdateProcessorFactory
+    (update/processor/TolerantUpdateProcessorFactory.java): the
+    reference tolerates up to maxErrors bad documents per request and
+    reports each failure instead of aborting the whole update. At
+    Spark scale the analogue is a QUARANTINE SPLIT: `checks` maps an
+    error label to a must-hold predicate; rows failing any check route
+    to the quarantine frame tagged with every failed label (`_errors_`
+    array), passing rows continue down the chain. One pass over the
+    data, both frames from the same scan — a 1000-executor ingest of
+    dirty data must not die on row one billion.
+
+    maxErrors-style gating is the caller's policy: count() the
+    quarantine and abort if it exceeds the budget."""
+    err = F.array_compact(
+        F.array(
+            *[
+                F.when(~pred, F.lit(label))
+                for label, pred in sorted(checks.items())
+            ]
+        )
+    )
+    tagged = df.withColumn("_errors_", err)
+    ok = tagged.where(F.size("_errors_") == 0).drop("_errors_")
+    bad = tagged.where(F.size("_errors_") > 0)
+    return ok, bad
+
+
+def flatten_nested(
+    df: DataFrame,
+    children_col: str,
+    root_col: str = "_root_",
+    id_col: str | None = None,
+    level_col: str = "_nest_level_",
+) -> DataFrame:
+    """NestedUpdateProcessorFactory + the _root_ convention
+    (update/processor/NestedUpdateProcessorFactory.java; the reference
+    stamps _root_/_nest_path_ on child documents so block joins can
+    reassemble families): explode an array-of-struct children column
+    into child ROWS carrying the parent's id as `root_col`, unioned
+    with the parent rows (children dropped, level 0). The output is
+    exactly the explicit-root layout operators/blockjoin.py queries —
+    index-time nesting becomes a flat table with lineage columns
+    instead of segment-position magic."""
+    pid = id_col or df.columns[0]
+    parents = (
+        df.drop(children_col)
+        .withColumn(root_col, F.col(pid))
+        .withColumn(level_col, F.lit(0))
+    )
+    child_struct = df.select(
+        F.col(pid).alias(root_col), F.explode(children_col).alias("_c")
+    )
+    kids = child_struct.select(
+        root_col, "_c.*"
+    ).withColumn(level_col, F.lit(1))
+    # align schemas: parents and children usually differ — union by
+    # name with missing columns null-filled
+    return parents.unionByName(kids, allowMissingColumns=True)
+
+
 def apply_chain(df: DataFrame, processors: list[Processor]) -> DataFrame:
     """Run the ordered chain (UpdateRequestProcessorChain.createProcessor
     composition order)."""

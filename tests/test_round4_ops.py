@@ -871,3 +871,69 @@ def test_stream_expr_having_sort_outer(spark):
     arr = spark.createDataFrame([(1, [10, 20])], "id long, xs array<int>")
     cp = eval_expr('cartesianProduct(search(a), xs)', {"a": arr}).collect()
     assert sorted(x["xs"] for x in cp) == [10, 20]
+
+
+def test_tolerant_split_quarantine(spark):
+    """Tolerant chain: failing rows route to quarantine tagged with
+    every failed check; passing rows continue clean."""
+    from solr_spark.operators import updateproc as UP
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5), (2, None, 5), (3, "ok", -1), (4, None, -2)],
+        "id long, name string, qty int",
+    )
+    ok, bad = UP.tolerant_split(df, {
+        "missing_name": F.col("name").isNotNull(),
+        "neg_qty": F.col("qty") >= 0,
+    })
+    assert [r["id"] for r in ok.orderBy("id").collect()] == [1]
+    b = {r["id"]: sorted(r["_errors_"]) for r in bad.collect()}
+    assert b == {
+        2: ["missing_name"], 3: ["neg_qty"],
+        4: ["missing_name", "neg_qty"],
+    }
+    assert "_errors_" not in ok.columns
+
+
+def test_flatten_nested_blockjoin_roundtrip(spark):
+    """flatten_nested produces the explicit-root layout blockjoin
+    queries: parents level 0, children exploded with _root_ lineage."""
+    from solr_spark.operators import blockjoin as BJ
+    from solr_spark.operators import updateproc as UP
+
+    df = spark.createDataFrame(
+        [(10, "p1", [{"sku": "a", "qty": 1}, {"sku": "b", "qty": 9}]),
+         (20, "p2", [])],
+        "id long, title string, "
+        "items array<struct<sku:string, qty:int>>",
+    )
+    flat = UP.flatten_nested(df, "items", id_col="id")
+    parents = flat.where(F.col("_nest_level_") == 0)
+    kids = flat.where(F.col("_nest_level_") == 1)
+    assert parents.count() == 2 and kids.count() == 2
+    assert {r["_root_"] for r in kids.collect()} == {10}
+    hit = BJ.parent_query(
+        parents, kids, "_root_", F.col("qty") >= 5, parent_key="_root_"
+    )
+    assert [r["id"] for r in hit.collect()] == [10]
+
+
+def test_build_report_lineage(spark, tmp_path):
+    """build_report(): meta rollups + per-chunk manifests + dictionary/
+    postings counts — the resumable-build metrics surface."""
+    from solr_spark.index.builder import build_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(40)],
+        "docid long, content string",
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "repidx"), num_buckets=4,
+        num_chunks=2, build_blocks=False,
+    )
+    rep = idx.build_report()
+    assert rep["n_docs"] == 40 and rep["num_chunks"] == 2
+    assert rep["n_terms"] >= 42 and rep["n_postings"] > 0
+    assert len(rep["chunks"]) == 2
+    assert all(c["status"] == "done" for c in rep["chunks"])
+    assert sum(c["docs_out"] for c in rep["chunks"]) == 40
