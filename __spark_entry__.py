@@ -1118,6 +1118,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ltr_fixed_rescore"] = ltr_fixed_entry
 
+    def ltr_trees_model_entry(s, d):
+        """Solr LTR managed-store JSON scored as Columns: a
+        MultipleAdditiveTrees ensemble + slack semantics
+        (MultipleAdditiveTreesModel.java:285, boundary goes left) over
+        two derived features; whole plan is one CASE-WHEN tree."""
+        from solr_spark.operators.ml import ltr_model_score
+
+        model = {
+            "class": "org.apache.solr.ltr.model.MultipleAdditiveTreesModel",
+            "features": [{"name": "f_len"}, {"name": "f_id"}],
+            "params": {"trees": [
+                {"weight": 1.0, "root": {
+                    "feature": "f_len", "threshold": "300.0",
+                    "left": {"feature": "f_id", "threshold": "3.0",
+                             "left": {"value": "1.5"},
+                             "right": {"value": "0.5"}},
+                    "right": {"value": "2.5"}}},
+                {"weight": 0.5, "root": {
+                    "feature": "f_id", "threshold": "5.0",
+                    "left": {"value": "1.0"},
+                    "right": {"value": "3.0"}}},
+            ]},
+        }
+        feats = (
+            _docs(s, d)
+            .where(F.col("doc_id") < 500)
+            .select(
+                F.col("doc_id").cast("long").alias("docid"),
+                F.col("n_chars").cast("double").alias("f_len"),
+                (F.col("doc_id") % 7).cast("double").alias("f_id"),
+            )
+        )
+        return (
+            feats.select(
+                "docid", F.round(ltr_model_score(model), 4).alias("ltr_score")
+            )
+            .orderBy(F.desc("ltr_score"), "docid")
+            .limit(50)
+        )
+
+    q["ltr_trees_model"] = ltr_trees_model_entry
+
     # --- REAL indexed engine (builder -> postings/blocks/positions) ---
     def bm25_indexed(qtext, k=10, mode="OR", wand=False):
         def run(s, d):
@@ -2962,6 +3004,19 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                     WHEN doc_id % 3 = 1 THEN 'false'
                     ELSE 'null' END AS flag_s
         FROM documents WHERE doc_id < 400 ORDER BY docid"""
+    o["ltr_trees_model"] = """
+        WITH f AS (SELECT doc_id,
+                          n_chars::DOUBLE AS f_len,
+                          (doc_id % 7)::DOUBLE AS f_id
+                   FROM documents WHERE doc_id < 500)
+        SELECT doc_id::BIGINT AS docid,
+               round(1.0 * (CASE WHEN f_len <= 300.000001 THEN
+                              (CASE WHEN f_id <= 3.000001 THEN 1.5
+                                    ELSE 0.5 END)
+                            ELSE 2.5 END)
+                   + 0.5 * (CASE WHEN f_id <= 5.000001 THEN 1.0
+                            ELSE 3.0 END), 4) AS ltr_score
+        FROM f ORDER BY ltr_score DESC, docid LIMIT 50"""
     o["update_tolerant_split"] = """
         SELECT o_orderkey,
                CASE WHEN o_totalprice > 400000 AND o_orderpriority = '5-LOW'

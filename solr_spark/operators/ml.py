@@ -236,3 +236,101 @@ def classify_stored(tok_df: DataFrame, spark, path: str) -> DataFrame:
         F.round(prob, 6).alias("prob"),
         (prob > 0.5).cast("long").alias("prediction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Solr LTR model formats scored as pure Columns. The reference's managed
+# model store holds JSON models (contrib/ltr): LinearModel.java:72
+# (weights dot normalized features) and MultipleAdditiveTreesModel.java
+# (weighted regression-tree ensemble; scoreNode at :285 descends LEFT
+# when feature <= threshold, with a +1e-6 split slack added to every
+# stored threshold, :152). Normalizers (ltr/norm/): Identity, MinMax
+# ((v-min)/(max-min)), Standard ((v-avg)/std). A model trained anywhere
+# and exported in the Solr JSON shape scores here with zero Python in
+# the row path — the whole ensemble compiles to one nested CASE-WHEN
+# expression tree under whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+#: the reference adds this to every parsed threshold (NODE_SPLIT_SLACK,
+#: MultipleAdditiveTreesModel.java:125) so boundary values go left
+_NODE_SPLIT_SLACK = 1e-6
+
+
+def _ltr_norm(c: Column, norm: dict | None) -> Column:
+    if not norm:
+        return c
+    cls = norm.get("class", "").rsplit(".", 1)[-1]
+    p = norm.get("params", {})
+    if cls in ("IdentityNormalizer", ""):
+        return c
+    if cls == "MinMaxNormalizer":
+        lo, hi = float(p["min"]), float(p["max"])
+        return (c - F.lit(lo)) / F.lit(hi - lo)
+    if cls == "StandardNormalizer":
+        return (c - F.lit(float(p["avg"]))) / F.lit(float(p["std"]))
+    raise ValueError(f"unknown LTR normalizer {cls!r}")
+
+
+def _ltr_features(model: dict, df=None) -> list[tuple[str, Column]]:
+    """(name, normalized Column) per model feature; a feature reads the
+    like-named DataFrame column. Null values read 0.0; a column absent
+    from `df` (when given) also reads 0.0 — the reference's default for
+    unextracted features. Without `df` the column must exist."""
+    out = []
+    for f in model.get("features", []):
+        name = f["name"]
+        if df is not None and name not in df.columns:
+            c = F.lit(0.0)
+        else:
+            c = F.coalesce(F.col(name).cast("double"), F.lit(0.0))
+        out.append((name, _ltr_norm(c, f.get("norm"))))
+    return out
+
+
+def _tree_node(node: dict, feats: dict[str, Column]) -> Column:
+    if "value" in node:
+        return F.lit(float(node["value"]))
+    fname = node["feature"]
+    if fname not in feats:
+        raise ValueError(f"tree references unknown feature {fname!r}")
+    thr = float(node["threshold"]) + _NODE_SPLIT_SLACK
+    return F.when(
+        feats[fname] <= thr, _tree_node(node["left"], feats)
+    ).otherwise(_tree_node(node["right"], feats))
+
+
+def ltr_model_score(model: dict, df=None) -> Column:
+    """Compile a Solr LTR model JSON (the managed-store document) to a
+    score Column. Supports LinearModel and MultipleAdditiveTreesModel;
+    apply to any candidate frame carrying the feature columns, then
+    sort desc — the LTRRescorer contract. Pass `df` to let features
+    absent from the frame read the 0.0 default instead of failing
+    analysis."""
+    cls = model.get("class", "").rsplit(".", 1)[-1]
+    feats = dict(_ltr_features(model, df))
+    params = model.get("params", {})
+    if cls == "LinearModel":
+        weights = params.get("weights", {})
+        if not weights:
+            raise ValueError("LinearModel without weights")
+        terms = [
+            feats[name] * F.lit(float(w))
+            for name, w in sorted(weights.items())
+            if name in feats
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    if cls == "MultipleAdditiveTreesModel":
+        trees = params.get("trees", [])
+        if not trees:
+            raise ValueError("MultipleAdditiveTreesModel without trees")
+        out = None
+        for t in trees:
+            contrib = F.lit(float(t.get("weight", 1.0))) * _tree_node(
+                t["root"], feats
+            )
+            out = contrib if out is None else out + contrib
+        return out
+    raise ValueError(f"unknown LTR model class {cls!r}")

@@ -937,3 +937,60 @@ def test_build_report_lineage(spark, tmp_path):
     assert len(rep["chunks"]) == 2
     assert all(c["status"] == "done" for c in rep["chunks"])
     assert sum(c["docs_out"] for c in rep["chunks"]) == 40
+
+
+# ------------------------------------------------- LTR JSON model scoring
+
+def test_ltr_linear_and_trees_models(spark):
+    """Solr LTR managed-store JSON models score as Columns: LinearModel
+    (weights x normalized features) and MultipleAdditiveTreesModel
+    (threshold + 1e-6 slack, boundary goes LEFT — the reference's
+    NODE_SPLIT_SLACK semantics)."""
+    from solr_spark.operators.ml import ltr_model_score
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.5), (2, 55.0, 0.5), (3, -5.0, 2.0)],
+        "id long, f1 double, f2 double",
+    )
+    linear = {
+        "class": "org.apache.solr.ltr.model.LinearModel",
+        "features": [
+            {"name": "f1",
+             "norm": {"class": "org.apache.solr.ltr.norm.MinMaxNormalizer",
+                      "params": {"min": "5", "max": "55"}}},
+            {"name": "f2"},
+        ],
+        "params": {"weights": {"f1": 1.0, "f2": 2.0}},
+    }
+    got = {
+        r["id"]: round(r["s"], 6)
+        for r in df.select("id", ltr_model_score(linear).alias("s")).collect()
+    }
+    # f1 minmax: (v-5)/50 -> 0.1, 1.0, -0.2 ; + 2*f2
+    assert got == {1: 1.1, 2: 2.0, 3: 3.8}
+
+    trees = {
+        "class": "org.apache.solr.ltr.model.MultipleAdditiveTreesModel",
+        "features": [{"name": "f1"}, {"name": "f2"}],
+        "params": {"trees": [
+            {"weight": 1.0, "root": {
+                "feature": "f1", "threshold": "10.0",
+                "left": {"value": "5.0"},
+                "right": {"feature": "f2", "threshold": "1.0",
+                          "left": {"value": "1.0"},
+                          "right": {"value": "2.0"}}}},
+            {"weight": 0.5, "root": {"value": "4.0"}},
+        ]},
+    }
+    got_t = {
+        r["id"]: round(r["s"], 6)
+        for r in df.select("id", ltr_model_score(trees).alias("s")).collect()
+    }
+    # id1: f1=10 <= 10+slack -> LEFT 5.0 (boundary goes left); +0.5*4=2
+    # id2: f1=55 -> right, f2=0.5<=1 -> 1.0 ; +2
+    # id3: f1=-5 -> left 5.0 ; +2
+    assert got_t == {1: 7.0, 2: 3.0, 3: 7.0}
+    # missing feature column reads 0.0
+    df2 = spark.createDataFrame([(9, 20.0)], "id long, f1 double")
+    s = df2.select(ltr_model_score(trees, df2).alias("s")).collect()[0]["s"]
+    assert s == 1.0 + 2.0  # f2 missing -> 0 <= 1 -> left 1.0, + tree2 2.0
