@@ -333,4 +333,66 @@ def ltr_model_score(model: dict, df=None) -> Column:
             )
             out = contrib if out is None else out + contrib
         return out
+    if cls == "NeuralNetworkModel":
+        # feature ORDER is the model's features list order (the NN input
+        # vector), not the weights-dict order the linear path sorts by
+        ordered = [c for _, c in _ltr_features(model, df)]
+        return _nn_score(ordered, params.get("layers", []))
     raise ValueError(f"unknown LTR model class {cls!r}")
+
+
+def _nn_act(c: Column, name: str) -> Column:
+    # NeuralNetworkModel.java:158-175 activation registry
+    name = (name or "identity").lower()
+    if name == "identity":
+        return c
+    if name == "relu":
+        return F.greatest(c, F.lit(0.0))
+    if name == "sigmoid":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-c))
+    if name == "tanh":
+        return F.tanh(c)
+    if name == "leakyrelu":  # slope 0.01 (NeuralNetworkModel.java:169)
+        return F.when(c < 0, F.lit(0.01) * c).otherwise(c)
+    raise ValueError(f"unknown NN activation {name!r}")
+
+
+def _nn_score(feats: list[Column], layers: list[dict]) -> Column:
+    """NeuralNetworkModel.java:203-216 calculateOutput: per layer,
+    out_i = act(bias_i + sum_j w[i][j] * in_j); the last layer must
+    produce one unit. Unrolled over the LITERAL weights — each neuron
+    is one codegen'd arithmetic expression, no vectors materialized."""
+    vec = feats
+    for li, layer in enumerate(layers):
+        w, b = layer["matrix"], layer["bias"]
+        if any(len(row) != len(vec) for row in w):
+            raise ValueError(f"NN layer {li}: matrix cols != input dim")
+        nxt = []
+        for i, row in enumerate(w):
+            acc = F.lit(float(b[i]))
+            for j, x in enumerate(vec):
+                acc = acc + F.lit(float(row[j])) * x
+            nxt.append(_nn_act(acc, layer.get("activation")))
+        vec = nxt
+    if len(vec) != 1:
+        raise ValueError("NN output layer must have exactly 1 unit")
+    return vec[0]
+
+
+def ltr_load_model(path: str) -> dict:
+    """Load a managed-store model JSON from disk, unwrapping
+    DefaultWrapperModel (model/DefaultWrapperModel.java: the stored doc
+    only names a `resource` holding the real model) — the fetch-by-
+    resource indirection becomes a relative-path read."""
+    import json as _json
+    import os as _os
+
+    with open(path) as f:
+        model = _json.load(f)
+    cls = model.get("class", "").rsplit(".", 1)[-1]
+    if cls == "DefaultWrapperModel":
+        resource = model.get("params", {}).get("resource")
+        if not resource:
+            raise ValueError("DefaultWrapperModel without params.resource")
+        return ltr_load_model(_os.path.join(_os.path.dirname(path), resource))
+    return model

@@ -994,3 +994,56 @@ def test_ltr_linear_and_trees_models(spark):
     df2 = spark.createDataFrame([(9, 20.0)], "id long, f1 double")
     s = df2.select(ltr_model_score(trees, df2).alias("s")).collect()[0]["s"]
     assert s == 1.0 + 2.0  # f2 missing -> 0 <= 1 -> left 1.0, + tree2 2.0
+
+
+def test_ltr_neural_network_and_wrapper(spark, tmp_path):
+    """NeuralNetworkModel: layer math out_i = act(bias_i + W_i . in)
+    with the reference's activation registry (leakyrelu slope 0.01);
+    DefaultWrapperModel unwraps to the resource file."""
+    import json
+
+    from solr_spark.operators.ml import ltr_load_model, ltr_model_score
+
+    nn = {
+        "class": "org.apache.solr.ltr.model.NeuralNetworkModel",
+        "features": [{"name": "x1"}, {"name": "x2"}],
+        "params": {"layers": [
+            {"matrix": [[1.0, -1.0], [0.5, 0.5]], "bias": [0.0, 1.0],
+             "activation": "relu"},
+            {"matrix": [[2.0, 1.0]], "bias": [-1.0],
+             "activation": "identity"},
+        ]},
+    }
+    df = spark.createDataFrame([(1, 3.0, 1.0), (2, 0.0, 4.0)],
+                               "id long, x1 double, x2 double")
+    got = {
+        r["id"]: round(r["s"], 6)
+        for r in df.select("id", ltr_model_score(nn).alias("s")).collect()
+    }
+    # id1: h=[relu(3-1)=2, relu(0.5*4+1)=3] -> 2*2+3-1 = 6
+    # id2: h=[relu(-4)=0, relu(2+1)=3]      -> 0+3-1   = 2
+    assert got == {1: 6.0, 2: 2.0}
+
+    inner = tmp_path / "real_model.json"
+    inner.write_text(json.dumps(nn))
+    wrapper = tmp_path / "wrapper.json"
+    wrapper.write_text(json.dumps({
+        "class": "org.apache.solr.ltr.model.DefaultWrapperModel",
+        "params": {"resource": "real_model.json"},
+    }))
+    loaded = ltr_load_model(str(wrapper))
+    assert loaded["class"].endswith("NeuralNetworkModel")
+    got2 = {
+        r["id"]: round(r["s"], 6)
+        for r in df.select("id", ltr_model_score(loaded).alias("s")).collect()
+    }
+    assert got2 == got
+    # leakyrelu slope
+    leaky = {"class": "NeuralNetworkModel",
+             "features": [{"name": "x1"}],
+             "params": {"layers": [
+                 {"matrix": [[1.0]], "bias": [0.0], "activation": "leakyrelu"},
+             ]}}
+    v = spark.createDataFrame([(-5.0,)], "x1 double").select(
+        ltr_model_score(leaky).alias("s")).collect()[0]["s"]
+    assert abs(v - (-0.05)) < 1e-9
