@@ -1817,6 +1817,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["update_tolerant_split"] = update_tolerant_split
 
+    def pii_scrub_docs(s, d):
+        """PII scrub + audit counts over documents with deterministic
+        planted PII (operators/textstats.PII_PATTERNS; Column and SQL
+        twins run the same RE2-safe patterns)."""
+        from solr_spark.operators import textstats as TS
+
+        docs = (
+            _docs(s, d)
+            .where(F.col("doc_id") < 300)
+            .withColumn(
+                "aug",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.col("doc_id") % 5 == 0,
+                        F.concat(
+                            F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com or 555-123-4567 x"),
+                        ),
+                    ).otherwise(F.lit("")),
+                ),
+            )
+        )
+        counts = TS.pii_counts(docs, "doc_id", "aug")
+        scrub = docs.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.md5(TS.pii_scrub_col("aug")).alias("scrubbed_md5"),
+        )
+        return (
+            scrub.join(counts, "docid")
+            .select("docid", "scrubbed_md5", "n_email", "n_phone")
+            .orderBy("docid")
+        )
+
+    q["pii_scrub_docs"] = pii_scrub_docs
+
+    def contamination_docs(s, d):
+        """Benchmark-contamination: 5-gram shingle containment of docs
+        0..199 against the 'benchmark' slice 200..399 (distinct'd
+        benchmark shingles, semi-join on the shingle hash)."""
+        from solr_spark.operators import textstats as TS
+        from solr_spark.query.inline import doc_tokens
+
+        all_toks = doc_tokens(_docs(s, d), id_col="doc_id", text_col="text")
+        docs = all_toks.where(F.col("docid") < 200).select("docid", "toks")
+        bench = (
+            all_toks.where((F.col("docid") >= 200) & (F.col("docid") < 400))
+            .select("docid", "toks")
+        )
+        return TS.contamination(docs, bench, n=5).orderBy("docid")
+
+    q["contamination_docs"] = contamination_docs
+
+    def pack_docs_seqs(s, d):
+        """Token-budget packing: documents laid end-to-end by doc_id,
+        pack_id = floor(prefix n_chars / 50000) via the two-phase
+        prefix sum (no global single-partition window)."""
+        from solr_spark.operators import textstats as TS
+
+        docs = _docs(s, d).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("ntok"),
+        )
+        return (
+            TS.pack_sequences(docs, "doc_id", "ntok", budget=50000)
+            .select(
+                F.col("doc_id").alias("docid"), "token_offset", "pack_id"
+            )
+            .orderBy("docid")
+        )
+
+    q["pack_docs_seqs"] = pack_docs_seqs
+
     # --- update processor chain over orders ---
     def update_chain(s, d):
         from solr_spark.operators import updateproc as UP
@@ -3004,6 +3078,48 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                     WHEN doc_id % 3 = 1 THEN 'false'
                     ELSE 'null' END AS flag_s
         FROM documents WHERE doc_id < 400 ORDER BY docid"""
+    from solr_spark.operators.textstats import pii_counts_sql, pii_scrub_sql
+
+    _aug = ("(text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id"
+            " || '@example.com or 555-123-4567 x' ELSE '' END)")
+    _pii_counts = pii_counts_sql(_aug)
+    o["pii_scrub_docs"] = f"""
+        SELECT doc_id::BIGINT AS docid,
+               md5({pii_scrub_sql(_aug)}) AS scrubbed_md5,
+               {_pii_counts[0]}, {_pii_counts[2]}
+        FROM documents WHERE doc_id < 300 ORDER BY docid"""
+    from solr_spark.analysis.analyzer import shingle_sql as _shingle_sql
+
+    _doc_sh = _shingle_sql(tokens_sql("text"), 5, "\x1f", False)
+    o["contamination_docs"] = f"""
+        WITH dsh AS (
+          SELECT doc_id, unnest({_doc_sh}) AS sh
+          FROM documents WHERE doc_id < 200),
+        bsh AS (
+          SELECT DISTINCT unnest({_doc_sh}) AS sh
+          FROM documents WHERE doc_id >= 200 AND doc_id < 400),
+        tot AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+        hit AS (SELECT doc_id, count(*) AS n_hit FROM dsh
+                WHERE sh IN (SELECT sh FROM bsh) GROUP BY doc_id)
+        SELECT d.doc_id::BIGINT AS docid,
+               coalesce(tot.n_sh, 0) AS n_sh,
+               coalesce(hit.n_hit, 0) AS n_hit,
+               round(CASE WHEN coalesce(tot.n_sh, 0) = 0 THEN 0.0
+                     ELSE coalesce(hit.n_hit, 0) / tot.n_sh::DOUBLE END, 4)
+                 AS contamination
+        FROM documents d
+        LEFT JOIN tot ON tot.doc_id = d.doc_id
+        LEFT JOIN hit ON hit.doc_id = d.doc_id
+        WHERE d.doc_id < 200 ORDER BY docid"""
+    o["pack_docs_seqs"] = """
+        SELECT doc_id::BIGINT AS docid,
+               coalesce(sum(n_chars::BIGINT) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS token_offset,
+               coalesce(sum(n_chars::BIGINT) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 50000 AS pack_id
+        FROM documents ORDER BY docid"""
     o["ltr_trees_model"] = """
         WITH f AS (SELECT doc_id,
                           n_chars::DOUBLE AS f_len,

@@ -205,3 +205,176 @@ SELECT docid,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
 FROM toks ORDER BY docid
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: PII scrubbing, benchmark-contamination
+# scoring, token-budget sequence packing. No reference counterpart —
+# these extend the curation family (dedup/quality/langid) with the
+# remaining operations a pretraining corpus build runs at 100 TB. All
+# deterministic; regex patterns are RE2-safe so the DuckDB twins run the
+# SAME pattern strings.
+# ---------------------------------------------------------------------------
+
+#: (label, pattern, replacement) — order matters: SSN before PHONE so a
+#: 3-2-4 digit group is labeled SSN, not swallowed as a phone tail
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_scrub_col(text_col) -> "F.Column":
+    """Redact PII spans in place (emails, SSNs, phone shapes, IPv4) —
+    chained regexp_replace, whole-stage codegen."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc count of each PII type (regexp_count) — the audit frame
+    a scrub job reports before/after."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("docid"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{label}")
+            for label, pat, _ in PII_PATTERNS
+        ],
+    )
+
+
+def pii_scrub_sql(expr: str) -> str:
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
+def pii_counts_sql(text_expr: str) -> list[str]:
+    out = []
+    for label, pat, _ in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        out.append(
+            f"len(regexp_extract_all({text_expr}, '{p}')) AS n_{label}"
+        )
+    return out
+
+
+def contamination(
+    doc_tok: DataFrame,
+    bench_tok: DataFrame,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination score: fraction of each document's
+    n-gram shingles that appear in the benchmark set (the standard
+    train/test decontamination check). Shapes for scale: benchmark
+    shingles are DISTINCT'd before the join (a hot shingle cannot fan
+    out), the join is a semi-join-shaped inner on the shingle hash,
+    and per-doc totals aggregate once. Frames carry (docid, toks).
+    Score 0.0 for docs with fewer than n tokens (no shingles)."""
+    from solr_spark.analysis.analyzer import shingle_col
+
+    def sh(df):
+        return df.select(
+            "docid",
+            F.explode(
+                shingle_col(F.col("toks"), n, "\x1f", output_unigrams=False)
+            ).alias("sh"),
+        ).select("docid", F.md5("sh").alias("h"))
+
+    doc_sh = sh(doc_tok)
+    bench = sh(bench_tok).select("h").distinct()
+    totals = doc_sh.groupBy("docid").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        doc_sh.join(bench, "h", "left_semi")
+        .groupBy("docid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        doc_tok.select("docid")
+        .join(totals, "docid", "left")
+        .join(hits, "docid", "left")
+        .select(
+            "docid",
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.when(
+                    F.coalesce("n_sh", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.col("n_sh").cast("double")
+                ),
+                4,
+            ).alias("contamination"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, ntok_col: str, budget: int
+) -> DataFrame:
+    """Token-budget shard assignment for training-data packing: docs in
+    `id_col` order are laid end-to-end; each doc's pack_id =
+    floor(token_offset / budget) where token_offset is the exact prefix
+    sum of earlier docs' `ntok_col`. Documents are never split — the
+    straddler belongs to the pack its first token lands in.
+
+    The prefix sum is the same scale-safe two-phase shape as
+    assign_docids (index/builder.py:121): range-partition the NARROW
+    (id, ntok) projection, collect one sum per partition, then an
+    Arrow-batched local cumsum + offset per partition — no global
+    single-partition window anywhere."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    narrow = (
+        df.select(F.col(id_col).alias("__pk_id"), F.col(ntok_col).alias("__pk_n"))
+        .repartitionByRange("__pk_id")
+        .sortWithinPartitions("__pk_id")
+    ).persist()
+    sums = (
+        narrow.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("__pk_n").alias("s"))
+        .collect()
+    )
+    part_sum = {r["pid"]: int(r["s"]) for r in sums}
+    offsets, acc = {}, 0
+    for pid in range(max(part_sum, default=-1) + 1):
+        offsets[pid] = acc
+        acc += part_sum.get(pid, 0)
+
+    schema = StructType(
+        list(narrow.schema.fields)
+        + [
+            StructField("token_offset", LongType(), False),
+            StructField("pack_id", LongType(), False),
+        ]
+    )
+
+    def add_packs(batches):
+        import pandas as pd
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        run = base
+        for b in batches:
+            before = b["__pk_n"].astype("int64").cumsum() - b["__pk_n"]
+            off = run + before
+            out = b.copy()
+            out["token_offset"] = off
+            out["pack_id"] = off // budget
+            run += int(b["__pk_n"].sum())
+            yield out
+
+    packed = narrow.mapInPandas(add_packs, schema=schema)
+    out = df.join(
+        packed.select(
+            F.col("__pk_id"), "token_offset", "pack_id"
+        ),
+        df[id_col] == F.col("__pk_id"),
+    ).drop("__pk_id")
+    return out

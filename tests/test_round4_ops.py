@@ -1047,3 +1047,96 @@ def test_ltr_neural_network_and_wrapper(spark, tmp_path):
     v = spark.createDataFrame([(-5.0,)], "x1 double").select(
         ltr_model_score(leaky).alias("s")).collect()[0]["s"]
     assert abs(v - (-0.05)) < 1e-9
+
+
+# -------------------------------------- pipeline: pii / contamination / pack
+
+def test_pii_scrub_and_counts(spark):
+    """PII redaction: Column and DuckDB twins run the SAME RE2-safe
+    patterns; counts audit frame matches."""
+    import duckdb
+
+    from solr_spark.operators import textstats as TS
+
+    texts = [
+        "mail me at a.b-c+x@exa-mple.org now",
+        "ssn 123-45-6789 phone +1-555-123-4567 ip 10.0.0.255",
+        "clean text with no pii at all",
+        "two mails x@y.io and z@w.co",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [r["s"] for r in df.select(
+        TS.pii_scrub_col("text").alias("s")).collect()]
+    assert got[0] == "mail me at [EMAIL] now"
+    assert got[1] == "ssn [SSN] phone [PHONE] ip [IP]"
+    assert got[2] == texts[2]
+    assert got[3] == "two mails [EMAIL] and [EMAIL]"
+    con = duckdb.connect()
+    sql = TS.pii_scrub_sql("text")
+    dd = [r[0] for r in con.execute(
+        f"SELECT {sql} FROM (SELECT unnest(?) AS text)", [texts]).fetchall()]
+    assert dd == got
+    counts = {r["docid"]: (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"])
+              for r in TS.pii_counts(df, "doc_id", "text").collect()}
+    assert counts[0] == (1, 0, 0, 0) and counts[2] == (0, 0, 0, 0)
+    assert counts[1] == (0, 1, 1, 1) and counts[3] == (2, 0, 0, 0)
+    csel = ", ".join(TS.pii_counts_sql("text"))
+    drow = con.execute(
+        f"SELECT {csel} FROM (SELECT unnest(?) AS text) ", [[texts[1]]]
+    ).fetchone()
+    assert tuple(drow) == counts[1]
+
+
+def test_contamination_scoring(spark):
+    from solr_spark.operators import textstats as TS
+
+    def tok(rows):
+        return spark.createDataFrame(rows, "docid long, toks array<string>")
+
+    docs = tok([
+        (0, ["a", "b", "c", "d", "e"]),     # shingles(3): abc bcd cde
+        (1, ["x", "y", "z", "w"]),          # xyz yzw
+        (2, ["a", "b"]),                    # too short -> 0 shingles
+    ])
+    bench = tok([(100, ["b", "c", "d", "e", "q"])])  # bcd cde deq
+    got = {r["docid"]: (r["n_sh"], r["n_hit"], r["contamination"])
+           for r in TS.contamination(docs, bench, n=3).collect()}
+    assert got[0] == (3, 2, 0.6667)
+    assert got[1] == (2, 0, 0.0)
+    assert got[2] == (0, 0, 0.0)
+
+
+def test_pack_sequences_two_phase(spark):
+    """pack_id = floor(prefix_token_offset / budget), exact vs a
+    single-node oracle; identical across shuffle-partition settings
+    (the two-phase prefix sum is partitioning-independent)."""
+    import duckdb
+
+    from solr_spark.operators import textstats as TS
+
+    rows = [(i, (i * 37 % 90) + 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, ntok long")
+    out = TS.pack_sequences(df, "doc_id", "ntok", budget=500)
+    got = {r["doc_id"]: (r["token_offset"], r["pack_id"])
+           for r in out.collect()}
+    con = duckdb.connect()
+    want = con.execute("""
+        SELECT doc_id,
+               coalesce(sum(ntok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+               coalesce(sum(ntok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 500 AS pack
+        FROM (SELECT unnest($1) AS doc_id, unnest($2) AS ntok)
+    """, [[r[0] for r in rows], [r[1] for r in rows]]).fetchall()
+    assert got == {d: (o, p) for d, o, p in want}
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        out2 = TS.pack_sequences(df, "doc_id", "ntok", budget=500)
+        got2 = {r["doc_id"]: (r["token_offset"], r["pack_id"])
+                for r in out2.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert got2 == got
