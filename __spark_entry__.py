@@ -879,6 +879,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_tpch_q3"] = tpch_q3
 
+    def tpch_q5(s, d):
+        """TPC-H Q5 shape (6-table join + grouped revenue): Parallel
+        SQL via spark.sql exactly as SURVEY §2.D prescribes — Catalyst
+        owns join order/broadcasts."""
+        for t in (
+            "customer", "orders", "lineitem", "supplier", "nation", "region"
+        ):
+            _t(s, d, t).createOrReplaceTempView(f"{t}_v")
+        return s.sql(
+            f"""
+            SELECT n_name,
+                   {_SPARK_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM customer_v, orders_v, lineitem_v, supplier_v, nation_v,
+                 region_v
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+            """
+        )
+
+    q["sql_tpch_q5"] = tpch_q5
+
+    def tpch_q6(s, d):
+        """TPC-H Q6 (pure scan-filter-agg): the pushdown showcase —
+        every predicate reaches the parquet scan."""
+        _t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        return s.sql(
+            f"""
+            SELECT {_SPARK_DSUM('l_extendedprice * l_discount')} AS revenue
+            FROM lineitem_v
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+            """
+        )
+
+    q["sql_tpch_q6"] = tpch_q6
+
     # --- suggest/spellcheck, term vectors, more facet shapes, elevation,
     # --- sampling, atomic update (SURVEY §2.A/§2.B long tail) ---
     def spell_suggest(s, d):
@@ -2745,6 +2785,21 @@ scored AS (
           AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+    o["sql_tpch_q5"] = f"""
+        SELECT n_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""
+    o["sql_tpch_q6"] = f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
 
     o["spell_suggest"] = f"""
         WITH {_DOC_TOKS_SQL}, {_POST_SQL},
