@@ -1998,6 +1998,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_expr_having"] = stream_expr_having
 
+    def stream_expr_nodes(s, d):
+        """eval() tranche 3: the 2-hop customer->order->part traversal
+        of graph_gather_2hop expressed as a compiled nodes() expression
+        (GatherNodesStream via the stream compiler) — same recursive-CTE
+        oracle."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        seeds = (
+            _t(s, d, "customer")
+            .where(F.col("c_custkey") <= 20)
+            .select(F.col("c_custkey").alias("node"))
+        )
+        return eval_expr(
+            'nodes(edges, search(seeds), walk="src->dst", maxDepth=2)',
+            {"edges": _graph_edges(s, d), "seeds": seeds},
+        )
+
+    q["stream_expr_nodes"] = stream_expr_nodes
+
+    def stream_expr_timeseries(s, d):
+        """eval() tranche 3: timeseries() with Solr gap syntax (+1DAY)
+        compiled to the date_trunc grouped agg."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        df = eval_expr(
+            'timeseries(events, q="event_type:click", field="ts", '
+            'gap="+1DAY", count(*), sum(value))',
+            {"events": _t(s, d, "events")},
+        )
+        return df.select(
+            "bucket_ts",
+            F.col("count(*)").alias("cnt"),
+            F.round(F.col("sum(value)"), 4).alias("sum_value"),
+        ).orderBy("bucket_ts")
+
+    q["stream_expr_timeseries"] = stream_expr_timeseries
+
     # --- scoreNodes over a customer->orders traversal ---
     def score_nodes_entry(s, d):
         orders = _t(s, d, "orders")
@@ -2740,6 +2777,15 @@ scored AS (
         UNION ALL SELECT node, 1 FROM h1
         UNION ALL SELECT node, 2 FROM h2
         ORDER BY hop, node"""
+
+    o["stream_expr_nodes"] = o["graph_gather_2hop"]
+
+    o["stream_expr_timeseries"] = f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+               count(*) AS cnt,
+               {dsum_sql('value')} AS sum_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1 ORDER BY bucket_ts"""
 
     o["facet_subfacet_lang_source"] = """
         SELECT lang, source, cnt, rnk FROM (

@@ -23,6 +23,17 @@ Supported functions (one per reference stream class):
   merge(s1, s2, on="a asc")                              MergeStream
   fetch(tbl, stream, on="k", fl="x,y")                   FetchStream
   priority(high, low)                                    PriorityStream
+  nodes(edges, seeds, walk="src->dst", maxDepth=2)       GatherNodesStream
+  shortestPath(edges, from=1, to=5, edge="src->dst")     ShortestPathStream
+  scoreNodes(stream, freq=tbl, numDocs=N)                ScoreNodesStream
+  significantTerms(toks, q="term", minDocFreq=3)         SignificantTermsStream
+  timeseries(tbl, field="ts", gap="+1DAY", metrics...)   TimeSeriesStream
+  drill(tbl, q=..., over="a", metrics...)                DrillStream
+  let(a=stream, ..., expr) / get(a)                      LetStream/GetStream
+  tuple(k=v, ...) / echo("s")                            TupStream/EchoStream
+  list(s1, s2, ...) / plist(s1, s2, ...)                 ListStream/ParallelListStream
+  update(dest, stream) / daemon(update(...), ...)        UpdateStream/DaemonStream
+  eval(stream)                                           EvalStream
 
 Metrics inside rollup: sum/avg/min/max(col), count(*).
 q= filters are conjunctive `field:value` pairs (+ bare `*:*`); ranges
@@ -319,7 +330,182 @@ def _eval(node, tables) -> DataFrame:
             df = _q_filter(df, str(_unlit(kw["q"])))
         n = int(_unlit(kw["rows"])) if "rows" in kw else 10
         return df.orderBy(F.md5(F.concat_ws("\x1f", *df.columns))).limit(n)
+    if name in ("nodes", "gatherNodes"):
+        # nodes(edges, <seeds>, walk="srcCol->dstCol", maxDepth=N) —
+        # GatherNodesStream.java; the walk names the edge columns, the
+        # inner stream's FIRST column supplies the seed ids
+        from solr_spark.operators import graph as G
+
+        edges_tbl = node.args[0][1]
+        if edges_tbl not in tables:
+            raise StreamExprError(f"unknown collection {edges_tbl!r}")
+        src_c, dst_c = str(_unlit(kw["walk"])).split("->")
+        edges = tables[edges_tbl].select(
+            F.col(src_c.strip()).alias("src"), F.col(dst_c.strip()).alias("dst")
+        )
+        seeds_df = _eval(node.args[1], tables)
+        seeds = seeds_df.select(F.col(seeds_df.columns[0]).alias("node"))
+        hops = int(_unlit(kw["maxDepth"])) if "maxDepth" in kw else 1
+        return G.gather_nodes(edges, seeds, hops)
+    if name == "shortestPath":
+        # shortestPath(edges, from=a, to=b, edge="src->dst", maxDepth=N) —
+        # BFS level = min #edges (ShortestPathStream.java); `to` filters
+        # the reached set to the destination's (node, dist) row
+        from solr_spark.operators import graph as G
+
+        edges_tbl = node.args[0][1]
+        if edges_tbl not in tables:
+            raise StreamExprError(f"unknown collection {edges_tbl!r}")
+        spec = str(_unlit(kw.get("edge", ("lit", "src->dst"))))
+        src_c, dst_c = (spec.split("->") if "->" in spec else spec.split("="))
+        edges = tables[edges_tbl].select(
+            F.col(src_c.strip()).alias("src"), F.col(dst_c.strip()).alias("dst")
+        )
+        depth = int(_unlit(kw["maxDepth"])) if "maxDepth" in kw else 6
+        out = G.bfs_shortest_path(edges, int(_unlit(kw["from"])), depth)
+        if "to" in kw:
+            out = out.where(F.col("node") == int(_unlit(kw["to"])))
+        return out
+    if name == "scoreNodes":
+        # scoreNodes(<nodes>, freq=tbl, numDocs=N[, count="col"]) — the
+        # docFreq side is the registered (node, df) frequency table the
+        # reference fetches from the terms component
+        from solr_spark.operators import graph as G
+
+        inner = _eval(node.args[0], tables)
+        freq_tbl = str(_unlit(kw["freq"]))
+        if freq_tbl not in tables:
+            raise StreamExprError(f"unknown collection {freq_tbl!r}")
+        count_col = str(_unlit(kw["count"])) if "count" in kw else "count(*)"
+        return G.score_nodes(
+            inner, tables[freq_tbl], int(_unlit(kw["numDocs"])), count_col
+        )
+    if name == "significantTerms":
+        # significantTerms(toks, q="term", minDocFreq=3, limit=15) over a
+        # (docid, toks) collection — SignificantTermsStream.java
+        from solr_spark.operators import relevance as R
+
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        return R.significant_terms(
+            tables[tbl],
+            str(_unlit(kw["q"])),
+            int(_unlit(kw["minDocFreq"])) if "minDocFreq" in kw else 3,
+            int(_unlit(kw["limit"])) if "limit" in kw else 15,
+        )
+    if name == "timeseries":
+        # timeseries(tbl, q=..., field="ts", gap="+1DAY", metrics...) —
+        # Solr gap syntax maps onto date_trunc units
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        gap = str(_unlit(kw.get("gap", ("lit", "+1DAY"))))
+        unit = _GAP_UNITS.get(gap.upper(), gap.lower())
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Call)]
+        return S.timeseries(df, str(_unlit(kw["field"])), unit, metrics)
+    if name == "drill":
+        # drill(tbl, q=..., over="a,b", metrics...) — DrillStream exports
+        # per-shard and rolls up partials; Catalyst's partial aggregation
+        # (map-side combine before the exchange) IS that plan, so drill
+        # compiles to the same grouped agg as facet()
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        buckets = _fields(kw["over"])
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Call)]
+        return df.groupBy(*buckets).agg(*metrics).orderBy(*buckets)
+    if name == "let":
+        # let(a=<stream>, b=<stream>, <expr>) — binds names for the body
+        # (LetStream.java); bindings see earlier bindings, body sees all
+        scoped = dict(tables)
+        for k, v in node.kwargs.items():
+            scoped[k] = _eval(v, scoped)
+        if len(node.args) != 1:
+            raise StreamExprError("let() takes bindings plus ONE body stream")
+        return _eval(node.args[0], scoped)
+    if name == "get":
+        return _eval(node.args[0], tables)
+    if name == "tuple":
+        # tuple(k=1, s="x") — one literal row (TupStream)
+        spark = _any_session(tables)
+        names = list(node.kwargs)
+        row = tuple(_unlit(v) for v in node.kwargs.values())
+        return spark.createDataFrame([row], names)
+    if name == "echo":
+        spark = _any_session(tables)
+        return spark.createDataFrame([(str(_unlit(node.args[0])),)], ["echo"])
+    if name in ("list", "plist"):
+        # list() drains streams in order; plist() runs them in parallel
+        # but still emits in list order — batch shape: an ordered tagged
+        # union (Spark executes the branches concurrently anyway).
+        # Guarantee: stream-BLOCK order; intra-stream order follows the
+        # inner stream's own sort, as in the reference
+        dfs = [_eval(a, tables) for a in node.args]
+        out = None
+        for i, df in enumerate(dfs):
+            tagged = df.withColumn("_stream", F.lit(i))
+            out = tagged if out is None else out.unionByName(
+                tagged, allowMissingColumns=True
+            )
+        return out.orderBy("_stream").drop("_stream")
+    if name == "update":
+        # update(dest, <stream>) — the indexing sink (UpdateStream.java).
+        # A quoted dest is a parquet path (append); a bare identifier
+        # registers the materialized stream as a new collection in the
+        # registry. Emits the batch summary tuple. This is an ACTION:
+        # the write/materialization runs at eval time.
+        dest = node.args[0]
+        df = _eval(node.args[1], tables)
+        spark = df.sparkSession
+        if dest[0] == "lit":  # quoted path
+            df.write.mode("append").parquet(str(dest[1]))
+            n = spark.read.parquet(str(dest[1])).count()
+        else:
+            df = df.cache()
+            n = df.count()
+            tables[str(dest[1])] = df
+        return spark.createDataFrame([(int(n),)], "batchIndexed long")
+    if name == "daemon":
+        # daemon(<update(...)>, id=, runInterval=) — one-shot drain form:
+        # evaluate the wrapped update now and emit its summary (the
+        # resident wake-every-interval form is streaming/topic.run_daemon)
+        return _eval(node.args[0], tables)
+    if name == "eval":
+        # eval(<stream>) — EvalStream.java:38: read the FIRST tuple's
+        # expr_s field, compile it, and stream ITS result (driver reads
+        # one row to fetch the expression string)
+        inner = _eval(node.args[0], tables)
+        first = inner.select("expr_s").first()
+        if first is None:
+            raise StreamExprError("eval(): inner stream is empty")
+        return _eval(parse_expr(str(first["expr_s"])), tables)
     raise StreamExprError(f"unknown stream function {name!r}")
+
+
+#: Solr timeseries gap -> date_trunc unit
+_GAP_UNITS = {
+    "+1SECOND": "second", "+1MINUTE": "minute", "+1HOUR": "hour",
+    "+1DAY": "day", "+7DAYS": "week", "+1WEEK": "week",
+    "+1MONTH": "month", "+1YEAR": "year",
+}
+
+
+def _any_session(tables):
+    for df in tables.values():
+        return df.sparkSession
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is None:
+        raise StreamExprError("tuple()/echo() need a registered table or an active session")
+    return s
 
 
 #: boolean/arithmetic evaluator names (io.eval.* — the subset the

@@ -1140,3 +1140,97 @@ def test_pack_sequences_two_phase(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert got2 == got
+
+
+def test_streamexpr_tranche3_graph_and_agg(spark):
+    """Compiler tranche 3: nodes/shortestPath/scoreNodes/
+    significantTerms/timeseries/drill compile to the same results as the
+    operator APIs they dispatch to."""
+    from solr_spark.operators import graph as G
+    from solr_spark.operators import relevance as R
+    from solr_spark.plans.streamexpr import eval_expr
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)], "a long, b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    tables = {"e": edges, "s": seeds}
+    got = eval_expr('nodes(e, search(s), walk="a->b", maxDepth=2)', tables)
+    want = G.gather_nodes(
+        edges.select(edges.a.alias("src"), edges.b.alias("dst")), seeds, 2
+    )
+    assert got.collect() == want.collect()
+
+    sp = eval_expr('shortestPath(e, from=1, to=4, edge="a->b", maxDepth=6)', tables)
+    assert [(r["node"], r["dist"]) for r in sp.collect()] == [(4, 2)]
+
+    freq = spark.createDataFrame([(2, 3), (3, 1)], "node long, df long")
+    nodes_in = spark.createDataFrame([(2, 5), (3, 2)], "node long, cnt long")
+    sn = eval_expr(
+        'scoreNodes(search(n), freq=f, numDocs=10, count="cnt")',
+        {"n": nodes_in, "f": freq},
+    )
+    want_sn = G.score_nodes(nodes_in, freq, 10, "cnt")
+    assert sn.collect() == want_sn.collect()
+
+    toks = spark.createDataFrame(
+        [(i, ["x", "y"] if i % 2 else ["x", "z"]) for i in range(20)],
+        "docid long, toks array<string>",
+    )
+    st = eval_expr('significantTerms(t, q="y", minDocFreq=2, limit=5)', {"t": toks})
+    want_st = R.significant_terms(toks, "y", 2, 5)
+    assert st.collect() == want_st.collect()
+
+    ev = spark.createDataFrame(
+        [("2020-01-01 05:00:00", 1.0), ("2020-01-01 09:00:00", 2.0),
+         ("2020-01-02 01:00:00", 5.0)],
+        "ts string, v double",
+    ).selectExpr("cast(ts as timestamp) ts", "v")
+    t1 = eval_expr('timeseries(ev, field="ts", gap="+1DAY", sum(v), count(*))',
+                   {"ev": ev}).collect()
+    assert [(r["bucket_ts"], r["sum(v)"], r["count(*)"]) for r in t1] == [
+        ("2020-01-01 00:00:00", 3.0, 2), ("2020-01-02 00:00:00", 5.0, 1)]
+    dr = eval_expr('drill(ev, over="v", count(*))', {"ev": ev}).collect()
+    assert [(r["v"], r["count(*)"]) for r in dr] == [(1.0, 1), (2.0, 1), (5.0, 1)]
+
+
+def test_streamexpr_tranche3_let_update_eval(spark):
+    """let/get/tuple/echo/list/update/daemon/eval branch semantics."""
+    import pytest
+
+    from solr_spark.plans.streamexpr import StreamExprError, eval_expr
+
+    t = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    tables = {"t": t}
+
+    lt = eval_expr(
+        'let(a=search(t, q="k:[2 TO *]"), top(get(a), n=1, sort="v desc"))',
+        tables,
+    ).collect()
+    assert [(r["k"], r["v"]) for r in lt] == [(3, 30)]
+
+    tp = eval_expr('tuple(x=1, s="hi")', tables).collect()
+    assert (tp[0]["x"], tp[0]["s"]) == (1, "hi")
+    assert eval_expr('echo("ping")', tables).collect()[0]["echo"] == "ping"
+
+    ls = eval_expr('list(select(search(t), "k"), select(search(t), "v as k"))',
+                   tables).collect()
+    assert sorted(r["k"] for r in ls[:3]) == [1, 2, 3]
+    assert sorted(r["k"] for r in ls[3:]) == [10, 20, 30]
+
+    # update into the registry (bare ident dest), then daemon() one-shot
+    up = eval_expr('update(t2, search(t, q="k:[2 TO *]"))', tables).collect()
+    assert up[0]["batchIndexed"] == 2
+    assert "t2" in tables and tables["t2"].count() == 2
+    dm = eval_expr('daemon(update(t3, search(t)))', tables).collect()
+    assert dm[0]["batchIndexed"] == 3
+
+    # eval(): expression string arrives as the first tuple's expr_s field
+    ex = spark.createDataFrame(
+        [('top(search(t), n=1, sort="k asc")',)], "expr_s string"
+    )
+    ev = eval_expr("eval(search(x))", {"t": t, "x": ex}).collect()
+    assert [(r["k"], r["v"]) for r in ev] == [(1, 10)]
+
+    with pytest.raises(StreamExprError):
+        eval_expr("eval(search(x))", {"x": ex.where("1=0")}).collect()
