@@ -323,6 +323,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["analysis_filters_v2"] = analysis_filters_v2
 
+    def analysis_filters_v3(s, d):
+        """Round-4 filter tranche 2: patternReplace(digits->#) ->
+        removeDuplicates(consecutive) -> truncate(4) -> ngram(2,2), plus
+        reverse on the raw stream (PatternReplace/RemoveDuplicates/
+        Truncate/NGram/ReverseStringFilterFactory, three-form)."""
+        from solr_spark.analysis import analyzer as A
+        from solr_spark.query.inline import doc_tokens
+
+        toks = doc_tokens(_docs(s, d), id_col="doc_id", text_col="text")
+        pr = A.pattern_replace_col(F.col("toks"), "[0-9]+", "#")
+        rd = A.remove_duplicates_col(pr)
+        ng = A.ngram_col(A.truncate_filter_col(rd, 4), 2, 2)
+        rev = A.reverse_filter_col(F.col("toks"))
+        return (
+            toks.select(
+                "docid",
+                F.size(rd).alias("n_dedup"),
+                F.element_at(rd, 1).alias("first_tok"),
+                F.size(ng).alias("n_grams"),
+                F.element_at(ng, -1).alias("last_gram"),
+                F.element_at(rev, 1).alias("first_rev"),
+            )
+            .where(F.col("docid") < 300)
+            .orderBy("docid")
+        )
+
+    q["analysis_filters_v3"] = analysis_filters_v3
+
     # --- term dictionary / relevance ---
     q["terms_top_df"] = lambda s, d: R.terms_component(_tok(s, d), limit=20)
     q["significant_terms"] = lambda s, d: R.significant_terms(
@@ -2364,6 +2392,25 @@ def oracle_sql() -> dict[str, str]:
                len({_v2_sh})::INT AS n_shingles,
                ({_v2_sh})[-1] AS last_shingle
         FROM documents WHERE doc_id < 300 ORDER BY docid"""
+    from solr_spark.analysis.analyzer import (
+        ngram_sql, pattern_replace_sql, remove_duplicates_sql,
+        reverse_filter_sql, truncate_filter_sql,
+    )
+
+    _v3_rd = remove_duplicates_sql(
+        pattern_replace_sql(tokens_sql("text"), "[0-9]+", "#")
+    )
+    _v3_ng = ngram_sql(truncate_filter_sql(_v3_rd, 4), 2, 2)
+    _v3_rev = reverse_filter_sql(tokens_sql("text"))
+    o["analysis_filters_v3"] = f"""
+        SELECT doc_id::BIGINT AS docid,
+               len({_v3_rd})::INT AS n_dedup,
+               ({_v3_rd})[1] AS first_tok,
+               len({_v3_ng})::INT AS n_grams,
+               ({_v3_ng})[-1] AS last_gram,
+               ({_v3_rev})[1] AS first_rev
+        FROM documents WHERE doc_id < 300 ORDER BY docid"""
+
     o["facet_domain_chain"] = """
         SELECT c.c_mktsegment AS value, count(*) AS cnt
         FROM customer c

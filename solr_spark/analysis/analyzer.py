@@ -428,3 +428,134 @@ def shingle_sql(
         f" _i -> {parts})"
     )
     return f"list_concat({expr}, {sh})" if output_unigrams else sh
+
+
+# ---- analysis filter tranche 2 (round 4) --------------------------------
+# PatternReplace / KeepWord / NGram / Truncate / RemoveDuplicates /
+# ReverseString token filters (solr/core/src/java/org/apache/solr/analysis
+# and the Lucene factories the default schemas reference). Same
+# three-form contract as the tranche-1 filters: a Catalyst Column form
+# (JVM, used in builds), a pure-Python form (row-level parity), and a
+# DuckDB SQL form (oracle twin). Patterns are restricted to the
+# Java/RE2-common subset (no backrefs/lookaround) so the Spark and
+# DuckDB regex engines agree.
+
+
+def pattern_replace_col(toks: Column, pattern: str, repl: str) -> Column:
+    return F.transform(toks, lambda t: F.regexp_replace(t, pattern, repl))
+
+
+def pattern_replace_py(toks: list[str], pattern: str, repl: str) -> list[str]:
+    import re as _re
+
+    return [_re.sub(pattern, repl, t) for t in toks]
+
+
+def pattern_replace_sql(expr: str, pattern: str, repl: str) -> str:
+    return (
+        f"list_transform({expr}, _t -> "
+        f"regexp_replace(_t, '{pattern}', '{repl}', 'g'))"
+    )
+
+
+def keep_word_col(toks: Column, words: list[str]) -> Column:
+    return F.filter(toks, lambda t: t.isin(*words))
+
+
+def keep_word_py(toks: list[str], words: list[str]) -> list[str]:
+    keep = set(words)
+    return [t for t in toks if t in keep]
+
+
+def keep_word_sql(expr: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"list_filter({expr}, _t -> _t IN ({lst}))"
+
+
+# NGramFilter: every substring of length min_gram..max_gram, emitted by
+# start offset then gram length (the Lucene 4.4+ stream order).
+
+
+def ngram_col(toks: Column, min_gram: int, max_gram: int) -> Column:
+    return F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+                    lambda p: F.transform(
+                        F.filter(
+                            F.sequence(F.lit(min_gram), F.lit(max_gram)),
+                            lambda n: p + n - 1 <= F.length(t),
+                        ),
+                        lambda n: t.substr(p, n),
+                    ),
+                )
+            ),
+        )
+    )
+
+
+def ngram_py(toks: list[str], min_gram: int, max_gram: int) -> list[str]:
+    return [
+        t[p : p + n]
+        for t in toks
+        for p in range(len(t))
+        for n in range(min_gram, max_gram + 1)
+        if p + n <= len(t)
+    ]
+
+
+def ngram_sql(expr: str, min_gram: int, max_gram: int) -> str:
+    return (
+        f"flatten(list_transform({expr}, _t -> "
+        f"flatten(list_transform(range(1, greatest(len(_t), 1) + 1), _p -> "
+        f"list_transform(list_filter(range({min_gram}, {max_gram + 1}), "
+        f"_n -> _p + _n - 1 <= len(_t)), _n -> substr(_t, _p, _n))))))"
+    )
+
+
+def truncate_filter_col(toks: Column, n: int) -> Column:
+    return F.transform(toks, lambda t: t.substr(F.lit(1), F.lit(n)))
+
+
+def truncate_filter_py(toks: list[str], n: int) -> list[str]:
+    return [t[:n] for t in toks]
+
+
+def truncate_filter_sql(expr: str, n: int) -> str:
+    return f"list_transform({expr}, _t -> substr(_t, 1, {n}))"
+
+
+# RemoveDuplicates: the reference drops a token equal to another token
+# at the SAME position (posInc 0 stacking). In a flat token stream,
+# stacked duplicates are adjacent — so the faithful flat shape removes
+# CONSECUTIVE equal tokens only (never distant repeats).
+
+
+def remove_duplicates_col(toks: Column) -> Column:
+    return F.filter(
+        toks, lambda t, i: (i == F.lit(0)) | (t != F.element_at(toks, i))
+    )
+
+
+def remove_duplicates_py(toks: list[str]) -> list[str]:
+    return [t for i, t in enumerate(toks) if i == 0 or toks[i - 1] != t]
+
+
+def remove_duplicates_sql(expr: str) -> str:
+    return (
+        f"list_filter({expr}, (_t, _i) -> _i = 1 OR _t != ({expr})[_i - 1])"
+    )
+
+
+def reverse_filter_col(toks: Column) -> Column:
+    return F.transform(toks, lambda t: F.reverse(t))
+
+
+def reverse_filter_py(toks: list[str]) -> list[str]:
+    return [t[::-1] for t in toks]
+
+
+def reverse_filter_sql(expr: str) -> str:
+    return f"list_transform({expr}, _t -> reverse(_t))"

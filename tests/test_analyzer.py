@@ -95,3 +95,60 @@ def test_filter_stages_three_way_parity(spark):
             f"SELECT ({sql}) FROM (SELECT ? AS t)", [txt]
         ).fetchone()[0]
         assert py == jv == list(dk), (txt, py, jv, dk)
+
+def test_tranche2_filters_three_way_parity(spark):
+    """patternReplace/keepWord/ngram/truncate/removeDuplicates/reverse
+    agree across Column / Python / DuckDB forms on fuzzed token arrays."""
+    import duckdb
+
+    from solr_spark.analysis import analyzer as A
+
+    cases = [
+        ["abc", "a", "", "abcdef", "xx"],
+        ["aa", "aa", "ab", "ab", "aa"],
+        [],
+        ["x1y2", "foo_bar", "zzzz"],
+    ] + [A.tokenize_py(t) for t in ALL[:25]]
+    con = duckdb.connect()
+
+    def dk(sql_expr, toks):
+        return list(
+            con.execute(
+                f"SELECT ({sql_expr}) FROM (SELECT ?::VARCHAR[] AS t)", [toks]
+            ).fetchone()[0]
+        )
+
+    for toks in cases:
+        df = spark.createDataFrame([(toks,)], "t array<string>")
+
+        def jv(col):
+            return df.select(col.alias("x")).collect()[0]["x"]
+
+        forms = [
+            (A.pattern_replace_py(toks, "[0-9]+", "#"),
+             jv(A.pattern_replace_col(F_t(), "[0-9]+", "#")),
+             dk(A.pattern_replace_sql("t", "[0-9]+", "#"), toks)),
+            (A.keep_word_py(toks, ["aa", "abc", "x1y2"]),
+             jv(A.keep_word_col(F_t(), ["aa", "abc", "x1y2"])),
+             dk(A.keep_word_sql("t", ["aa", "abc", "x1y2"]), toks)),
+            (A.ngram_py(toks, 2, 3),
+             jv(A.ngram_col(F_t(), 2, 3)),
+             dk(A.ngram_sql("t", 2, 3), toks)),
+            (A.truncate_filter_py(toks, 3),
+             jv(A.truncate_filter_col(F_t(), 3)),
+             dk(A.truncate_filter_sql("t", 3), toks)),
+            (A.remove_duplicates_py(toks),
+             jv(A.remove_duplicates_col(F_t())),
+             dk(A.remove_duplicates_sql("t"), toks)),
+            (A.reverse_filter_py(toks),
+             jv(A.reverse_filter_col(F_t())),
+             dk(A.reverse_filter_sql("t"), toks)),
+        ]
+        for py, jvv, dkk in forms:
+            assert py == list(jvv) == dkk, (toks, py, jvv, dkk)
+
+
+def F_t():
+    from pyspark.sql import functions as F
+
+    return F.col("t")
