@@ -965,6 +965,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spell_suggest"] = spell_suggest
 
+    def spell_wordbreak(s, d):
+        """WordBreakSolrSpellChecker: split 'sparkhash' into dictionary
+        words, combine adjacent ('quer','y') into 'query' — broadcast
+        candidate joins against the vocabulary-sized dictionary."""
+        post = R.doc_freq_postings(_tok(s, d))
+        dict_df = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        return R.word_break_suggest(dict_df, ["sparkhash", "quer", "y"])
+
+    q["spell_wordbreak"] = spell_wordbreak
+
+    def classify_bayes_lang(s, d):
+        """ClassificationUpdateProcessor (Bayes): train multinomial NB
+        on 80% of documents (label=lang), assign class_s to the held-out
+        20% — exact Laplace-smoothed posteriors, SQL-twinned."""
+        toks = _tok(s, d)
+        docs = _docs(s, d).select(F.col("doc_id").alias("docid"), "lang")
+        full = toks.join(docs, "docid")
+        train = full.where(F.col("docid") % 5 != 0).select(
+            "docid", "toks", F.col("lang").alias("label")
+        )
+        test = full.where(F.col("docid") % 5 == 0).select("docid", "toks")
+        tm, cm = ML.bayes_train(train)
+        return ML.bayes_classify(test, tm, cm)
+
+    q["classify_bayes_lang"] = classify_bayes_lang
+
     def term_vectors_doc(s, d):
         toks = _tok(s, d).where(F.col("docid") == 7)
         return (
@@ -3038,6 +3064,69 @@ scored AS (
     o["sigterms_indexed"] = G.significant_terms_sql("spark", 3, 15)
     # dictionary-backed spell/MLT agree with their corpus-derived twins by
     # construction (term_stats df == per-term distinct-doc count)
+    _wb_terms = ["sparkhash", "quer", "y"]
+    _wb_sp = ", ".join(
+        f"('{t}', '{t[:i]}', '{t[i:]}')"
+        for t in _wb_terms
+        for i in range(1, len(t))
+    )
+    _wb_cb = ", ".join(
+        f"('{a} {b}', '{a}{b}')" for a, b in zip(_wb_terms, _wb_terms[1:])
+    )
+    o["spell_wordbreak"] = f"""
+        WITH {_DOC_TOKS_SQL}, {_POST_SQL},
+        dict AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        sp(original, left_w, right_w) AS (VALUES {_wb_sp}),
+        cb(original, joined) AS (VALUES {_wb_cb}),
+        brk AS (
+          SELECT 'break' AS kind, sp.original,
+                 l.term || ' ' || r.term AS suggestion,
+                 least(l.df, r.df)::BIGINT AS score_df
+          FROM sp JOIN dict l ON l.term = sp.left_w
+                  JOIN dict r ON r.term = sp.right_w),
+        comb AS (
+          SELECT 'combine' AS kind, cb.original, d.term AS suggestion,
+                 d.df::BIGINT AS score_df
+          FROM cb JOIN dict d ON d.term = cb.joined)
+        SELECT * FROM (SELECT * FROM brk UNION ALL SELECT * FROM comb)
+        ORDER BY kind, original, score_df DESC, suggestion"""
+
+    o["classify_bayes_lang"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        lab AS (SELECT t.docid, t.toks, d.lang AS label
+                FROM toks t JOIN documents d ON d.doc_id = t.docid),
+        train AS (SELECT * FROM lab WHERE docid % 5 != 0),
+        test AS (SELECT docid, toks FROM lab WHERE docid % 5 = 0),
+        texp AS (SELECT label, unnest(toks) AS term FROM train),
+        tc AS (SELECT label, term, count(*)::DOUBLE AS tf FROM texp GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM texp),
+        ct AS (SELECT label, sum(tf) AS tok_c FROM tc GROUP BY 1),
+        nd AS (SELECT count(*)::DOUBLE AS n FROM train),
+        dc AS (SELECT label, count(*)::DOUBLE AS n FROM train GROUP BY 1),
+        tm AS (SELECT tc.label, tc.term, ln((tf + 1) / (tok_c + v.v)) AS llik
+               FROM tc JOIN ct USING (label), v),
+        cm AS (SELECT dc.label, ln(dc.n / nd.n) AS prior,
+                      ln(1 / (tok_c + v.v)) AS miss
+               FROM dc JOIN ct USING (label), v, nd),
+        qe AS (SELECT docid, unnest(toks) AS term FROM test),
+        nt AS (SELECT docid, len(toks)::DOUBLE AS n_tok FROM test),
+        mt AS (SELECT qe.docid, tm.label, sum(tm.llik) AS s,
+                      count(*)::DOUBLE AS m
+               FROM qe JOIN tm USING (term) GROUP BY 1, 2),
+        grid AS (SELECT nt.docid, nt.n_tok, cm.label, cm.prior, cm.miss
+                 FROM nt CROSS JOIN cm),
+        sc AS (SELECT g.docid, g.label,
+                      round(g.prior + coalesce(mt.s, 0)
+                            + (g.n_tok - coalesce(mt.m, 0)) * g.miss, 6) AS score
+               FROM grid g LEFT JOIN mt
+                 ON mt.docid = g.docid AND mt.label = g.label),
+        rk AS (SELECT docid, label, score,
+                      row_number() OVER (PARTITION BY docid
+                        ORDER BY score DESC, label DESC) AS rn
+               FROM sc)
+        SELECT docid, label AS class_s, score FROM rk WHERE rn = 1
+        ORDER BY docid"""
+
     o["spell_indexed"] = o["spell_suggest"]
     o["spell_collations"] = f"""
 WITH {G.DOC_TOKS},

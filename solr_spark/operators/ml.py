@@ -396,3 +396,124 @@ def ltr_load_model(path: str) -> dict:
             raise ValueError("DefaultWrapperModel without params.resource")
         return ltr_load_model(_os.path.join(_os.path.dirname(path), resource))
     return model
+
+
+def bayes_train(tok_df: DataFrame, label_col: str = "label") -> tuple:
+    """Multinomial Naive Bayes trainer over (docid, toks, <label_col>) —
+    the Bayes algorithm of ClassificationUpdateProcessorFactory
+    (solr/core/src/java/org/apache/solr/update/processor/
+    ClassificationUpdateProcessorFactory.java; the reference delegates
+    to Lucene's SimpleNaiveBayesClassifier over indexed term stats).
+
+    Returns (term_model, class_model):
+      term_model  (label, term, llik) — log((tf_tc + 1) / (tok_c + V)),
+                  vocabulary×classes rows, broadcast-sized
+      class_model (label, prior, miss, n_classes) — log class prior,
+                  the unseen-term penalty log(1 / (tok_c + V)), both
+                  shared by every doc scored against that class
+
+    One explode + two aggregations — the corpus is shuffled once on
+    (label, term); everything downstream is vocabulary-sized.
+    """
+    toks = tok_df.select(
+        F.col(label_col).alias("label"), F.explode("toks").alias("term")
+    )
+    tc = toks.groupBy("label", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = float(tc.select("term").distinct().count())
+    class_tot = tc.groupBy("label").agg(F.sum("tf").alias("tok_c"))
+    n_docs = tok_df.count()
+    doc_c = tok_df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    term_model = (
+        tc.join(class_tot, "label")
+        .select(
+            "label",
+            "term",
+            F.log(
+                (F.col("tf") + 1.0) / (F.col("tok_c") + F.lit(vocab))
+            ).alias("llik"),
+        )
+    )
+    class_model = (
+        doc_c.join(class_tot, "label")
+        .select(
+            "label",
+            F.log(F.col("n") / F.lit(float(n_docs))).alias("prior"),
+            F.log(1.0 / (F.col("tok_c") + F.lit(vocab))).alias("miss"),
+        )
+    )
+    return term_model, class_model
+
+
+def bayes_classify(
+    tok_df: DataFrame,
+    term_model: DataFrame,
+    class_model: DataFrame,
+    out_col: str = "class_s",
+) -> DataFrame:
+    """Score (docid, toks) against a bayes_train model and return
+    (docid, <out_col>, score) — argmax_c [prior_c + Σ_t llik(t|c) +
+    misses·miss_c]. Unseen terms take the class's smoothing penalty, so
+    every class scores every token (the Lucene classifier's behavior).
+
+    Both model frames are vocabulary/class-sized → broadcast; the corpus
+    shuffles once on docid for the per-(doc, class) sum. Ties (after
+    rounding to 6 decimals) break on the larger label (deterministic:
+    max over the (score, label) struct).
+    """
+    toks = tok_df.select("docid", F.explode("toks").alias("term"))
+    n_tok = tok_df.select(
+        "docid", F.size("toks").cast("double").alias("n_tok")
+    )
+    matched = (
+        toks.join(F.broadcast(term_model), "term")
+        .groupBy("docid", "label")
+        .agg(F.sum("llik").alias("s"), F.count(F.lit(1)).cast("double").alias("m"))
+    )
+    grid = n_tok.crossJoin(F.broadcast(class_model.select("label")))
+    scored = (
+        grid.join(matched, ["docid", "label"], "left")
+        .join(F.broadcast(class_model), "label")
+        .select(
+            "docid",
+            "label",
+            (
+                F.col("prior")
+                + F.coalesce(F.col("s"), F.lit(0.0))
+                + (F.col("n_tok") - F.coalesce(F.col("m"), F.lit(0.0)))
+                * F.col("miss")
+            ).alias("score"),
+        )
+    )
+    best = (
+        scored.withColumn("score", F.round("score", 6))
+        .groupBy("docid")
+        .agg(F.max(F.struct("score", F.col("label"))).alias("_b"))
+        .select(
+            "docid",
+            F.col("_b.label").alias(out_col),
+            F.col("_b.score").alias("score"),
+        )
+    )
+    return best.orderBy("docid")
+
+
+def classify_update_processor(
+    df: DataFrame,
+    train_toks: DataFrame,
+    id_col: str = "docid",
+    toks_col: str = "toks",
+    out_col: str = "class_s",
+) -> DataFrame:
+    """ClassificationUpdateProcessor as a chain stage: assign a class
+    field to each incoming doc from a model trained on already-indexed
+    docs (train_toks: docid, toks, label). Composes with apply_chain."""
+    tm, cm = bayes_train(train_toks)
+    toks = df.select(F.col(id_col).alias("docid"), F.col(toks_col).alias("toks"))
+    labeled = bayes_classify(toks, tm, cm, out_col=out_col)
+    return df.join(
+        labeled.select(F.col("docid").alias(id_col), out_col, "score"),
+        id_col,
+        "left",
+    )

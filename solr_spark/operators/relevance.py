@@ -302,3 +302,64 @@ def spell_collate(
         .orderBy(F.desc("hits"), F.asc("collation"))
         .limit(max_collations)
     )
+
+
+def word_break_suggest(
+    dict_df: "DataFrame", terms: list[str], min_df: int = 1
+) -> "DataFrame":
+    """WordBreakSolrSpellChecker (solr/core/src/java/org/apache/solr/
+    spelling/WordBreakSolrSpellChecker.java): suggest SPLITTING an
+    unknown query term into two dictionary words, and COMBINING an
+    adjacent query-term pair into one dictionary word.
+
+    `dict_df` is the vocabulary-sized (term, df) dictionary (the
+    prebuilt term_stats scan, or a docfreq aggregation). Candidates are
+    tiny (sum of term lengths split points + #adjacent pairs) and
+    BROADCAST against the dictionary — two broadcast hash joins for
+    splits, one for combines; the big side is never shuffled.
+
+    Returns (kind, original, suggestion, score_df) where score_df is
+    min(df_left, df_right) for splits (the reference ranks break
+    suggestions by their rarest part) and df for combines, ordered by
+    (kind, original, score_df desc, suggestion).
+    """
+    spark = dict_df.sparkSession
+    d = dict_df.select(
+        F.col("term").alias("_w"), F.col("df").cast("long").alias("_df")
+    ).where(F.col("_df") >= min_df)
+
+    splits = [
+        (t, t[:i], t[i:]) for t in terms for i in range(1, len(t))
+    ]
+    combines = [
+        (f"{a} {b}", a + b) for a, b in zip(terms, terms[1:])
+    ]
+    out = None
+    if splits:
+        sp = spark.createDataFrame(
+            splits, "original string, left string, right string"
+        )
+        lj = d.join(F.broadcast(sp), d._w == sp.left).select(
+            "original", "left", "right", F.col("_df").alias("df_l")
+        )
+        rj = d.join(F.broadcast(lj), d._w == lj.right).select(
+            "original",
+            F.concat_ws(" ", "left", "right").alias("suggestion"),
+            F.least("df_l", "_df").alias("score_df"),
+        )
+        out = rj.select(F.lit("break").alias("kind"), "original",
+                        "suggestion", "score_df")
+    if combines:
+        cb = spark.createDataFrame(combines, "original string, joined string")
+        cj = d.join(F.broadcast(cb), d._w == cb.joined).select(
+            F.lit("combine").alias("kind"),
+            "original",
+            F.col("joined").alias("suggestion"),
+            F.col("_df").alias("score_df"),
+        )
+        out = cj if out is None else out.unionByName(cj)
+    if out is None:
+        return spark.createDataFrame(
+            [], "kind string, original string, suggestion string, score_df long"
+        )
+    return out.orderBy("kind", "original", F.desc("score_df"), "suggestion")

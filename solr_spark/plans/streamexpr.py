@@ -33,7 +33,7 @@ Supported functions (one per reference stream class):
   tuple(k=v, ...) / echo("s")                            TupStream/EchoStream
   list(s1, s2, ...) / plist(s1, s2, ...)                 ListStream/ParallelListStream
   update(dest, stream) / daemon(update(...), ...)        UpdateStream/DaemonStream
-  eval(stream)                                           EvalStream
+  eval(stream) / executor(stream)                        EvalStream/ExecutorStream
 
 Metrics inside rollup: sum/avg/min/max(col), count(*).
 q= filters are conjunctive `field:value` pairs (+ bare `*:*`); ranges
@@ -486,6 +486,25 @@ def _eval(node, tables) -> DataFrame:
         if first is None:
             raise StreamExprError("eval(): inner stream is empty")
         return _eval(parse_expr(str(first["expr_s"])), tables)
+    if name == "executor":
+        # executor(<stream>[, threads=N]) — ExecutorStream.java: run
+        # EVERY tuple's expr_s expression (typically update(...) jobs)
+        # and emit one summary tuple per task. The expression strings are
+        # collected to the driver (the reference's task queue is likewise
+        # driver-side and bounded); each compiled job is a distributed
+        # Spark plan, and independent jobs run concurrently via the
+        # scheduler — threads= is accepted and ignored.
+        inner = _eval(node.args[0], tables)
+        rows = inner.select("expr_s").collect()
+        if not rows:
+            raise StreamExprError("executor(): inner stream is empty")
+        spark = inner.sparkSession
+        out = []
+        for r in rows:
+            expr_s = str(r["expr_s"])
+            res = _eval(parse_expr(expr_s), tables)
+            out.append((expr_s, int(res.count())))
+        return spark.createDataFrame(out, "expr_s string, rows long")
     raise StreamExprError(f"unknown stream function {name!r}")
 
 

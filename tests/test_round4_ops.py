@@ -1234,3 +1234,80 @@ def test_streamexpr_tranche3_let_update_eval(spark):
 
     with pytest.raises(StreamExprError):
         eval_expr("eval(search(x))", {"x": ex.where("1=0")}).collect()
+
+
+def test_streamexpr_executor(spark):
+    """executor(): every tuple's expr_s runs; update() side effects land
+    in the registry and the summary stream reports per-task row counts."""
+    from solr_spark.plans.streamexpr import eval_expr
+
+    t = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    jobs = spark.createDataFrame(
+        [('update(lo, search(t, q="k:[* TO 1]"))',),
+         ('update(hi, search(t, q="k:[2 TO *]"))',)],
+        "expr_s string",
+    )
+    tables = {"t": t, "jobs": jobs}
+    got = eval_expr("executor(search(jobs))", tables).collect()
+    assert sorted(r["rows"] for r in got) == [1, 1]  # update emits 1 summary row
+    assert tables["lo"].count() == 1 and tables["hi"].count() == 2
+
+
+def test_word_break_suggest(spark):
+    from solr_spark.operators.relevance import word_break_suggest
+
+    d = spark.createDataFrame(
+        [("spark", 10), ("hash", 8), ("data", 20), ("base", 5),
+         ("database", 3)],
+        "term string, df long",
+    )
+    got = word_break_suggest(d, ["sparkhash", "data", "base"]).collect()
+    rows = [(r["kind"], r["original"], r["suggestion"], r["score_df"]) for r in got]
+    assert ("break", "sparkhash", "spark hash", 8) in rows
+    assert ("combine", "data base", "database", 3) in rows
+    # dict words split into dict words also emit break suggestions only
+    # when both halves exist; 'data' halves don't
+    assert not [r for r in rows if r[1] == "data" and r[0] == "break"]
+    # min_df prunes the rare halves
+    assert word_break_suggest(d, ["sparkhash"], min_df=9).count() == 0
+    assert word_break_suggest(d, []).count() == 0
+
+
+def test_bayes_classifier_exact(spark):
+    """Multinomial NB with Laplace smoothing: hand-computed posterior on
+    a tiny corpus, unseen-term penalty applied, deterministic tie rule."""
+    import math
+
+    from solr_spark.operators.ml import bayes_classify, bayes_train
+
+    train = spark.createDataFrame(
+        [(0, ["spam", "buy", "buy"], "bad"),
+         (1, ["spam", "cash"], "bad"),
+         (2, ["meeting", "notes"], "good"),
+         (3, ["notes", "spark"], "good")],
+        "docid long, toks array<string>, label string",
+    )
+    tm, cm = bayes_train(train)
+    # V=6 distinct terms; class 'bad': 5 tokens, 'good': 4 tokens
+    llik = {(r["label"], r["term"]): r["llik"] for r in tm.collect()}
+    assert abs(llik[("bad", "buy")] - math.log(3 / 11)) < 1e-12
+    assert abs(llik[("good", "notes")] - math.log(3 / 10)) < 1e-12
+    cmrows = {r["label"]: (r["prior"], r["miss"]) for r in cm.collect()}
+    assert abs(cmrows["bad"][0] - math.log(0.5)) < 1e-12
+    assert abs(cmrows["bad"][1] - math.log(1 / 11)) < 1e-12
+
+    test = spark.createDataFrame(
+        [(10, ["buy", "cash"]), (11, ["notes", "unknownzz"])],
+        "docid long, toks array<string>",
+    )
+    got = {r["docid"]: r["class_s"] for r in bayes_classify(test, tm, cm).collect()}
+    assert got == {10: "bad", 11: "good"}
+
+    # processor form: joins the label back onto the incoming frame
+    from solr_spark.operators.ml import classify_update_processor
+
+    out = classify_update_processor(
+        test.withColumn("extra", F.lit("x")), train
+    )
+    assert {r["docid"]: r["class_s"] for r in out.collect()} == got
+    assert "extra" in out.columns
