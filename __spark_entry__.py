@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- term dictionary / relevance ---
     q["terms_top_df"] = lambda s, d: R.terms_component(_tok(s, d), limit=20)
+    q["terms_filtered"] = lambda s, d: R.terms_component(
+        _tok(s, d), limit=50, prefix="s", regex="^s[a-z]*[kt]$",
+        mincount=5, sort="index",
+    )
     q["significant_terms"] = lambda s, d: R.significant_terms(
         _tok(s, d), "spark", min_fg=3, limit=15
     )
@@ -1212,6 +1216,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ltr_fixed_rescore"] = ltr_fixed_entry
 
+    def ltr_feature_log_entry(s, d):
+        """[features] transformer: per-doc normalized feature values for
+        a managed-store LinearModel (MinMax + Standard normalizers, plus
+        an absent feature reading the 0.0 default)."""
+        model = {
+            "class": "org.apache.solr.ltr.model.LinearModel",
+            "features": [
+                {"name": "n_chars",
+                 "norm": {"class": "MinMaxNormalizer",
+                          "params": {"min": "0", "max": "5000"}}},
+                {"name": "doc_id",
+                 "norm": {"class": "StandardNormalizer",
+                          "params": {"avg": "250", "std": "100"}}},
+                {"name": "not_extracted"},
+            ],
+            "params": {"weights": {"n_chars": 1.0, "doc_id": 1.0,
+                                   "not_extracted": 1.0}},
+        }
+        docs = _docs(s, d).where(F.col("doc_id") < 200)
+        return (
+            ML.ltr_feature_log(model, docs)
+            .select("doc_id", "feat_n_chars", "feat_doc_id",
+                    "feat_not_extracted")
+            .orderBy("doc_id")
+        )
+
+    q["ltr_feature_log"] = ltr_feature_log_entry
+
     def ltr_trees_model_entry(s, d):
         """Solr LTR managed-store JSON scored as Columns: a
         MultipleAdditiveTrees ensemble + slack semantics
@@ -1398,6 +1430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["mlt_indexed"] = mlt_indexed
+
+    def mlt_interesting(s, d):
+        text = (
+            _docs(s, d).where(F.col("doc_id") == 0).select("text").head()["text"]
+        )
+        return R.mlt_interesting_terms(_gate_index(s, d), text, top_terms=5)
+
+    q["mlt_interesting_terms"] = mlt_interesting
 
     # --- block join / uniqueBlock (nested docs; orders=parents,
     # --- lineitem=children on the o_orderkey root) ---
@@ -2448,6 +2488,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c.c_mktsegment ORDER BY cnt DESC, value"""
 
     o["terms_top_df"] = G.terms_top_df_sql(20)
+    o["terms_filtered"] = f"""
+        WITH {_DOC_TOKS_SQL}, {_POST_SQL}
+        SELECT term, count(*) AS df FROM post
+        WHERE starts_with(term, 's') AND regexp_matches(term, '^s[a-z]*[kt]$')
+        GROUP BY term HAVING count(*) >= 5
+        ORDER BY term LIMIT 50"""
     o["significant_terms"] = G.significant_terms_sql("spark", 3, 15)
 
     o["facet_lang"] = """
@@ -3157,6 +3203,19 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                count(*) FILTER (event_id % 7 = 0)::BIGINT AS missing_cnt
         FROM events"""
     o["mlt_indexed"] = o["mlt_doc0"]
+    o["mlt_interesting_terms"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        postf AS (SELECT docid, term, count(*)::DOUBLE AS tf
+                  FROM (SELECT docid, unnest(toks) AS term FROM toks)
+                  GROUP BY docid, term),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM postf GROUP BY term)
+        SELECT postf.term AS term, postf.tf::INT AS tf, dfreq.df::INT AS df,
+               round(postf.tf * ln(1.0 + (n.n_docs - dfreq.df + 0.5)
+                                         / (dfreq.df + 0.5)), 6) AS boost
+        FROM postf JOIN dfreq USING (term) CROSS JOIN n
+        WHERE postf.docid = 0
+        ORDER BY boost DESC, term LIMIT 5"""
 
     # --- block join / uniqueBlock ---
     o["blockjoin_parents"] = """
@@ -3214,6 +3273,13 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                round(s4 + 0.002 * d.n_chars, 4) AS ltr_score
         FROM head JOIN documents d ON d.doc_id = head.docid
         ORDER BY ltr_score DESC, head.docid LIMIT 10"""
+
+    o["ltr_feature_log"] = """
+        SELECT doc_id,
+               round(n_chars / 5000.0, 6) AS feat_n_chars,
+               round((doc_id - 250.0) / 100.0, 6) AS feat_doc_id,
+               0.0 AS feat_not_extracted
+        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
 
     # --- function-query registry ---
     o["func_parsed_v2"] = """

@@ -80,7 +80,13 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     #: headline numbers) run REPEATS times; the best is reported and the
     #: raw list is kept in the JSON so a contended repeat is visible
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    spark = get_spark(f"bench_{cores}", cores=cores)
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "")
+    spark = get_spark(
+        f"bench_{cores}",
+        cores=cores,
+        # concurrent query jobs share the cluster fairly in query mode
+        extra_conf={"spark.scheduler.mode": "FAIR"} if mode == "query" else None,
+    )
     res: dict = out if out is not None else {}
     res["contention"] = _contention_markers()
     raw_builds: dict[str, list[float]] = {}
@@ -92,7 +98,56 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     corpus = synthesize_corpus(spark, n_docs, seed=42).persist()
     corpus.count()  # materialize generation outside the timed window
 
-    scaling_mode = os.environ.get("SPARK_GRAFT_BENCH_MODE") == "build"
+    scaling_mode = mode == "build"
+
+    if mode == "query":
+        # query-THROUGHPUT scaling mode (north rule: "query p50" at two
+        # cluster sizes): build once untimed, then drive the engine with
+        # a concurrent client pool — per-query latency is Amdahl-bound
+        # (few partitions per query), but query throughput should scale
+        # with cores because independent jobs pack the extra task slots.
+        from concurrent.futures import ThreadPoolExecutor
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        index = build_index(
+            spark, corpus, idx_dir,
+            num_buckets=16, salt_threshold=20000, num_salts=8,
+        )
+        jobs = []
+        for rep in range(int(os.environ.get("SPARK_GRAFT_QBATCH", "64"))):
+            name, qtext, k, qmode = QUERY_SET[rep % len(QUERY_SET)]
+            jobs.append((name, qtext, k, qmode))
+        for name, qtext, k, qmode in QUERY_SET:  # warm (plan + IO caches)
+            bm25_topk(index, qtext, k=k, mode=qmode).collect()
+        lat: list[float] = []
+
+        def one(job):
+            _, qtext, k, qmode = job
+            t0 = time.time()
+            bm25_topk(index, qtext, k=k, mode=qmode).collect()
+            return time.time() - t0
+
+        t_wall = time.time()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            lat = list(pool.map(one, jobs))
+        t_wall = time.time() - t_wall
+        lat.sort()
+        corpus.unpersist()
+        spark.stop()
+        res.update(
+            {
+                "metric": "bm25 query throughput qps (scaling mode)",
+                "value": round(t_wall, 3),
+                "unit": "sec",
+                "qps": round(len(jobs) / t_wall, 2),
+                "p50_s": round(lat[len(lat) // 2], 3),
+                "p90_s": round(lat[int(len(lat) * 0.9)], 3),
+                "n_queries": len(jobs),
+                "bench_docs": n_docs,
+                "cores": cores,
+            }
+        )
+        return res
 
     def timed_build(dirpath, name, **kw):
         reps = 1 if scaling_mode else repeats

@@ -33,11 +33,12 @@ def run_level(cores: int) -> dict:
     # cluster-size proxy: cores/8 separate executor JVMs x 8 cores each
     # (local-cluster) — per-executor heaps/GC + inter-process shuffle,
     # the faithful single-host stand-in for N vs 4N executors
+    mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "build")
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         SPARK_GRAFT_EXECUTORS=str(max(1, cores // 8)),
-        SPARK_GRAFT_BENCH_MODE="build",
+        SPARK_GRAFT_BENCH_MODE=mode,
         SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"),
     )
     cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "bench.py"]
@@ -72,18 +73,22 @@ def main() -> None:
             # own per-app blockmgr dirs on stop.
             runs[c].append(run_level(c))
             time.sleep(5)
-    best = {
-        c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()
-    }
+    key = (
+        "qps"
+        if os.environ.get("SPARK_GRAFT_SCALING_MODE", "build") == "query"
+        else "docs_per_sec"
+    )
+    best = {c: max(rs, key=lambda r: r[key]) for c, rs in runs.items()}
     lo, hi = LEVELS
-    thr = {c: best[c]["docs_per_sec"] for c in LEVELS}
+    thr = {c: best[c][key] for c in LEVELS}
     eff = (thr[hi] / thr[lo]) / (hi / lo)
     report = {
         "levels": best,
-        "all_docs_per_sec": {c: [r["docs_per_sec"] for r in rs] for c, rs in runs.items()},
-        "index_docs_per_sec": thr,
+        f"all_{key}": {c: [r[key] for r in rs] for c, rs in runs.items()},
+        f"index_{key}": thr,
         "scaling_efficiency": round(eff, 3),
         "repeats": REPEATS,
+        "mode": key,
     }
     print(json.dumps(report, indent=2))
 

@@ -517,3 +517,15 @@ def classify_update_processor(
         id_col,
         "left",
     )
+
+
+def ltr_feature_log(model: dict, df: DataFrame) -> DataFrame:
+    """The [features] transformer (solr/contrib/ltr
+    LTRFeatureLoggerTransformerFactory): per-doc extracted+normalized
+    feature values for every feature the model declares, appended as
+    `feat_<name>` columns. Pure column arithmetic on the candidate
+    frame — no shuffle, whole-stage codegen."""
+    out = df
+    for name, col in _ltr_features(model, df):
+        out = out.withColumn(f"feat_{name}", F.round(col, 6))
+    return out

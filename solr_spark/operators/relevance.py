@@ -23,15 +23,35 @@ def doc_freq_postings(tok_df: DataFrame) -> DataFrame:
     )
 
 
-def terms_component(tok_df: DataFrame, limit: int = 20) -> DataFrame:
-    """Top terms of the dictionary by doc frequency (df desc, term asc)."""
-    return (
-        doc_freq_postings(tok_df)
-        .groupBy("term")
+def terms_component(
+    tok_df: DataFrame,
+    limit: int = 20,
+    prefix: str | None = None,
+    regex: str | None = None,
+    mincount: int = 1,
+    sort: str = "count",
+) -> DataFrame:
+    """Terms component over the dictionary (TermsComponent.java request
+    params): terms.prefix / terms.regex restrict the dictionary scan
+    (they push into the aggregation's input — vocabulary-sized work
+    either way), terms.mincount floors df, terms.sort is 'count'
+    (df desc, term asc — the default) or 'index' (term asc)."""
+    post = doc_freq_postings(tok_df)
+    if prefix:
+        post = post.where(F.col("term").startswith(prefix))
+    if regex:
+        post = post.where(F.col("term").rlike(regex))
+    agg = (
+        post.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(limit)
+        .where(F.col("df") >= mincount)
     )
+    order = (
+        [F.asc("term")]
+        if sort == "index"
+        else [F.desc("df"), F.asc("term")]
+    )
+    return agg.orderBy(*order).limit(limit)
 
 
 def significant_terms(
@@ -363,3 +383,32 @@ def word_break_suggest(
             [], "kind string, original string, suggestion string, score_df long"
         )
     return out.orderBy("kind", "original", F.desc("score_df"), "suggestion")
+
+
+def mlt_interesting_terms(
+    index, doc_text: str, top_terms: int = 5
+) -> "DataFrame":
+    """MLT interestingTerms=details (MoreLikeThisHandler's
+    InterestingTerm list, solr/core/src/java/org/apache/solr/handler/
+    MoreLikeThisHandler.java): the tf·idf-ranked terms MLT would build
+    its query from, with their boosts. Same dictionary-seek shape as
+    more_like_this_indexed — driver analyzes ONE doc, df comes from the
+    prebuilt term_stats, zero corpus work."""
+    from solr_spark.functions.bm25 import idf_py
+
+    tfs: dict[str, int] = {}
+    for t in index.analyze(doc_text):
+        tfs[t] = tfs.get(t, 0) + 1
+    stats = index.term_stats_for(list(tfs))
+    n_docs = int(index.meta["n_docs"])
+    rows = sorted(
+        (
+            (t, int(tfs[t]), int(stats[t]["df"]),
+             round(tfs[t] * idf_py(int(stats[t]["df"]), n_docs), 6))
+            for t in stats
+        ),
+        key=lambda x: (-x[3], x[0]),
+    )[:top_terms]
+    return index.spark.createDataFrame(
+        rows, "term string, tf int, df int, boost double"
+    )
