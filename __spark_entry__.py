@@ -522,6 +522,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["n_name", "c_mktsegment"],
         limit=100,
     )
+    q["facet_pivot_stats"] = lambda s, d: FA.pivot_facet(
+        _t(s, d, "orders"),
+        ["o_orderpriority", "o_orderstatus"],
+        limit=100,
+        stats=[
+            dsum(F.col("o_totalprice"), "sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        ],
+    )
     q["stats_lineitem_price"] = lambda s, d: FA.stats_facet(
         _t(s, d, "lineitem"), "l_extendedprice"
     )
@@ -1438,6 +1448,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return R.mlt_interesting_terms(_gate_index(s, d), text, top_terms=5)
 
     q["mlt_interesting_terms"] = mlt_interesting
+
+    def bm25_explain_entry(s, d):
+        """debug=true score explanation: per-(doc, term) BM25 component
+        breakdown through the REAL engine (bucket-pruned postings +
+        docid IN pushdown), value-checked against a from-first-
+        principles SQL recomputation of tf/df/idf/SmallFloat norms."""
+        from solr_spark.query.engine import bm25_explain
+
+        return bm25_explain(
+            _gate_index(s, d), "table spark", [1, 2, 3, 7, 11]
+        )
+
+    q["bm25_explain"] = bm25_explain_entry
+
+    _BATCH_QUERIES = {
+        "a": "table spark",
+        "b": "hash join window",
+        "c": "merge sort",
+        "d": "table zzznotaterm",
+    }
+
+    def bm25_batch_entry(s, d):
+        """Bulk query execution: FOUR queries through ONE postings scan
+        (bm25_topk_batch — two shuffles total for the whole batch); the
+        per-(qid, docid) results carry the engine's exact scores."""
+        from solr_spark.query.engine import bm25_topk_batch
+
+        out = bm25_topk_batch(_gate_index(s, d), _BATCH_QUERIES, k=5)
+        return out.select(
+            "qid", "docid", F.round("score", 4).alias("score"), "rank"
+        ).orderBy("qid", "rank")
+
+    q["bm25_batch_queries"] = bm25_batch_entry
 
     # --- block join / uniqueBlock (nested docs; orders=parents,
     # --- lineitem=children on the o_orderkey root) ---
@@ -2595,6 +2638,13 @@ def oracle_sql() -> dict[str, str]:
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name, c_mktsegment
         ORDER BY cnt DESC, n_name, c_mktsegment LIMIT 100"""
+    o["facet_pivot_stats"] = f"""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+               {dsum_sql('o_totalprice')} AS sum_price,
+               round(avg(o_totalprice), 4) AS avg_price,
+               round(min(o_totalprice), 4) AS min_price
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY cnt DESC, o_orderpriority, o_orderstatus LIMIT 100"""
     o["stats_lineitem_price"] = f"""
         SELECT round(min(l_extendedprice), 4) AS min_v,
                round(max(l_extendedprice), 4) AS max_v,
@@ -3203,6 +3253,41 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                count(*) FILTER (event_id % 7 = 0)::BIGINT AS missing_cnt
         FROM events"""
     o["mlt_indexed"] = o["mlt_doc0"]
+    o["bm25_batch_queries"] = G.bm25_batch_sql(
+        {
+            "a": "table spark",
+            "b": "hash join window",
+            "c": "merge sort",
+            "d": "table zzznotaterm",
+        },
+        k=5,
+    )
+
+    o["bm25_explain"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        tf AS (SELECT docid, term, count(*)::BIGINT AS tf
+               FROM (SELECT docid, unnest(toks) AS term FROM toks)
+               WHERE term IN ('table', 'spark') GROUP BY docid, term),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+        dl AS (SELECT docid, list_max(list_filter(
+                 [{",".join(str(v) for v in _SF_TABLE)}],
+                 _v -> _v <= len(toks)))::BIGINT AS dl_q FROM toks),
+        avg_dl AS (SELECT sum(len(toks))::DOUBLE / count(*) AS avgdl FROM toks)
+        SELECT tf.docid, tf.term, 1.0 AS qtf, dfreq.df,
+               round(ln(1.0 + (n.n_docs - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5)), 6) AS idf,
+               tf.tf, dl.dl_q,
+               round(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl_q
+                     / avg_dl.avgdl)), 6) AS tf_part,
+               round(ln(1.0 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl_q
+                       / avg_dl.avgdl)), 6) AS contrib
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (docid)
+             CROSS JOIN n CROSS JOIN avg_dl
+        WHERE tf.docid IN (1, 2, 3, 7, 11)
+        ORDER BY tf.docid, tf.term"""
+
     o["mlt_interesting_terms"] = f"""
         WITH {_DOC_TOKS_SQL},
         postf AS (SELECT docid, term, count(*)::DOUBLE AS tf

@@ -132,6 +132,21 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
             lat = list(pool.map(one, jobs))
         t_wall = time.time() - t_wall
         lat.sort()
+
+        # batched formulation: the same workload as ONE distributed plan
+        # (bm25_topk_batch) — this is the path whose throughput should
+        # scale with cluster size; the concurrent-single-query pool above
+        # is driver-planning-bound by design and measures the p50 bar
+        from solr_spark.query.engine import bm25_topk_batch
+
+        batch_queries = {
+            f"q{i}": job[1] for i, job in enumerate(jobs)
+        }
+        bm25_topk_batch(index, batch_queries, k=10).count()  # warm
+        t_b = time.time()
+        bm25_topk_batch(index, batch_queries, k=10).collect()
+        t_b = time.time() - t_b
+
         corpus.unpersist()
         spark.stop()
         res.update(
@@ -142,6 +157,8 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
                 "qps": round(len(jobs) / t_wall, 2),
                 "p50_s": round(lat[len(lat) // 2], 3),
                 "p90_s": round(lat[int(len(lat) * 0.9)], 3),
+                "qps_batch": round(len(batch_queries) / t_b, 2),
+                "batch_wall_s": round(t_b, 3),
                 "n_queries": len(jobs),
                 "bench_docs": n_docs,
                 "cores": cores,

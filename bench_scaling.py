@@ -73,8 +73,10 @@ def main() -> None:
             # own per-app blockmgr dirs on stop.
             runs[c].append(run_level(c))
             time.sleep(5)
+    # query mode scales on the batched formulation (one distributed plan);
+    # the concurrent-pool qps is also recorded per level for the p50 view
     key = (
-        "qps"
+        "qps_batch"
         if os.environ.get("SPARK_GRAFT_SCALING_MODE", "build") == "query"
         else "docs_per_sec"
     )

@@ -207,11 +207,21 @@ def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
     return stacked.select("x.name", "x.cnt").orderBy("name")
 
 
-def pivot_facet(df: DataFrame, fields: list[str], limit: int = 100) -> DataFrame:
-    """Multi-level value combination counts (pivot facet, flattened)."""
+def pivot_facet(
+    df: DataFrame,
+    fields: list[str],
+    limit: int = 100,
+    stats: list[Column] | None = None,
+) -> DataFrame:
+    """Multi-level value combination counts (pivot facet, flattened).
+
+    `stats` attaches per-bucket stats columns to every pivot leaf — the
+    facet.pivot + stats.field coupling (PivotFacetProcessor computes the
+    StatsComponent per pivot constraint); here the extra aggregates ride
+    the SAME grouped pass, no second scan."""
     return (
         df.groupBy(*fields)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"), *(stats or []))
         .orderBy(F.desc("cnt"), *[F.asc(f) for f in fields])
         .limit(limit)
     )

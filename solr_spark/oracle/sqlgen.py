@@ -166,3 +166,69 @@ FROM fg JOIN bg USING (term) CROSS JOIN n
 WHERE fg.fg_df >= {min_fg}
 ORDER BY score DESC, fg.term LIMIT {limit}
 """
+
+
+def bm25_batch_sql(
+    queries: dict[str, str], k: int = 10, mode: str = "OR"
+) -> str:
+    """Twin of engine.bm25_topk_batch: a qid dimension over the shared
+    scored CTE — (qid, docid, score, rank) with the engine's
+    round(s,9)/docid tie-break."""
+    per_q = {qid: analyze_query(qt) for qid, qt in queries.items()}
+    qvals, nreq = [], []
+    all_terms = sorted({t for qs in per_q.values() for t in qs})
+    for qid, qterms in per_q.items():
+        if not qterms:
+            continue
+        for t, c in qterms.items():
+            qvals.append(f"('{qid}', '{t}', {float(c)})")
+        nreq.append(f"('{qid}', {len(qterms)})")
+    if not qvals:
+        return (
+            "SELECT '' AS qid, doc_id::BIGINT AS docid, 0.0::DOUBLE AS score,"
+            " 0::INT AS rank FROM documents WHERE false"
+        )
+    terms_in = ",".join(f"'{t}'" for t in all_terms)
+    # AND semantics: a query matches a doc only when EVERY analyzed term
+    # matches — a term absent from the corpus keeps nm < n_req for every
+    # doc, so the join-filter drops the query with no special casing
+    and_join = (
+        "JOIN nreq USING (qid) WHERE scored.nm = nreq.n"
+        if mode == "AND"
+        else ""
+    )
+    return f"""
+WITH {DOC_TOKS},
+meta AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(doclen)::DOUBLE / count(*) AS avgdl
+  FROM doclens
+),
+post AS (SELECT docid, unnest(toks) AS term FROM toks),
+tf AS (
+  SELECT docid, term, count(*)::DOUBLE AS tf FROM post
+  WHERE term IN ({terms_in}) GROUP BY docid, term
+),
+stats AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(qid, term, qtf) AS (VALUES {",".join(qvals)}),
+nreq(qid, n) AS (VALUES {",".join(nreq)}),
+scored AS (
+  SELECT q.qid, tf.docid,
+         sum(q.qtf * {idf_sql('stats.df', 'meta.n_docs')}
+             * {tf_part_sql('tf.tf', 'dl.dl_q', 'meta.avgdl')}) AS s,
+         count(*) AS nm
+  FROM tf
+  JOIN stats USING (term)
+  JOIN q USING (term)
+  JOIN doclens dl USING (docid)
+  CROSS JOIN meta
+  GROUP BY q.qid, tf.docid
+),
+rk AS (
+  SELECT qid, docid, s,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY round(s, 9) DESC, docid) AS rn
+  FROM scored {and_join}
+)
+SELECT qid, docid, round(s, 4) AS score, rn::INT AS rank
+FROM rk WHERE rn <= {k} ORDER BY qid, rn
+"""

@@ -229,3 +229,28 @@ def test_store_content_and_indexed_highlight(spark, corpus, tmp_path):
     )
     with pytest.raises(ValueError):
         highlight_indexed(plain, "jsonParser", k=5)
+
+
+def test_bm25_batch_matches_single(spark, index):
+    """bm25_topk_batch == per-query bm25_topk for every query in the
+    batch, OR and AND modes, including absent-term and empty queries."""
+    from solr_spark.query.engine import bm25_topk, bm25_topk_batch
+
+    queries = {
+        "q1": "return import",
+        "q2": "jsonParser bufferSize",
+        "q3": "zzznotaterm",
+        "q4": "return zzznotaterm",
+        "q5": "",
+    }
+    for mode in ("OR", "AND"):
+        batch = bm25_topk_batch(index, queries, k=7, mode=mode).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["qid"], []).append((r["docid"], round(r["score"], 9)))
+        for qid, qtext in queries.items():
+            want = [
+                (r["docid"], round(r["score"], 9))
+                for r in bm25_topk(index, qtext, k=7, mode=mode).collect()
+            ]
+            assert got.get(qid, []) == want, (mode, qid)
