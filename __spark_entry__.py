@@ -91,6 +91,50 @@ def _gate_index(spark, sf_dir):
     return idx
 
 
+def _gate_index_del(spark, sf_dir):
+    """Cached gate index with a delete_by_query APPLIED: docs matching
+    'table' are tombstoned in the liveDocs sidecar (stats keep their
+    build-time values — Lucene semantics). The end state is
+    deterministic and idempotent, so caching is safe."""
+    import hashlib
+    import os
+    import shutil
+
+    from solr_spark.index.builder import Index, build_index
+    from solr_spark.index.maintenance import delete_by_query
+    from solr_spark.sources.corpus import documents_as_corpus
+
+    key = ("del", sf_dir)
+    if key in _GATE_IDX:
+        return _GATE_IDX[key]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/solr_spark_gate/index_del_{tag}"
+    done = os.path.join(root, "_deletes_applied")
+    if not os.path.exists(done):
+        tmp = f"{root}.build_{os.getpid()}"
+        build_index(
+            spark,
+            documents_as_corpus(spark, sf_dir),
+            tmp,
+            num_buckets=8,
+            salt_threshold=200,
+            num_salts=4,
+        )
+        idx_tmp = Index.load(spark, tmp)
+        delete_by_query(idx_tmp, "table", mode="AND")
+        with open(os.path.join(tmp, "_deletes_applied"), "w") as f:
+            f.write("1")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            shutil.rmtree(root, ignore_errors=True)
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    idx = Index.load(spark, root)
+    _GATE_IDX[key] = idx
+    return idx
+
+
 def _gate_index_mf(spark, sf_dir):
     """Cached MULTI-FIELD gate index over documents (fields text + lang:
     per-field postings, tid = hash(field, term)) — lets edismax qf run
@@ -1481,6 +1525,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("qid", "rank")
 
     q["bm25_batch_queries"] = bm25_batch_entry
+
+    def delete_by_query_flow(s, d):
+        """deleteByQuery -> search: docs matching 'table' are tombstoned
+        (liveDocs sidecar); a 'spark hash' top-k over the same index
+        must exclude them while scoring with BUILD-TIME statistics
+        (Lucene: deleted docs count in df/maxDoc until merge)."""
+        from solr_spark.query.engine import bm25_topk
+
+        idx = _gate_index_del(s, d)
+        return (
+            bm25_topk(idx, "spark hash", k=10)
+            .select("docid", F.round("score", 4).alias("score"))
+        )
+
+    q["delete_by_query_flow"] = delete_by_query_flow
 
     # --- block join / uniqueBlock (nested docs; orders=parents,
     # --- lineitem=children on the o_orderkey root) ---
@@ -3262,6 +3321,14 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
         },
         k=5,
     )
+
+    o["delete_by_query_flow"] = f"""
+        WITH {scored_cte(['spark', 'hash'])}
+        SELECT docid, round(s, 4) AS score FROM scored
+        WHERE docid NOT IN (
+          SELECT docid FROM toks WHERE list_contains(toks, 'table')
+        )
+        ORDER BY round(s, 9) DESC, docid LIMIT 10"""
 
     o["bm25_explain"] = f"""
         WITH {_DOC_TOKS_SQL},

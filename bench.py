@@ -113,10 +113,27 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
             spark, corpus, idx_dir,
             num_buckets=16, salt_threshold=20000, num_salts=8,
         )
+        # DISTINCT query texts (head + rotating mid terms from the
+        # corpus vocabulary): duplicated texts would be collapsed by the
+        # engine's canonicalization and measure label-joins, not scoring
+        heads = ["return", "import", "self", "value", "data"]
+        mids = [
+            "bufferSize", "jsonParser", "httpClient", "parseInput",
+            "writeOutput", "maxRetries", "userName", "utf8Parser2",
+            "readFile", "toString", "hashCode", "getValue", "setValue",
+            "indexOf", "appendChild", "def", "class", "public", "static",
+            "void", "int", "string", "for", "while", "if", "else", "try",
+            "catch", "throw", "new", "null", "true", "false", "func",
+            "let", "const", "var", "struct", "impl", "match",
+        ]
         jobs = []
         for rep in range(int(os.environ.get("SPARK_GRAFT_QBATCH", "64"))):
-            name, qtext, k, qmode = QUERY_SET[rep % len(QUERY_SET)]
-            jobs.append((name, qtext, k, qmode))
+            # (rep%5, (rep//5)%40) is injective for rep < 200; beyond
+            # that a third term keeps every text distinct
+            qtext = f"{heads[rep % 5]} {mids[(rep // 5) % len(mids)]}"
+            if rep >= 200:
+                qtext += f" {mids[rep % len(mids)]}"
+            jobs.append((f"q{rep}", qtext, 10, "OR"))
         for name, qtext, k, qmode in QUERY_SET:  # warm (plan + IO caches)
             bm25_topk(index, qtext, k=k, mode=qmode).collect()
         lat: list[float] = []

@@ -233,6 +233,13 @@ class IndexPaths:
     def checkpoints(self):
         return os.path.join(self.root, "_checkpoints")
 
+    @property
+    def deletes(self):
+        # a snapshot-committed sidecar table of deleted docids — the
+        # liveDocs analogue (sources/snapshots.py gives the atomic
+        # append-commit the tlog delete path needs)
+        return os.path.join(self.root, "deletes")
+
 
 @dataclass
 class Index:
@@ -269,6 +276,39 @@ class Index:
         if self._ts_cache is None:
             self._ts_cache = self.spark.read.parquet(self.paths.term_stats).persist()
         return self._ts_cache
+
+    def has_deletes(self) -> bool:
+        """Cheap driver-side check (one small file read) — the no-delete
+        fast path adds ZERO plan nodes to queries."""
+        from solr_spark.sources.snapshots import current_version
+
+        return current_version(self.paths.deletes) > 0
+
+    def deleted_ids(self) -> DataFrame:
+        """Distinct deleted docids (the liveDocs complement). Sidecar-
+        sized: deletes accumulate between expunges, never corpus-sized
+        in steady state (Lucene's deleted-docs ratio triggers merges the
+        same way expunge_deletes is the operator's lever here)."""
+        from solr_spark.sources.snapshots import read as snap_read
+
+        return snap_read(self.spark, self.paths.deletes).select("docid").distinct()
+
+    def postings_live(self) -> DataFrame:
+        """Postings minus deleted docs. The deletes side broadcasts
+        (sidecar-sized); stats (n_docs/avgdl/df) deliberately keep their
+        build-time values — exactly Lucene's behavior with uncommitted
+        deletes (docFreq/maxDoc count deleted docs until segments
+        merge), which also keeps block-max upper bounds valid."""
+        p = self.postings()
+        if not self.has_deletes():
+            return p
+        return p.join(F.broadcast(self.deleted_ids()), "docid", "left_anti")
+
+    def docs_live(self) -> DataFrame:
+        d = self.docs()
+        if not self.has_deletes():
+            return d
+        return d.join(F.broadcast(self.deleted_ids()), "docid", "left_anti")
 
     def buckets_for(self, terms: list[str]) -> list[int]:
         b = self.meta["num_buckets"]

@@ -1,0 +1,227 @@
+"""Index maintenance: delete-by-query (liveDocs) + expungeDeletes.
+
+The reference deletes documents through the update log
+(solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java
+delete / deleteByQuery) and physically reclaims them when segments
+merge (forceMerge / expungeDeletes). The Spark shape:
+
+- deletes land in a snapshot-committed `deletes/` sidecar table of
+  docids (sources/snapshots.py: atomic manifest commit — a crash never
+  publishes a torn delete batch). Query paths exclude them via a
+  BROADCAST anti-join (`Index.postings_live`), and — faithful to
+  Lucene — corpus statistics keep their build-time values until the
+  index is compacted, so block-max metadata stays a valid upper bound.
+- `expunge_deletes` is the merge: rewrite postings/docs/positions
+  without the deleted rows (same bucketed layout), re-encode block-max
+  blocks from the live postings (single-field indexes; the salt layout
+  is a pure function of docid + the dictionary's head flags, so the
+  rebuild needs no staged state), refresh the dictionary's mtp/skips
+  columns, and clear the sidecar. Statistics stay build-time
+  (expungeDeletes semantics); a stats refresh is a rebuild —
+  `sources.snapshots.build_index_versioned` is that path.
+
+While deletes are pending, the pruned WAND path routes to the flat
+engine: WAND's metadata-seeded threshold T0 counts deleted docs, so a
+live doc below T0 could be wrongly pruned; the flat path's anti-join
+is exact at any delete ratio. expunge restores pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.index.builder import SKIPLIST_CAP, Index, _write_bucketed
+
+
+def delete_by_ids(index: Index, docids: list[int]) -> int:
+    """Mark docids deleted (idempotent; unknown ids are harmless).
+    Returns the number of NEWLY deleted ids."""
+    from solr_spark.sources.snapshots import publish
+
+    spark = index.spark
+    ids = sorted({int(d) for d in docids})
+    if not ids:
+        return 0
+    batch = spark.createDataFrame([(d,) for d in ids], "docid long")
+    if index.has_deletes():
+        batch = batch.join(
+            F.broadcast(index.deleted_ids()), "docid", "left_anti"
+        )
+    rows = [r["docid"] for r in batch.collect()]
+    if not rows:
+        return 0
+    publish(
+        index.paths.deletes,
+        spark.createDataFrame([(d,) for d in rows], "docid long"),
+        mode="append",
+    )
+    return len(rows)
+
+
+def delete_by_query(
+    index: Index, qtext: str, mode: str = "OR", field: str | None = None
+) -> int:
+    """deleteByQuery: every live doc matching the analyzed query joins
+    the deletes sidecar. Matching runs through the same postings scan as
+    search (bucket-pruned, term-pushed); only docids are collected —
+    the delete set is the result size, not the corpus."""
+    from solr_spark.query.engine import bm25_scores
+
+    matched = bm25_scores(index, qtext, mode=mode, field=field).select("docid")
+    if index.has_deletes():
+        matched = matched.join(
+            F.broadcast(index.deleted_ids()), "docid", "left_anti"
+        )
+    ids = [r["docid"] for r in matched.collect()]
+    return delete_by_ids(index, ids)
+
+
+def _swap_dir(new_dir: str, live_dir: str) -> None:
+    """Replace `live_dir` with `new_dir` via two renames (the window
+    without a live dir is between two metadata ops, not a data copy)."""
+    old = live_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live_dir, old)
+    os.rename(new_dir, live_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def expunge_deletes(index: Index) -> dict:
+    """Physically drop deleted docs (expungeDeletes / the merge step).
+
+    Compacts postings, docs and positions (anti-join + the original
+    bucketed layout), re-encodes blocks from the live postings and
+    refreshes the dictionary's block-max summary (single-field
+    indexes), then clears the deletes sidecar. Returns a report dict.
+
+    Multi-field indexes with blocks keep the sidecar instead of
+    re-encoding (the on-disk postings drop the fid ordinal the
+    per-field encoder needs — the same constraint as a resumed
+    multi-field build, builder.py:969-973); queries stay exact via the
+    flat path's anti-join.
+    """
+    spark = index.spark
+    paths = index.paths
+    report: dict = {"expunged": 0}
+    if not index.has_deletes():
+        return report
+    dele = index.deleted_ids().persist()
+    n_del = dele.count()
+    report["expunged"] = int(n_del)
+    num_buckets = int(index.meta["num_buckets"])
+
+    live_post = index.postings().join(F.broadcast(dele), "docid", "left_anti")
+    tmp_post = paths.postings + ".compact"
+    _write_bucketed(live_post, tmp_post, num_buckets, ("tid", "docid"))
+    _swap_dir(tmp_post, paths.postings)
+
+    live_docs = index.docs().join(F.broadcast(dele), "docid", "left_anti")
+    tmp_docs = paths.docs + ".compact"
+    live_docs.write.mode("overwrite").parquet(tmp_docs)
+    _swap_dir(tmp_docs, paths.docs)
+
+    if index.meta.get("has_positions") and os.path.isdir(paths.positions):
+        live_pos = index.positions().join(
+            F.broadcast(dele), "docid", "left_anti"
+        )
+        tmp_pos = paths.positions + ".compact"
+        _write_bucketed(live_pos, tmp_pos, num_buckets, ("tid", "docid", "pos"))
+        _swap_dir(tmp_pos, paths.positions)
+
+    multi_field = bool(index.meta.get("fields"))
+    if index.meta.get("has_blocks") and not multi_field:
+        _reencode_blocks(index)
+        report["blocks_reencoded"] = True
+    elif index.meta.get("has_blocks") and multi_field:
+        # keep the sidecar: the WAND guard keeps routing these queries
+        # through the exact flat path (see module docstring)
+        dele.unpersist()
+        report["sidecar_kept"] = True
+        return report
+
+    dele.unpersist()
+    shutil.rmtree(paths.deletes, ignore_errors=True)
+    index._ts_cache = None  # dictionary was rewritten (mtp/skips)
+    return report
+
+
+def _reencode_blocks(index: Index) -> None:
+    """Rebuild blocks + the dictionary's (mtp, skips) columns from the
+    COMPACTED postings — the head-term salt is pmod(docid, num_salts)
+    gated on the dictionary's is_head flag, so the encode layout is
+    reproducible with no staged build state."""
+    from pyspark.sql import Window
+
+    from solr_spark.index.blocks import BLOCK_SIZE, BLOCKS_SCHEMA, make_block_encoder
+
+    spark = index.spark
+    paths = index.paths
+    num_buckets = int(index.meta["num_buckets"])
+    num_salts = int(index.meta["num_salts"])
+    avgdl = float(index.meta["avgdl"])
+
+    ts = spark.read.parquet(paths.term_stats)
+    head_tids = ts.where(F.col("is_head")).select("tid").withColumn(
+        "_is_head", F.lit(True)
+    )
+    salted = (
+        spark.read.parquet(paths.postings)
+        .join(F.broadcast(head_tids), "tid", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_is_head").isNotNull(),
+                F.pmod(F.col("docid"), F.lit(num_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_is_head")
+    )
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sorted_post = salted.repartition(
+        shuffle_parts, "tid", "salt"
+    ).sortWithinPartitions("tid", "salt", "docid")
+    blocks = sorted_post.mapInPandas(
+        make_block_encoder(avgdl, BLOCK_SIZE), schema=BLOCKS_SCHEMA
+    )
+    tmp_blocks = paths.blocks + ".compact"
+    _write_bucketed(blocks, tmp_blocks, num_buckets, ("tid", "salt", "block_id"))
+    _swap_dir(tmp_blocks, paths.blocks)
+
+    # refresh the dictionary's folded block-max summary (same fold as
+    # the build: per-term global max tf_part + top-SKIPLIST_CAP skip
+    # pairs by min_tf_part)
+    bmeta = spark.read.parquet(paths.blocks).select(
+        "tid", "min_tf_part", F.col("n_docs").alias("nd"), "max_tf_part"
+    )
+    mtp = bmeta.groupBy("tid").agg(F.max("max_tf_part").alias("mtp"))
+    w = Window.partitionBy("tid").orderBy(F.desc("min_tf_part"), F.desc("nd"))
+    skips = (
+        bmeta.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= SKIPLIST_CAP)
+        .groupBy("tid")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("min_tf_part").alias("m"), F.col("nd"))
+                ),
+                asc=False,
+            ).alias("skips")
+        )
+    )
+    refreshed = (
+        ts.drop("mtp", "skips")
+        .join(mtp.join(skips, "tid"), "tid", "left")
+    )
+    tmp_ts = paths.term_stats + ".compact"
+    (
+        refreshed.repartition(max(1, num_buckets // 2), "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp_ts)
+    )
+    _swap_dir(tmp_ts, paths.term_stats)

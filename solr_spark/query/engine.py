@@ -85,7 +85,7 @@ def _scored_postings(
     )
     tids = [s["tid"] for s in stats.values()]
     postings = (
-        index.postings()
+        index.postings_live()  # liveDocs: deleted docs never score
         .where(F.col("bucket").isin(index.pbuckets_for(tids)))
         .where(F.col("tid").isin(tids))
     )
@@ -357,26 +357,46 @@ def bm25_topk_batch(
     else:
         avgdl = index.meta["avgdl"]
         stats = index.term_stats_for(all_terms)
-    qrel_rows, req_rows = [], []
+    # CANONICALIZE: real query logs are head-heavy — many qids analyze
+    # to the SAME term multiset, and each duplicate would otherwise pay
+    # the full postings fan-out (measured: 256 qids over 6 distinct
+    # texts exploded to 150M contrib rows; canonical scoring is 6/256
+    # of that). Score each distinct term multiset once under an int
+    # ordinal; every qid label joins back onto the k result rows.
+    canon_of: dict[str, int] = {}
+    canon_terms: list[dict[str, int]] = []
+    label_rows = []
     for qid, qterms in per_q.items():
+        key = tuple(sorted(qterms.items()))
+        cid = canon_of.get(key)
+        if cid is None:
+            cid = canon_of[key] = len(canon_terms)
+            canon_terms.append(qterms)
+        label_rows.append((cid, qid))
+    qrel_rows, req_rows = [], []
+    for cid, qterms in enumerate(canon_terms):
         present = [t for t in qterms if t in stats]
         if not qterms or (mode == "AND" and len(present) < len(qterms)):
             continue  # AND with an absent term matches nothing
         for t in present:
             s = stats[t]
             qrel_rows.append(
-                (qid, s["tid"], float(qterms[t]), idf_py(int(s["df"]), n_docs))
+                (cid, s["tid"], float(qterms[t]),
+                 idf_py(int(s["df"]), n_docs))
             )
-        req_rows.append((qid, len(present)))
+        req_rows.append((cid, len(present)))
     if not qrel_rows:
         return empty
     qrel = spark.createDataFrame(
-        qrel_rows, "qid string, tid long, qtf double, idf double"
+        qrel_rows, "qid int, tid long, qtf double, idf double"
     )
-    req = spark.createDataFrame(req_rows, "qid string, n_req int")
+    req = spark.createDataFrame(req_rows, "qid int, n_req int")
+    labels = spark.createDataFrame(
+        label_rows, "qid int, qid_label string"
+    )
     tids = sorted({r[1] for r in qrel_rows})
     postings = (
-        index.postings()
+        index.postings_live()
         .where(F.col("bucket").isin(index.pbuckets_for(tids)))
         .where(F.col("tid").isin(tids))
     )
@@ -403,6 +423,9 @@ def bm25_topk_batch(
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select("qid", "docid", "score", "rank")
+        .join(F.broadcast(labels), "qid")
+        .select(
+            F.col("qid_label").alias("qid"), "docid", "score", "rank"
+        )
         .orderBy("qid", "rank")
     )

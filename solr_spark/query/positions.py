@@ -372,7 +372,9 @@ def phrase_docids(
         freq = window_match_count(pos_cols, slop)
     else:
         freq = sloppy_match_count(pos_cols, slop, terms)
-    return (
-        joined.select("docid", freq.cast("int").alias("phrase_freq"))
-        .where(F.col("phrase_freq") > 0)
-    )
+    out = joined.select(
+        "docid", freq.cast("int").alias("phrase_freq")
+    ).where(F.col("phrase_freq") > 0)
+    if index.has_deletes():  # liveDocs: phrase hits on deleted docs drop
+        out = out.join(F.broadcast(index.deleted_ids()), "docid", "left_anti")
+    return out

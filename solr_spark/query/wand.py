@@ -257,6 +257,15 @@ def bm25_topk_wand(
     benchmarks to verify that pruning actually skips work. Debug mode
     runs extra count() jobs; the production path is ONE action.
     """
+    if index.has_deletes():
+        # pending deletes: the metadata-seeded threshold T0 counts
+        # deleted docs, so a live doc below T0 could be wrongly pruned
+        # — route to the flat path, whose liveDocs anti-join is exact at
+        # any delete ratio. expunge_deletes() restores pruning (it
+        # re-encodes the blocks from live postings).
+        if debug is not None:
+            debug["path"] = "flat_deletes"
+        return bm25_topk(index, qtext, k, mode, field=field)
     spark = index.spark
     qterms = analyze_query(qtext, index)
     empty = spark.createDataFrame([], "docid long, score double")

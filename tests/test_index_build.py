@@ -254,3 +254,67 @@ def test_bm25_batch_matches_single(spark, index):
                 for r in bm25_topk(index, qtext, k=7, mode=mode).collect()
             ]
             assert got.get(qid, []) == want, (mode, qid)
+
+
+def test_delete_by_query_and_expunge(spark, corpus, tmp_path):
+    """liveDocs contract: delete_by_query removes docs from every query
+    path (flat, WAND-guarded, phrase) while keeping build-time stats;
+    expunge_deletes compacts the segments, re-encodes blocks, clears the
+    sidecar, and the pruned path returns + agrees with flat."""
+    from solr_spark.index.maintenance import (
+        delete_by_ids, delete_by_query, expunge_deletes,
+    )
+    from solr_spark.query.engine import bm25_topk
+    from solr_spark.query.wand import bm25_topk_wand
+
+    out = str(tmp_path / "delidx")
+    idx = build_index(
+        spark, corpus, out, num_buckets=4, salt_threshold=100,
+        num_salts=4, build_blocks=True, build_positions=True,
+    )
+    before = [r["docid"] for r in bm25_topk(idx, "return import", k=10).collect()]
+    assert before
+    victims = before[:3]
+    n = delete_by_ids(idx, victims)
+    assert n == 3
+    assert delete_by_ids(idx, victims) == 0  # idempotent
+    assert idx.has_deletes()
+
+    after = [r["docid"] for r in bm25_topk(idx, "return import", k=10).collect()]
+    assert not set(victims) & set(after)
+    # WAND routes to the exact flat path under pending deletes
+    dbg = {}
+    wand = [r["docid"] for r in bm25_topk_wand(idx, "return import", k=10, debug=dbg).collect()]
+    assert dbg["path"] == "flat_deletes" and wand == after
+    # stats unchanged until expunge (Lucene semantics)
+    assert idx.meta["n_docs"] == corpus.count()
+
+    # phrase path excludes deleted docs
+    from solr_spark.query.positions import phrase_docids
+
+    ph_before = {r["docid"] for r in phrase_docids(idx, ["json", "parser"]).collect()}
+    if ph_before:
+        delete_by_ids(idx, [sorted(ph_before)[0]])
+        ph_after = {r["docid"] for r in phrase_docids(idx, ["json", "parser"]).collect()}
+        assert sorted(ph_before)[0] not in ph_after
+
+    # delete_by_query marks every matching doc
+    n_q = delete_by_query(idx, "jsonParser", mode="AND")
+    assert n_q > 0
+    assert bm25_topk(idx, "jsonParser", k=5, mode="AND").count() == 0
+
+    report = expunge_deletes(idx)
+    assert report["expunged"] >= 4 and report.get("blocks_reencoded")
+    assert not idx.has_deletes()
+    # postings physically compacted
+    deleted_all = set(victims)
+    post_ids = {r["docid"] for r in idx.postings().select("docid").distinct().collect()}
+    assert not deleted_all & post_ids
+    # pruned path is back and agrees with flat
+    dbg2 = {}
+    w2 = [(r["docid"], round(r["score"], 9))
+          for r in bm25_topk_wand(idx, "return import", k=10, debug=dbg2).collect()]
+    f2 = [(r["docid"], round(r["score"], 9))
+          for r in bm25_topk(idx, "return import", k=10).collect()]
+    assert dbg2.get("path") != "flat_deletes" and w2 == f2
+    assert w2 and not {d for d, _ in w2} & deleted_all
