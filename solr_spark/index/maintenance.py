@@ -82,10 +82,13 @@ def delete_by_query(
 
 def _swap_dir(new_dir: str, live_dir: str) -> None:
     """Replace `live_dir` with `new_dir` via two renames (the window
-    without a live dir is between two metadata ops, not a data copy)."""
+    without a live dir is between two metadata ops, not a data copy).
+    A missing live dir (first-time write, e.g. blocks on a fresh merged
+    index) is just a move into place."""
     old = live_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(live_dir, old)
+    if os.path.isdir(live_dir):
+        os.rename(live_dir, old)
     os.rename(new_dir, live_dir)
     shutil.rmtree(old, ignore_errors=True)
 
@@ -225,3 +228,116 @@ def _reencode_blocks(index: Index) -> None:
         .parquet(tmp_ts)
     )
     _swap_dir(tmp_ts, paths.term_stats)
+
+
+def merge_indexes(a: Index, b: Index, out_root: str) -> Index:
+    """MERGEINDEXES (solr CoreAdmin MergeIndexes action / Lucene
+    IndexWriter.addIndexes): combine two indexes built with the SAME
+    analyzer config into one, re-based docids (b's shift by a.n_docs)
+    and EXACTLY recomputed statistics — the merged index is
+    value-identical to an index built over the concatenated corpus
+    (asserted by the metamorphic test: merge(half1, half2) gives the
+    same BM25 results as build(whole)).
+
+    Scale shape: postings/docs/positions are UNIONS written back in the
+    original bucketed layout (one shuffle each, no corpus re-tokenize);
+    the dictionary is recomputed from a postings aggregation
+    (vocabulary-sized); blocks re-encode from the merged postings when
+    either input had them. tid = xxhash64(term) is content-derived, so
+    the two dictionaries agree by construction.
+
+    Pending deletes must be expunged first (deleted docs would leak
+    through the union); multi-field indexes are not supported (their
+    on-disk postings drop the fid ordinal the per-field block encoder
+    needs — same constraint as expunge)."""
+    import json
+
+    spark = a.spark
+    for side in (a, b):
+        if side.meta.get("fields"):
+            raise ValueError("merge_indexes: multi-field indexes unsupported")
+        if side.has_deletes():
+            raise ValueError("merge_indexes: expunge_deletes first")
+    for key in ("stopwords", "synonyms", "analyzer"):
+        if a.meta.get(key) != b.meta.get(key):
+            raise ValueError(f"merge_indexes: analyzer config differs ({key})")
+    from solr_spark.index.builder import Index as _Index
+    from solr_spark.index.builder import IndexPaths, bucket_of_col
+
+    paths = IndexPaths(out_root)
+    os.makedirs(out_root, exist_ok=True)
+    num_buckets = int(a.meta["num_buckets"])
+    salt_threshold = int(a.meta["salt_threshold"])
+    offset = int(a.meta["n_docs"])
+
+    def shifted(df: DataFrame) -> DataFrame:
+        return df.withColumn("docid", F.col("docid") + F.lit(offset))
+
+    merged_post = a.postings().unionByName(shifted(b.postings()))
+    _write_bucketed(merged_post, paths.postings, num_buckets, ("tid", "docid"))
+
+    a.docs().unionByName(shifted(b.docs())).write.mode("overwrite").parquet(
+        paths.docs
+    )
+
+    has_positions = bool(
+        a.meta.get("has_positions") and b.meta.get("has_positions")
+    )
+    if has_positions:
+        _write_bucketed(
+            a.positions().unionByName(shifted(b.positions())),
+            paths.positions, num_buckets, ("tid", "docid", "pos"),
+        )
+
+    # dictionary: exact df/cttf from the merged postings; term strings
+    # from the union of the input dictionaries (tid-keyed)
+    post = spark.read.parquet(paths.postings)
+    agg = post.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cttf")
+    )
+    terms = (
+        a.term_stats().select("tid", "term")
+        .unionByName(b.term_stats().select("tid", "term"))
+        .distinct()
+    )
+    ts = (
+        agg.join(terms, "tid")
+        .withColumn("is_head", F.col("df") > F.lit(salt_threshold))
+        .withColumn("bucket", bucket_of_col("term", num_buckets))
+        .withColumn("mtp", F.lit(None).cast("double"))
+        .withColumn("skips", F.lit(None).cast("array<struct<m:double,nd:int>>"))
+    )
+    (
+        ts.repartition(max(1, num_buckets // 2), "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(paths.term_stats)
+    )
+
+    docs_stats = spark.read.parquet(paths.docs).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+    ).collect()[0]
+    meta = dict(a.meta)
+    meta.update(
+        {
+            "n_docs": int(docs_stats["n"]),
+            "avgdl": float(docs_stats["avgdl"]),
+            "num_chunks": 1,
+            "has_positions": has_positions,
+            "has_blocks": False,
+            "merged_from": [a.paths.root, b.paths.root],
+        }
+    )
+    meta.pop("build_seconds", None)
+    with open(paths.meta, "w") as f:
+        json.dump(meta, f, indent=2)
+    out = _Index(spark, paths, meta)
+    if a.meta.get("has_blocks") or b.meta.get("has_blocks"):
+        _reencode_blocks(out)
+        meta["has_blocks"] = True
+        with open(paths.meta, "w") as f:
+            json.dump(meta, f, indent=2)
+        out.meta = meta
+        out._ts_cache = None
+    return out

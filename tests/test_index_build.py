@@ -318,3 +318,59 @@ def test_delete_by_query_and_expunge(spark, corpus, tmp_path):
           for r in bm25_topk(idx, "return import", k=10).collect()]
     assert dbg2.get("path") != "flat_deletes" and w2 == f2
     assert w2 and not {d for d, _ in w2} & deleted_all
+
+
+def test_merge_indexes_equals_whole_build(spark, tmp_path):
+    """Metamorphic: build over each half of a corpus, merge — BM25
+    results (flat AND pruned) must match the single whole-corpus build
+    exactly; positions-backed phrase matching survives the docid
+    re-base."""
+    from solr_spark.index.maintenance import merge_indexes
+    from solr_spark.query.engine import bm25_topk
+    from solr_spark.query.positions import phrase_docids
+    from solr_spark.query.wand import bm25_topk_wand
+
+    whole = synthesize_corpus(spark, 240, seed=9, partitions=4).persist()
+    rows = whole.orderBy("repo", "path", "commit").collect()
+    half1 = spark.createDataFrame(rows[:120], whole.schema)
+    half2 = spark.createDataFrame(rows[120:], whole.schema)
+    kw = dict(num_buckets=4, salt_threshold=80, num_salts=4,
+              build_blocks=True, build_positions=True)
+    # docid assignment sorts deterministically; building from the same
+    # global order keeps half docids == whole docids (offset re-base)
+    full = build_index(spark, whole, str(tmp_path / "full"), **kw)
+    ia = build_index(spark, half1, str(tmp_path / "a"), **kw)
+    ib = build_index(spark, half2, str(tmp_path / "b"), **kw)
+    merged = merge_indexes(ia, ib, str(tmp_path / "m"))
+
+    assert merged.meta["n_docs"] == full.meta["n_docs"]
+    assert abs(merged.meta["avgdl"] - full.meta["avgdl"]) < 1e-9
+
+    for q in ("return import", "jsonParser bufferSize", "return"):
+        want = [(r["docid"], round(r["score"], 9))
+                for r in bm25_topk(full, q, k=12).collect()]
+        got = [(r["docid"], round(r["score"], 9))
+               for r in bm25_topk(merged, q, k=12).collect()]
+        assert got == want, q
+        gotw = [(r["docid"], round(r["score"], 9))
+                for r in bm25_topk_wand(merged, q, k=12).collect()]
+        assert gotw == want, ("wand", q)
+
+    ph_full = sorted(
+        (r["docid"], r["phrase_freq"])
+        for r in phrase_docids(full, ["json", "parser"]).collect()
+    )
+    ph_m = sorted(
+        (r["docid"], r["phrase_freq"])
+        for r in phrase_docids(merged, ["json", "parser"]).collect()
+    )
+    assert ph_m == ph_full
+
+    # guards: mismatched analyzer config and pending deletes refuse
+    import pytest as _pytest
+
+    from solr_spark.index.maintenance import delete_by_ids
+
+    delete_by_ids(ia, [0])
+    with _pytest.raises(ValueError, match="expunge"):
+        merge_indexes(ia, ib, str(tmp_path / "m2"))
