@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_source_min20"] = lambda s, d: FA.terms_facet(
         _docs(s, d), "source", limit=50, mincount=20
     )
+    q["facet_source_prefix"] = lambda s, d: FA.terms_facet(
+        _docs(s, d), "source", limit=50, prefix="src1", sort_by_count=False
+    )
     q["facet_range_events"] = lambda s, d: FA.range_facet(
         _t(s, d, "events"), "value", 0.0, 500.0, 50.0
     )
@@ -2605,6 +2608,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT source AS value, count(*) AS cnt FROM documents
         GROUP BY source HAVING count(*) >= 20
         ORDER BY cnt DESC, value LIMIT 50"""
+    o["facet_source_prefix"] = """
+        SELECT source AS value, count(*) AS cnt FROM documents
+        WHERE starts_with(source, 'src1')
+        GROUP BY source ORDER BY value LIMIT 50"""
     o["facet_range_events"] = """
         SELECT 0.0 + floor((value - 0.0) / 50.0) * 50.0 AS bucket_start,
                count(*) AS cnt

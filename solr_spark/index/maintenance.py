@@ -341,3 +341,50 @@ def merge_indexes(a: Index, b: Index, out_root: str) -> Index:
         out.meta = meta
         out._ts_cache = None
     return out
+
+
+def backup_index(index: Index, backup_root: str, name: str) -> str:
+    """Snapshot backup (the replication handler's backup command,
+    solr/core/src/java/org/apache/solr/handler/ReplicationHandler.java
+    CMD_BACKUP / SnapShooter): copy the index's committed artifacts
+    into `backup_root/name` — parquet files are immutable once
+    published, so a file-level copy IS a consistent snapshot as long as
+    no maintenance op (expunge/merge swap) runs concurrently, the same
+    caveat as the reference's snapshot-while-committing rule. Pending
+    deletes travel with the backup (the sidecar is part of the index
+    state). Returns the backup path."""
+    dest = os.path.join(backup_root, name)
+    if os.path.exists(dest):
+        raise FileExistsError(f"backup {name!r} already exists in {backup_root}")
+    os.makedirs(backup_root, exist_ok=True)
+    src = index.paths.root
+    tmp = dest + ".inprogress"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for entry in os.listdir(src):
+        s = os.path.join(src, entry)
+        if entry == "stage" or entry.endswith((".old", ".compact", ".inprogress")):
+            continue
+        if os.path.isdir(s):
+            shutil.copytree(s, os.path.join(tmp, entry))
+        else:
+            shutil.copy2(s, os.path.join(tmp, entry))
+    os.rename(tmp, dest)  # atomic publish of the finished backup
+    return dest
+
+
+def restore_index(spark, backup_path: str, restore_root: str) -> Index:
+    """Restore a backup into a NEW index root (CMD_RESTORE) and return
+    the loaded handle. The restore target must not exist — restores
+    never overwrite a live index (publish via sources.snapshots for
+    atomic switch-over semantics)."""
+    if os.path.exists(restore_root):
+        raise FileExistsError(f"restore target {restore_root!r} exists")
+    if not os.path.exists(os.path.join(backup_path, "meta.json")):
+        raise FileNotFoundError(f"no index backup at {backup_path!r}")
+    os.makedirs(os.path.dirname(restore_root) or ".", exist_ok=True)
+    tmp = restore_root + ".inprogress"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(backup_path, tmp)
+    os.rename(tmp, restore_root)
+    return Index.load(spark, restore_root)

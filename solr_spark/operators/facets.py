@@ -29,8 +29,15 @@ def terms_facet(
     limit: int = 10,
     mincount: int = 1,
     sort_by_count: bool = True,
+    prefix: str | None = None,
 ) -> DataFrame:
-    """Value -> count buckets, top-`limit` (count desc, value asc)."""
+    """Value -> count buckets, top-`limit` (count desc, value asc).
+
+    `prefix` restricts buckets to values with that prefix (the JSON
+    Facet API's terms `prefix` param) — pushed BELOW the aggregation so
+    the filter reaches the scan."""
+    if prefix is not None:
+        df = df.where(F.col(field).startswith(prefix))
     out = df.groupBy(F.col(field).alias("value")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

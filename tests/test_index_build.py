@@ -374,3 +374,44 @@ def test_merge_indexes_equals_whole_build(spark, tmp_path):
     delete_by_ids(ia, [0])
     with _pytest.raises(ValueError, match="expunge"):
         merge_indexes(ia, ib, str(tmp_path / "m2"))
+
+
+def test_backup_restore_roundtrip(spark, corpus, index, tmp_path):
+    """Backup -> restore into a new root -> identical query results;
+    pending deletes travel with the backup; restore refuses to
+    overwrite."""
+    from solr_spark.index.maintenance import (
+        backup_index, delete_by_ids, restore_index,
+    )
+    from solr_spark.query.engine import bm25_topk
+
+    want = [(r["docid"], round(r["score"], 9))
+            for r in bm25_topk(index, "return import", k=8).collect()]
+    bpath = backup_index(index, str(tmp_path / "backups"), "snap1")
+    restored = restore_index(spark, bpath, str(tmp_path / "restored"))
+    got = [(r["docid"], round(r["score"], 9))
+           for r in bm25_topk(restored, "return import", k=8).collect()]
+    assert got == want
+
+    # deletes on the RESTORED copy don't touch the original
+    delete_by_ids(restored, [want[0][0]])
+    got2 = [r["docid"] for r in bm25_topk(restored, "return import", k=8).collect()]
+    assert want[0][0] not in got2
+    still = [(r["docid"], round(r["score"], 9))
+             for r in bm25_topk(index, "return import", k=8).collect()]
+    assert still == want
+
+    # a backup taken WITH pending deletes carries them
+    b2 = backup_index(restored, str(tmp_path / "backups"), "snap2")
+    r2 = restore_index(spark, b2, str(tmp_path / "restored2"))
+    assert r2.has_deletes()
+    assert want[0][0] not in [
+        r["docid"] for r in bm25_topk(r2, "return import", k=8).collect()
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        backup_index(index, str(tmp_path / "backups"), "snap1")
+    with _pytest.raises(FileExistsError):
+        restore_index(spark, bpath, str(tmp_path / "restored"))
