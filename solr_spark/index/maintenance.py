@@ -388,3 +388,44 @@ def restore_index(spark, backup_path: str, restore_root: str) -> Index:
     shutil.copytree(backup_path, tmp)
     os.rename(tmp, restore_root)
     return Index.load(spark, restore_root)
+
+
+def add_documents(index: Index, corpus: DataFrame, out_root: str) -> Index:
+    """Incremental indexing: the add-docs-then-commit flow
+    (DirectUpdateHandler2.addDoc + commit opens a searcher over old and
+    new segments). Builds a DELTA index over just the new corpus rows —
+    tokenize/invert cost is proportional to the delta, never the
+    existing index — with the parent's exact analyzer config and layout
+    knobs, then merges (merge_indexes) into `out_root` with re-based
+    docids and exactly recomputed statistics. The parent index is
+    untouched (commit-switch via sources.snapshots keeps readers on it
+    until the new root is published).
+
+    New (repo, path, commit) keys must not collide with existing docs —
+    updates go through delete_by_query + add (the reference's
+    overwrite-by-uniqueKey is likewise delete+add at the segment level).
+    """
+    from solr_spark.index.builder import build_index
+
+    if index.meta.get("fields"):
+        raise ValueError("add_documents: multi-field indexes unsupported")
+    delta_root = out_root + ".delta"
+    shutil.rmtree(delta_root, ignore_errors=True)
+    m = index.meta
+    delta = build_index(
+        index.spark,
+        corpus,
+        delta_root,
+        num_buckets=int(m["num_buckets"]),
+        salt_threshold=int(m["salt_threshold"]),
+        num_salts=int(m["num_salts"]),
+        build_blocks=bool(m.get("has_blocks")),
+        build_positions=bool(m.get("has_positions")),
+        stopwords=m.get("stopwords"),
+        synonyms=m.get("synonyms"),
+        analyzer=m.get("analyzer"),
+    )
+    try:
+        return merge_indexes(index, delta, out_root)
+    finally:
+        shutil.rmtree(delta_root, ignore_errors=True)

@@ -415,3 +415,28 @@ def test_backup_restore_roundtrip(spark, corpus, index, tmp_path):
         backup_index(index, str(tmp_path / "backups"), "snap1")
     with _pytest.raises(FileExistsError):
         restore_index(spark, bpath, str(tmp_path / "restored"))
+
+
+def test_add_documents_incremental(spark, tmp_path):
+    """add_documents(delta) over a prefix build == one whole build —
+    the incremental-commit metamorphic check."""
+    from solr_spark.index.maintenance import add_documents
+    from solr_spark.query.engine import bm25_topk
+
+    whole = synthesize_corpus(spark, 200, seed=5, partitions=4).persist()
+    rows = whole.orderBy("repo", "path", "commit").collect()
+    base_c = spark.createDataFrame(rows[:140], whole.schema)
+    delta_c = spark.createDataFrame(rows[140:], whole.schema)
+    kw = dict(num_buckets=4, salt_threshold=80, num_salts=4, build_blocks=True)
+    full = build_index(spark, whole, str(tmp_path / "w"), **kw)
+    base = build_index(spark, base_c, str(tmp_path / "base"), **kw)
+    grown = add_documents(base, delta_c, str(tmp_path / "grown"))
+    assert grown.meta["n_docs"] == 200
+    for q in ("return import", "jsonParser"):
+        want = [(r["docid"], round(r["score"], 9))
+                for r in bm25_topk(full, q, k=10).collect()]
+        got = [(r["docid"], round(r["score"], 9))
+               for r in bm25_topk(grown, q, k=10).collect()]
+        assert got == want, q
+    # parent untouched
+    assert base.meta["n_docs"] == 140 and base.postings().count() > 0
