@@ -429,3 +429,29 @@ def add_documents(index: Index, corpus: DataFrame, out_root: str) -> Index:
         return merge_indexes(index, delta, out_root)
     finally:
         shutil.rmtree(delta_root, ignore_errors=True)
+
+
+def upsert_documents(index: Index, corpus: DataFrame, out_root: str) -> Index:
+    """Overwrite-by-uniqueKey (the reference's default add semantics:
+    DirectUpdateHandler2.addDoc deletes the previous version of the
+    uniqueKey then adds): rows in `corpus` whose (repo, path, commit)
+    key already exists REPLACE the old docs; new keys append.
+
+    Shape: one broadcast-friendly join of the delta's keys against the
+    docs table finds the colliding docids (delta-sized work), they're
+    tombstoned + expunged, then add_documents merges the delta in. The
+    returned index lives at `out_root`; the parent is left expunged but
+    otherwise intact."""
+    from solr_spark.index.builder import DOC_KEY
+
+    keys = corpus.select(*DOC_KEY).distinct()
+    colliding = (
+        index.docs()
+        .join(F.broadcast(keys), list(DOC_KEY), "left_semi")
+        .select("docid")
+    )
+    ids = [r["docid"] for r in colliding.collect()]
+    if ids:
+        delete_by_ids(index, ids)
+        expunge_deletes(index)
+    return add_documents(index, corpus, out_root)
