@@ -773,3 +773,43 @@ def dynamic_field_types(
                 out = out.withColumn(c, F.col(c).try_cast(t))
                 break
     return out, chosen
+
+
+def time_routed_write(
+    df: DataFrame,
+    root: str,
+    ts_col: str,
+    gap: str = "month",
+    category_col: str | None = None,
+) -> None:
+    """TimeRoutedAlias / CategoryRoutedAlias routing
+    (solr/core/src/java/org/apache/solr/cloud/api/collections/
+    TimeRoutedAlias.java): documents land in the collection for their
+    timestamp bucket (+ optional category). Spark shape: ONE write
+    partitioned by the derived `_route_` column(s) — readers filtering
+    on the bucket get partition pruning, the exact benefit the alias
+    machinery buys the reference (queries against a time window only
+    touch that window's collections)."""
+    bucket = F.date_format(
+        F.date_trunc(gap, F.col(ts_col)), "yyyy-MM-dd"
+    ).alias("_route_")
+    out = df.withColumn("_route_", bucket)
+    parts = ["_route_"]
+    if category_col:
+        out = out.withColumn("_route_cat_", F.col(category_col))
+        parts.append("_route_cat_")
+    out.write.mode("overwrite").partitionBy(*parts).parquet(root)
+
+
+def time_routed_read(
+    spark, root: str, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    """Read back a time-routed table; [start, end) prune to the routed
+    partitions (verify with .explain: the `_route_` filters appear as
+    PartitionFilters, not data filters)."""
+    df = spark.read.parquet(root)
+    if start:
+        df = df.where(F.col("_route_") >= start)
+    if end:
+        df = df.where(F.col("_route_") < end)
+    return df

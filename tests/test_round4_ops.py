@@ -1311,3 +1311,37 @@ def test_bayes_classifier_exact(spark):
     )
     assert {r["docid"]: r["class_s"] for r in out.collect()} == got
     assert "extra" in out.columns
+
+
+def test_time_routed_alias_write_read(spark, tmp_path):
+    """TimeRoutedAlias: writes land in time buckets, a window read
+    prunes partitions (PartitionFilters in the plan), and category
+    routing composes."""
+    from solr_spark.operators.updateproc import (
+        time_routed_read, time_routed_write,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"2021-{1 + i % 6:02d}-15 00:00:00",
+          "a" if (i // 6) % 2 else "b")
+         for i in range(60)],
+        "id long, ts string, cat string",
+    ).selectExpr("id", "cast(ts as timestamp) ts", "cat")
+    root = str(tmp_path / "tra")
+    time_routed_write(df, root, "ts", gap="month", category_col="cat")
+
+    got = time_routed_read(spark, root, start="2021-02-01", end="2021-04-01")
+    assert got.count() == 20  # two of six monthly buckets
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_route_" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    import os
+
+    buckets = sorted(
+        d for d in os.listdir(root) if d.startswith("_route_=")
+    )
+    assert len(buckets) == 6
+    cats = os.listdir(os.path.join(root, buckets[0]))
+    assert sorted(c for c in cats if c.startswith("_route_cat_=")) == [
+        "_route_cat_=a", "_route_cat_=b",
+    ]
