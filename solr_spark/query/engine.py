@@ -190,7 +190,10 @@ def realtime_get(
     """
     from pyspark.sql.window import Window
 
-    committed = index.docs().where(F.col("docid").isin(list(docids)))
+    # docs_live: a docid tombstoned in the deletes sidecar is gone from
+    # /get too (unless the tlog re-adds it below — same as the reference,
+    # where a post-delete update makes the doc visible again)
+    committed = index.docs_live().where(F.col("docid").isin(list(docids)))
     if tlog is None:
         return committed.orderBy("docid")
     fields = [c for c in committed.columns if c != "docid"]

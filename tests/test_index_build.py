@@ -485,3 +485,23 @@ def test_upsert_documents_overwrites_by_key(spark, tmp_path):
             for r in bm25_topk(up, q, k=15, with_payload=True).collect()
         )
         assert got == want, q
+
+
+def test_realtime_get_respects_deletes(spark, corpus, tmp_path):
+    from solr_spark.index.maintenance import delete_by_ids
+    from solr_spark.query.engine import realtime_get
+
+    out = str(tmp_path / "rtgdel")
+    idx = build_index(spark, corpus, out, num_buckets=4, salt_threshold=100)
+    assert realtime_get(idx, [1, 2, 3]).count() == 3
+    delete_by_ids(idx, [2])
+    assert [r["docid"] for r in realtime_get(idx, [1, 2, 3]).collect()] == [1, 3]
+    # a tlog re-add makes the doc visible again (overlay wins); the tlog
+    # row carries the doc's payload fields like a real update would
+    tlog = (
+        idx.docs()
+        .where(F.col("docid") == 2)
+        .withColumn("_version_", F.lit(99).cast("long"))
+    )
+    got = realtime_get(idx, [1, 2, 3], tlog=tlog)
+    assert sorted(r["docid"] for r in got.collect()) == [1, 2, 3]
