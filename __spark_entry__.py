@@ -1544,6 +1544,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["delete_by_query_flow"] = delete_by_query_flow
 
+    def sessionize_events(s, d):
+        """Gap-based sessionization (45-min gap) over events — one user
+        shuffle, session id = running count of gap breaks inside the
+        same window partition; the streaming twin
+        (sessions.sessionize_stream) is the applyInPandasWithState
+        custom stateful operator, equivalence-tested in pytest."""
+        from solr_spark.streaming.sessions import sessionize
+
+        return sessionize(_t(s, d, "events"), gap_minutes=45).select(
+            "user_id", "session_id", "n_events", "sum_value"
+        )
+
+    q["sessionize_events"] = sessionize_events
+
     # --- block join / uniqueBlock (nested docs; orders=parents,
     # --- lineitem=children on the o_orderkey root) ---
     def blockjoin_parents(s, d):
@@ -3328,6 +3342,13 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
         },
         k=5,
     )
+
+    from solr_spark.streaming.sessions import sessionize_sql
+
+    _sess = sessionize_sql(gap_minutes=45)
+    o["sessionize_events"] = f"""
+        SELECT user_id, session_id, n_events, sum_value
+        FROM ({_sess}) ORDER BY user_id, session_id"""
 
     o["delete_by_query_flow"] = f"""
         WITH {scored_cte(['spark', 'hash'])}

@@ -84,3 +84,74 @@ def test_windowed_counts_plan(spark, tmp_path):
     got = spark.read.parquet(out) if os.listdir(out) else None
     if got is not None and got.count():
         assert {"window_start", "event_type", "cnt"} <= set(got.columns)
+
+
+def test_sessionize_batch_vs_duckdb(spark, sf_dir):
+    import duckdb
+
+    from solr_spark.streaming.sessions import sessionize, sessionize_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sessionize(ev, gap_minutes=45).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(sessionize_sql(gap_minutes=45)).fetchall()
+    assert len(got) == len(want)
+    g = [(r["user_id"], r["session_id"], r["n_events"], r["sum_value"]) for r in got]
+    w = [(r[0], r[1], r[2], r[5]) for r in want]
+    assert g == w
+
+
+def test_sessionize_stream_event_time_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions emit when the
+    watermark passes their gap timeout; per-key state is four scalars."""
+    import time
+
+    from solr_spark.streaming.sessions import SESSION_SCHEMA, sessionize_stream
+
+    t0 = 1_600_000_000  # fixed epoch seconds
+    rows1 = [
+        (1, t0, 10.0), (1, t0 + 60, 5.0),          # session A (2 events)
+        (1, t0 + 3 * 3600, 7.0),                    # session B (1 event)
+    ]
+    rows2 = [(99, t0 + 10 * 3600, 0.0)]             # clock: advance watermark
+    rows3 = [(99, t0 + 11 * 3600, 0.0)]             # clock 2: fire session B
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        spark.createDataFrame(
+            [(u, t, v) for u, t, v in rows], "user_id long, es long, value double"
+        ).selectExpr(
+            "user_id", "cast(es as timestamp) ts", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write("b1", rows1)
+    write("b2", rows2)
+    write("b3", rows3)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert (1, 2, 15.0) in got          # session A emitted (timeout)
+    assert (1, 1, 7.0) in got           # session B emitted after clock 2
+    # clock 1's session emits IN-STREAM when clock 2 arrives (gap break
+    # inside the key's own event stream); clock 2's session stays open
+    assert (99, 1, 0.0) in got and len(got) == 3
