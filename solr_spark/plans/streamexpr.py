@@ -201,6 +201,21 @@ def _metric(node: Call) -> Column:
     name = node.name.lower()
     if name == "count":
         return F.count(F.lit(1)).alias("count(*)")
+    if name == "countdist":
+        return F.count_distinct(F.col(arg)).alias(f"countDist({arg})")
+    if name == "std":
+        return F.stddev_samp(F.col(arg)).alias(f"std({arg})")
+    if name == "per":
+        # per(col, P) — the percentile metric (io.stream.metrics
+        # PercentileMetric); exact, like the facet percentile path
+        p = float(_unlit(node.args[1])) / 100.0
+        return F.percentile(F.col(arg), F.lit(p)).alias(
+            f"per({arg},{int(p * 100)})"
+        )
+    if name == "wsum":
+        # wsum(col, weightCol) — WeightedSumMetric
+        warg = node.args[1][1]
+        return F.sum(F.col(arg) * F.col(warg)).alias(f"wsum({arg},{warg})")
     fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}.get(name)
     if fn is None:
         raise StreamExprError(f"unknown metric {node.name!r}")

@@ -1345,3 +1345,26 @@ def test_time_routed_alias_write_read(spark, tmp_path):
     assert sorted(c for c in cats if c.startswith("_route_cat_=")) == [
         "_route_cat_=a", "_route_cat_=b",
     ]
+
+
+def test_streamexpr_metric_tranche(spark):
+    """std/per/wsum/countDist metrics in rollup/facet/stats compile to
+    the exact aggregate columns."""
+    import math
+
+    from solr_spark.plans.streamexpr import eval_expr
+
+    t = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 3.0, 1.0), ("a", 5.0, 1.0), ("b", 4.0, 3.0)],
+        "k string, v double, w double",
+    )
+    got = eval_expr(
+        'rollup(search(t), over="k", std(v), per(v, 50), wsum(v, w), countDist(v))',
+        {"t": t},
+    ).collect()
+    r = {x["k"]: x for x in got}
+    assert abs(r["a"]["std(v)"] - 2.0) < 1e-12  # stddev_samp of 1,3,5
+    assert r["a"]["per(v,50)"] == 3.0
+    assert r["a"]["wsum(v,w)"] == 1.0 * 2 + 3.0 + 5.0
+    assert r["a"]["countDist(v)"] == 3
+    assert r["b"]["std(v)"] is None or math.isnan(r["b"]["std(v)"])
