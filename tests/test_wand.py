@@ -114,3 +114,32 @@ def test_multifield_wand_equals_flat_and_single_field(spark, tmp_path):
         sfc = [(r.docid, round(r.score, 9))
                for r in bm25_topk(sf, q, k=10).collect()]
         assert mfc == sfc, q
+
+
+def test_multifield_batch_equals_single(spark, tmp_path):
+    """bm25_topk_batch(field=) on a multi-field index equals per-query
+    bm25_topk(field=) for every query in the batch."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.engine import bm25_topk, bm25_topk_batch
+    from solr_spark.sources.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(spark, 800, seed=5, partitions=4).withColumn(
+        "title", F.concat_ws(" ", F.col("path"), F.col("lang"))
+    )
+    mf = build_index(
+        spark, corpus.select("repo", "path", "commit", "content", "title"),
+        str(tmp_path / "mfb"), num_buckets=4, salt_threshold=400, num_salts=4,
+        fields=["content", "title"],
+    )
+    queries = {"q1": "return import", "q2": "jsonParser", "q3": "java py"}
+    for field in ("content", "title"):
+        batch = bm25_topk_batch(mf, queries, k=6, field=field).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["qid"], []).append((r["docid"], round(r["score"], 9)))
+        for qid, qt in queries.items():
+            want = [(r["docid"], round(r["score"], 9))
+                    for r in bm25_topk(mf, qt, k=6, field=field).collect()]
+            assert got.get(qid, []) == want, (field, qid)
