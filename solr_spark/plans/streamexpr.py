@@ -128,6 +128,14 @@ def parse_expr(s: str) -> Call:
         if not (k == "punct" and v == ")"):
             while True:
                 a = value()
+                k, v = peek()
+                if k == "name" and v == "as":  # `expr as alias`
+                    pos += 1
+                    k2, alias = peek()
+                    if k2 != "name":
+                        raise StreamExprError("expected alias name after 'as'")
+                    pos += 1
+                    a = ("alias", a, alias)
                 if isinstance(a, tuple) and a[0] == "kw":
                     node.kwargs[a[1]] = a[2]
                 else:
@@ -252,6 +260,11 @@ def _eval(node, tables) -> DataFrame:
         df = _eval(node.args[0], tables)
         cols = []
         for a in node.args[1:]:
+            if isinstance(a, tuple) and a[0] == "alias":
+                # computed field: select(stream, add(a, b) as c) —
+                # SelectStream with an evaluator (io.eval.*) expression
+                cols.append(_bool_eval(a[1]).alias(a[2]))
+                continue
             spec = str(_unlit(a))
             if " as " in spec:
                 src, dst = spec.split(" as ")
@@ -553,6 +566,11 @@ _EVAL_BOOL = {
 _EVAL_ARITH = {
     "add": lambda a, b: a + b, "sub": lambda a, b: a - b,
     "mult": lambda a, b: a * b, "div": lambda a, b: a / b,
+    "mod": lambda a, b: a % b, "pow": lambda a, b: a ** b,
+}
+_EVAL_UNARY = {
+    "abs": F.abs, "round": F.round, "ceil": F.ceil, "floor": F.floor,
+    "sqrt": F.sqrt, "log": F.log, "ln": F.log, "log10": F.log10,
 }
 
 
@@ -566,6 +584,8 @@ def _bool_eval(node) -> Column:
         return _EVAL_BOOL[name](_bool_eval(node.args[0]), _bool_eval(node.args[1]))
     if name in _EVAL_ARITH:
         return _EVAL_ARITH[name](_bool_eval(node.args[0]), _bool_eval(node.args[1]))
+    if name in _EVAL_UNARY:
+        return _EVAL_UNARY[name](_bool_eval(node.args[0]))
     if name == "and":
         out = _bool_eval(node.args[0])
         for a in node.args[1:]:

@@ -1368,3 +1368,25 @@ def test_streamexpr_metric_tranche(spark):
     assert r["a"]["wsum(v,w)"] == 1.0 * 2 + 3.0 + 5.0
     assert r["a"]["countDist(v)"] == 3
     assert r["b"]["std(v)"] is None or math.isnan(r["b"]["std(v)"])
+
+
+def test_streamexpr_select_computed_fields(spark):
+    """select() computed fields (`add(a, b) as c`) and the unary/binary
+    evaluator tranche (abs/round/ceil/floor/mod/pow)."""
+    from solr_spark.plans.streamexpr import eval_expr
+
+    t = spark.createDataFrame(
+        [(1, 2.0, -3.5), (2, 5.0, 1.2)], "k long, a double, b double"
+    )
+    got = eval_expr(
+        'select(search(t), "k", add(a, b) as s, abs(b) as ab, '
+        'round(b) as rb, mod(k, 2) as m, pow(a, 2) as p)',
+        {"t": t},
+    ).collect()
+    r = {x["k"]: x for x in got}
+    assert r[1]["s"] == -1.5 and r[1]["ab"] == 3.5 and r[1]["p"] == 4.0
+    assert r[2]["m"] == 0 and r[1]["m"] == 1
+    assert r[1]["rb"] == -4.0 or r[1]["rb"] == -3.0  # HALF_UP vs HALF_EVEN
+    # string-form aliases still work alongside computed fields
+    got2 = eval_expr('select(search(t), "a as x")', {"t": t}).collect()
+    assert {x["x"] for x in got2} == {2.0, 5.0}
