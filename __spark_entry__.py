@@ -2248,6 +2248,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_expr_timeseries"] = stream_expr_timeseries
 
+    def stream_expr_sigterms(s, d):
+        """eval() tranche 3: significantTerms() compiled — same scoring
+        as the operator API, same SQL twin."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        return eval_expr(
+            'significantTerms(toks, q="spark", minDocFreq=3, limit=15)',
+            {"toks": _tok(s, d)},
+        )
+
+    q["stream_expr_sigterms"] = stream_expr_sigterms
+
     # --- scoreNodes over a customer->orders traversal ---
     def score_nodes_entry(s, d):
         orders = _t(s, d, "orders")
@@ -3028,6 +3040,7 @@ scored AS (
         ORDER BY hop, node"""
 
     o["stream_expr_nodes"] = o["graph_gather_2hop"]
+    o["stream_expr_sigterms"] = G.significant_terms_sql("spark", 3, 15)
 
     o["stream_expr_timeseries"] = f"""
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
