@@ -314,6 +314,7 @@ def bm25_topk_batch(
     k: int = 10,
     mode: str = "OR",
     field: str | None = None,
+    with_payload: bool = False,
 ) -> DataFrame:
     """N queries in ONE distributed plan -> (qid, docid, score, rank).
 
@@ -423,12 +424,19 @@ def bm25_topk_batch(
     w = Window.partitionBy("qid").orderBy(
         F.desc(F.round("score", 9)), F.asc("docid")
     )
-    return (
+    out = (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .join(F.broadcast(labels), "qid")
         .select(
             F.col("qid_label").alias("qid"), "docid", "score", "rank"
         )
-        .orderBy("qid", "rank")
     )
+    if with_payload:
+        # GET_FIELDS phase for the whole batch at once: one join of the
+        # k·|queries| winner rows against the docs table (content-free)
+        payload_cols = [c for c in index.docs().columns if c != "docid"]
+        out = out.join(index.docs(), "docid", "left").select(
+            "qid", "docid", "score", "rank", *payload_cols
+        )
+    return out.orderBy("qid", "rank")

@@ -505,3 +505,16 @@ def test_realtime_get_respects_deletes(spark, corpus, tmp_path):
     )
     got = realtime_get(idx, [1, 2, 3], tlog=tlog)
     assert sorted(r["docid"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_bm25_batch_with_payload(spark, index):
+    from solr_spark.query.engine import bm25_topk, bm25_topk_batch
+
+    got = bm25_topk_batch(
+        index, {"a": "return import"}, k=5, with_payload=True
+    ).collect()
+    want = bm25_topk(index, "return import", k=5, with_payload=True).collect()
+    assert [(r["docid"], r["repo"], r["path"]) for r in got] == [
+        (r["docid"], r["repo"], r["path"]) for r in want
+    ]
+    assert all(r["sha256"] for r in got)
