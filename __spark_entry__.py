@@ -413,6 +413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_source_prefix"] = lambda s, d: FA.terms_facet(
         _docs(s, d), "source", limit=50, prefix="src1", sort_by_count=False
     )
+    q["facet_lang_sort_by_stat"] = lambda s, d: FA.terms_facet_stats(
+        _docs(s, d),
+        "lang",
+        [F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+         F.max("n_chars").alias("max_chars")],
+        sort_stat="avg_chars",
+        limit=10,
+    )
     q["facet_range_events"] = lambda s, d: FA.range_facet(
         _t(s, d, "events"), "value", 0.0, 500.0, 50.0
     )
@@ -2634,6 +2642,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT source AS value, count(*) AS cnt FROM documents
         GROUP BY source HAVING count(*) >= 20
         ORDER BY cnt DESC, value LIMIT 50"""
+    o["facet_lang_sort_by_stat"] = """
+        SELECT lang AS value, count(*) AS cnt,
+               round(avg(n_chars), 4) AS avg_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+        ORDER BY avg_chars DESC, value LIMIT 10"""
     o["facet_source_prefix"] = """
         SELECT source AS value, count(*) AS cnt FROM documents
         WHERE starts_with(source, 'src1')

@@ -49,6 +49,30 @@ def terms_facet(
     return out.orderBy(*order).limit(limit)
 
 
+def terms_facet_stats(
+    df: DataFrame,
+    field: str,
+    stats: list[Column],
+    sort_stat: str | None = None,
+    desc: bool = True,
+    limit: int = 10,
+    mincount: int = 1,
+) -> DataFrame:
+    """Terms facet with per-bucket stat aggregates and stat-ordered
+    buckets — the JSON Facet API's `"sort": "<statName> desc"` coupling
+    (FacetFieldProcessor sorts buckets by a sub-facet aggregate). One
+    grouped pass computes cnt + every stat; the order-by rides the same
+    aggregate columns (ties break on the bucket value asc)."""
+    out = df.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt"), *stats
+    )
+    if mincount > 1:
+        out = out.where(F.col("cnt") >= mincount)
+    key = sort_stat or "cnt"
+    order = [F.desc(key) if desc else F.asc(key), F.asc("value")]
+    return out.orderBy(*order).limit(limit)
+
+
 def range_facet(
     df: DataFrame, col: str, start: float, end: float, gap: float
 ) -> DataFrame:
