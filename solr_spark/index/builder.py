@@ -502,6 +502,13 @@ def _analyze_docs(
 
     def chain(col):
         src = F.col(col) if isinstance(col, str) else col
+        if az.get("pre_analyzed"):
+            # PreAnalyzedUpdateProcessor / PreAnalyzedField
+            # (solr/core/src/java/org/apache/solr/update/processor/
+            # PreAnalyzedUpdateProcessorFactory.java): the column already
+            # HOLDS the token stream (array<string>) — skip the chain
+            # entirely; the external analyzer owns the tokens
+            return src
         if az.get("ascii_fold"):
             # char-filter slot: fold BEFORE tokenizing, or accents split
             # tokens on the ASCII charset (see ascii_fold_str_col)
@@ -544,10 +551,17 @@ def _analyze_docs(
         # stored="true" text field Solr highlighting requires)
         excl = ("docid",) if store_content else ("docid", "content")
         passthrough = [c for c in corpus.columns if c not in excl]
+        # pre-analyzed content is an array: the per-row invariant hashes
+        # the canonical joined token stream instead of the raw string
+        sha_content = (
+            F.sha2(F.array_join(F.col("content"), "\x1f"), 256)
+            if az.get("pre_analyzed")
+            else F.sha2(F.col("content"), 256)
+        )
         return corpus.select(
             "docid",
             *passthrough,
-            F.sha2(F.col("content"), 256).alias("sha256"),
+            sha_content.alias("sha256"),
             toks.alias("_tokens"),
         ).withColumn("doclen", F.size("_tokens")).withColumn(
             "dl_q", quantize_col("doclen").cast("int")

@@ -518,3 +518,43 @@ def test_bm25_batch_with_payload(spark, index):
         (r["docid"], r["repo"], r["path"]) for r in want
     ]
     assert all(r["sha256"] for r in got)
+
+
+def test_pre_analyzed_build(spark, corpus, tmp_path):
+    """PreAnalyzed: a corpus whose content column already holds the
+    token stream indexes WITHOUT running the chain — feeding it the
+    default chain's own output must reproduce the normal build's
+    results exactly."""
+    from solr_spark.analysis.analyzer import tokens_col
+    from solr_spark.query.engine import bm25_topk
+
+    normal = build_index(
+        spark, corpus, str(tmp_path / "norm"), num_buckets=4,
+        salt_threshold=100, num_salts=4,
+    )
+    pre = corpus.select(
+        "repo", "path", "commit",
+        tokens_col("content").alias("content"),
+    )
+    pidx = build_index(
+        spark, pre, str(tmp_path / "pre"), num_buckets=4,
+        salt_threshold=100, num_salts=4,
+        analyzer={"pre_analyzed": True},
+    )
+    for q in ("return import", "jsonParser bufferSize"):
+        want = [(r["docid"], round(r["score"], 9))
+                for r in bm25_topk(normal, q, k=8).collect()]
+        got = [(r["docid"], round(r["score"], 9))
+               for r in bm25_topk(pidx, q, k=8).collect()]
+        assert got == want, q
+    # custom external tokens index literally (no chain interference)
+    ext = spark.createDataFrame(
+        [("r", "p1", "c", ["Alpha", "BETA"]), ("r", "p2", "c", ["beta"])],
+        "repo string, path string, commit string, content array<string>",
+    )
+    eidx = build_index(
+        spark, ext, str(tmp_path / "ext"), num_buckets=2,
+        build_blocks=False, analyzer={"pre_analyzed": True},
+    )
+    # the externally-produced cased token is in the dictionary verbatim
+    assert "Alpha" in eidx.term_stats_for(["Alpha", "alpha"])
