@@ -759,6 +759,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), _qvec(s, d), k=10
     )
 
+    def hybrid_rrf(s, d):
+        """Hybrid search: BM25 lexical top-50 + embedding-cosine ANN
+        top-50 fused by Reciprocal Rank Fusion (1/(60+rank)) — the
+        modern lexical+dense retrieval shape; rank-only fusion needs no
+        score calibration. Both ranked lists are k-sized, so the fuse
+        is trivial at any corpus scale."""
+        from solr_spark.operators.similarity import rrf_fuse, with_rank
+
+        lex = bm25_inline_scores(
+            _docs(s, d), "table spark", id_col="doc_id", text_col="text"
+        ).select("docid", F.round("s", 9).alias("s9"))
+        lexr = with_rank(lex, [F.desc("s9"), F.asc("docid")], 50)
+        # ANN side: cut = cosine_topk's unrounded order; rank over the
+        # 50 survivors by its (rounded sim, vec_id) output — the oracle
+        # mirrors both steps
+        ann = SIM.cosine_topk(_t(s, d, "embeddings"), _qvec(s, d), k=50)
+        annr = with_rank(
+            ann.select(F.col("vec_id").alias("docid"), "sim"),
+            [F.desc("sim"), F.asc("docid")],
+            50,
+        )
+        return rrf_fuse(
+            [lexr.select("docid", "rank"), annr.select("docid", "rank")],
+            limit=10,
+        )
+
+    q["hybrid_rrf"] = hybrid_rrf
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -2920,6 +2948,9 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 10"""
 
     o["token_counts"] = TS.token_counts_sql()
+
+    # hybrid RRF: defined later (needs scored_cte) — placeholder keeps
+    # the insertion point documented; see below after scored_cte.
     o["text_quality"] = TS.quality_score_sql()
     o["lang_id"] = TS.lang_id_sql()
     o["doc_fingerprint"] = TS.fingerprint_sql()
@@ -3055,6 +3086,36 @@ scored AS (
 
     o["stream_expr_nodes"] = o["graph_gather_2hop"]
     o["stream_expr_sigterms"] = G.significant_terms_sql("spark", 3, 15)
+
+    o["hybrid_rrf"] = f"""
+        WITH {scored_cte(['table', 'spark'])},
+        lex AS (
+          SELECT docid,
+                 row_number() OVER (ORDER BY round(s, 9) DESC, docid) AS rnk
+          FROM scored QUALIFY rnk <= 50
+        ),
+        qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+        ann0 AS (
+          SELECT vec_id,
+                 round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 4) AS sim4,
+                 row_number() OVER (
+                   ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv.v)
+                     DESC, vec_id) AS cutr
+          FROM embeddings, qv QUALIFY cutr <= 50
+        ),
+        ann AS (
+          SELECT vec_id AS docid,
+                 row_number() OVER (ORDER BY sim4 DESC, vec_id) AS rnk
+          FROM ann0
+        ),
+        u AS (
+          SELECT docid, 1.0 / (60 + rnk) AS c FROM lex
+          UNION ALL
+          SELECT docid, 1.0 / (60 + rnk) FROM ann
+        )
+        SELECT docid, round(sum(c), 6) AS rrf
+        FROM u GROUP BY docid
+        ORDER BY round(sum(c), 6) DESC, docid LIMIT 10"""
 
     o["stream_expr_timeseries"] = f"""
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,

@@ -420,3 +420,45 @@ def ivf_search(
         .drop("cell")
     )
     return cosine_topk(cand, query_vec, k, id_col)
+
+
+def with_rank(df: DataFrame, order_cols: list, n: int) -> DataFrame:
+    """Top-n of `df` under `order_cols` with a dense 1-based `rank`
+    column. The global window runs over the ALREADY-LIMITED n rows
+    (driver-bounded), never the input — safe at any corpus size."""
+    from pyspark.sql import Window
+
+    top = df.orderBy(*order_cols).limit(n)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order_cols)).cast("int")
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "docid",
+    k0: float = 60.0,
+    limit: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse any number of ranked lists — e.g. BM25 lexical top-k and
+    embedding-cosine ANN top-k, the hybrid-search shape — by
+    score(d) = Σ_lists 1/(k0 + rank_list(d)). Rank-only fusion needs no
+    score calibration between engines. Inputs are (id, rank) frames
+    (use with_rank); k-sized, so the union+groupBy is trivial at any
+    corpus scale."""
+    out = None
+    for df in ranked:
+        part = df.select(
+            F.col(id_col).alias("docid"),
+            (1.0 / (F.lit(float(k0)) + F.col("rank"))).alias("_c"),
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("rrf_fuse: no input lists")
+    return (
+        out.groupBy("docid")
+        .agg(F.round(F.sum("_c"), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "docid")
+        .limit(limit)
+    )

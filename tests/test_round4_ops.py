@@ -1390,3 +1390,24 @@ def test_streamexpr_select_computed_fields(spark):
     # string-form aliases still work alongside computed fields
     got2 = eval_expr('select(search(t), "a as x")', {"t": t}).collect()
     assert {x["x"] for x in got2} == {2.0, 5.0}
+
+
+def test_rrf_fuse(spark):
+    """RRF: score = sum over lists of 1/(k0 + rank); doc in both lists
+    beats single-list docs at similar ranks; with_rank cuts then ranks
+    under the same ordering."""
+    from solr_spark.operators.similarity import rrf_fuse, with_rank
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "docid long, rank int")
+    b = spark.createDataFrame([(2, 1), (9, 2)], "docid long, rank int")
+    got = {r["docid"]: r["rrf"] for r in rrf_fuse([a, b], k0=60, limit=10).collect()}
+    assert abs(got[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(got[1] - round(1 / 61, 6)) < 1e-9
+    top = rrf_fuse([a, b], limit=1).collect()
+    assert top[0]["docid"] == 2  # present in both lists wins
+
+    scored = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(20)], "docid long, sc double"
+    )
+    r = with_rank(scored, [F.desc("sc"), F.asc("docid")], 5).collect()
+    assert [(x["docid"], x["rank"]) for x in r] == [(i, i + 1) for i in range(5)]
