@@ -787,6 +787,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf"] = hybrid_rrf
 
+    def bm25_maxscore(s, d):
+        """{!maxscore}: OR scored with MAX over clause scores instead of
+        SUM — same one-job plan, different aggregate."""
+        from solr_spark.query.engine import bm25_topk_maxscore
+
+        return bm25_topk_maxscore(
+            _gate_index(s, d), "table spark vector", k=10
+        ).select("docid", F.round("score", 4).alias("score"))
+
+    q["bm25_maxscore"] = bm25_maxscore
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -3086,6 +3097,16 @@ scored AS (
 
     o["stream_expr_nodes"] = o["graph_gather_2hop"]
     o["stream_expr_sigterms"] = G.significant_terms_sql("spark", 3, 15)
+
+    # {!maxscore}: the shared scored CTE with MAX in place of SUM (the
+    # one aggregate that differs from the BM25 prelude)
+    _ms_cte = scored_cte(["table", "spark", "vector"]).replace(
+        "sum(q.qtf", "max(q.qtf"
+    )
+    o["bm25_maxscore"] = f"""
+        WITH {_ms_cte}
+        SELECT docid, round(s, 4) AS score FROM scored
+        ORDER BY round(s, 9) DESC, docid LIMIT 10"""
 
     o["hybrid_rrf"] = f"""
         WITH {scored_cte(['table', 'spark'])},

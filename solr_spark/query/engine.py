@@ -440,3 +440,28 @@ def bm25_topk_batch(
             "qid", "docid", "score", "rank", *payload_cols
         )
     return out.orderBy("qid", "rank")
+
+
+def bm25_topk_maxscore(
+    index: Index,
+    qtext: str,
+    k: int = 10,
+    field: str | None = None,
+) -> DataFrame:
+    """MaxScoreQParser (solr/core/src/java/org/apache/solr/search/
+    MaxScoreQParserPlugin.java): OR query scored with MAX over the
+    matching clauses' scores instead of SUM ("take the best clause"),
+    tie=0. Same single-job shape as bm25_topk — only the aggregate
+    changes."""
+    qterms = analyze_query(qtext, index)
+    scored, n_present = (
+        _scored_postings(index, qterms, field) if qterms else (None, 0)
+    )
+    if n_present == 0:
+        return index.spark.createDataFrame([], "docid long, score double")
+    return (
+        scored.groupBy("docid")
+        .agg(F.max("contrib").alias("score"))
+        .orderBy(F.desc(F.round("score", 9)), F.asc("docid"))
+        .limit(k)
+    )
