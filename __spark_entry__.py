@@ -798,6 +798,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_maxscore"] = bm25_maxscore
 
+    def complex_phrase_entry(s, d):
+        """{!complexphrase}: wildcard slot inside a phrase — 'table s*'
+        expands s* against the dictionary, slot position arrays union
+        the expansions, ordered chain matcher unchanged."""
+        from solr_spark.query.positions import complex_phrase_docids
+
+        return complex_phrase_docids(
+            _gate_index(s, d), ["table", "s*"], slop=1
+        ).orderBy("docid")
+
+    q["complex_phrase"] = complex_phrase_entry
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -3107,6 +3119,21 @@ scored AS (
         WITH {_ms_cte}
         SELECT docid, round(s, 4) AS score FROM scored
         ORDER BY round(s, 9) DESC, docid LIMIT 10"""
+
+    from solr_spark.query.positions import chain_match_count_sql
+
+    _cpx_exprs = [
+        "[i FOR i IN range(1, len(toks) + 1) IF toks[i] = 'table']",
+        "[i FOR i IN range(1, len(toks) + 1) IF regexp_matches(toks[i], '^s.*$')]",
+    ]
+    o["complex_phrase"] = f"""
+        WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks
+                      FROM documents),
+        hits AS (SELECT docid,
+                        ({chain_match_count_sql(_cpx_exprs, 1)}) AS phrase_freq
+                 FROM toks)
+        SELECT docid, phrase_freq::INT AS phrase_freq FROM hits
+        WHERE phrase_freq > 0 ORDER BY docid"""
 
     o["hybrid_rrf"] = f"""
         WITH {scored_cte(['table', 'spark'])},

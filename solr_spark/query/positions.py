@@ -378,3 +378,105 @@ def phrase_docids(
     if index.has_deletes():  # liveDocs: phrase hits on deleted docs drop
         out = out.join(F.broadcast(index.deleted_ids()), "docid", "left_anti")
     return out
+
+
+def complex_phrase_docids(
+    index: Index,
+    slot_specs: list[str],
+    slop: int = 0,
+    ordered: bool = True,
+    field: str | None = None,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """ComplexPhraseQParser (solr/core/src/java/org/apache/solr/search/
+    ComplexPhraseQParserPlugin.java): wildcard ('par*', 'p?rse') and
+    fuzzy ('spark~1') terms INSIDE a phrase. Each slot expands against
+    the term DICTIONARY (vocabulary-sized work, capped at
+    `max_expansions` like Lucene's rewrite bound), then the flat
+    positions scan assembles one array PER SLOT — collect_list over
+    `tid IN (slot tids)` unions the expanded terms' positions for free
+    — and the ordered/sloppy matchers run unchanged on slot arrays."""
+    import re as _re
+
+    from functools import reduce
+
+    spark = index.spark
+    empty = spark.createDataFrame([], "docid long, phrase_freq int")
+    dict_df = index.term_dictionary(field)
+    slot_tids: list[list[int]] = []
+    for spec in slot_specs:
+        fuzz = _re.fullmatch(r"([^*?~\s]+)~(\d)", spec)
+        if "*" in spec or "?" in spec:
+            rx = (
+                "^"
+                + _re.escape(spec).replace(r"\*", ".*").replace(r"\?", ".")
+                + "$"
+            )
+            cand = dict_df.where(F.col("term").rlike(rx))
+        elif fuzz:
+            cand = dict_df.where(
+                F.levenshtein(F.col("term"), F.lit(fuzz.group(1)))
+                <= int(fuzz.group(2))
+            )
+        else:
+            toks = index.analyze(spec)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"complex-phrase slot {spec!r} must analyze to one term"
+                )
+            stats = index.term_stats_for(toks, field=field)
+            slot_tids.append(
+                [stats[toks[0]]["tid"]] if toks[0] in stats else []
+            )
+            if not slot_tids[-1]:
+                return empty
+            continue
+        rows = cand.select("tid").limit(max_expansions + 1).collect()
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"complex-phrase slot {spec!r} expands past "
+                f"max_expansions={max_expansions}"
+            )
+        if not rows:
+            return empty
+        slot_tids.append([r["tid"] for r in rows])
+
+    all_tids = sorted({t for tids in slot_tids for t in tids})
+    pos = (
+        index.positions()
+        .where(F.col("bucket").isin(index.pbuckets_for(all_tids)))
+        .where(F.col("tid").isin(all_tids))
+    )
+    if "pos" not in pos.columns:
+        raise ValueError("complex_phrase_docids needs the flat positions layout")
+    joined = (
+        pos.groupBy("docid")
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("tid").isin(tids), F.col("pos"))
+                    )
+                ).alias(f"_s_{j}")
+                for j, tids in enumerate(slot_tids)
+            ]
+        )
+        .where(
+            reduce(
+                lambda a, b: a & b,
+                [F.size(f"_s_{j}") > 0 for j in range(len(slot_tids))],
+            )
+        )
+    )
+    pos_cols = [F.col(f"_s_{j}") for j in range(len(slot_tids))]
+    freq = (
+        chain_match_count(pos_cols, slop)
+        if ordered
+        else window_match_count(pos_cols, slop)
+    )
+    out = joined.select(
+        "docid", freq.cast("int").alias("phrase_freq")
+    ).where(F.col("phrase_freq") > 0)
+    if index.has_deletes():
+        out = out.join(F.broadcast(index.deleted_ids()), "docid", "left_anti")
+    return out

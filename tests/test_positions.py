@@ -277,3 +277,42 @@ def test_sloppy_sql_twin(spark):
             f"FROM (SELECT {arr} AS toks)"
         )
         assert spark_f == con.execute(sql).fetchone()[0], (text, terms, slop)
+
+
+def test_complex_phrase_wildcard_fuzzy(spark, tmp_path):
+    """ComplexPhrase: wildcard and fuzzy slots expand against the
+    dictionary and match positionally — equals the union of the
+    expanded plain phrases; absent expansion -> empty; cap raises."""
+    import pytest as _pytest
+
+    from solr_spark.index.builder import build_index
+    from solr_spark.query.positions import complex_phrase_docids, phrase_docids
+
+    rows = [
+        ("r", "p1", "c", "the json parser reads fast"),
+        ("r", "p2", "c", "a json parsing engine"),
+        ("r", "p3", "c", "json compiler here"),
+        ("r", "p4", "c", "parser json inverted order"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, content string"
+    )
+    idx = build_index(
+        spark, corpus, str(tmp_path / "cpx"), num_buckets=2,
+        build_blocks=False, build_positions=True,
+    )
+    got = {
+        r["docid"]: r["phrase_freq"]
+        for r in complex_phrase_docids(idx, ["json", "pars*"]).collect()
+    }
+    want = {}
+    for w in ("parser", "parsing"):
+        for r in phrase_docids(idx, ["json", w]).collect():
+            want[r["docid"]] = want.get(r["docid"], 0) + r["phrase_freq"]
+    assert got == want and got  # p1 + p2 match, p3/p4 don't
+    # fuzzy slot: 'jsan~1' matches 'json'
+    fz = {r["docid"] for r in complex_phrase_docids(idx, ["jsan~1", "pars*"]).collect()}
+    assert fz == set(got)
+    assert complex_phrase_docids(idx, ["zzz*", "pars*"]).count() == 0
+    with _pytest.raises(ValueError, match="max_expansions"):
+        complex_phrase_docids(idx, ["*", "pars*"], max_expansions=2)
