@@ -61,6 +61,12 @@ SKIPLIST_CAP = 64
 
 FILES_PER_BUCKET = 4
 
+#: deletes-sidecar rows above which the liveDocs anti-join stops
+#: broadcasting and degrades to a shuffle anti-join (a pending delete
+#: set is unbounded — a delete-by-query can match half the corpus — so
+#: the broadcast must be gated on a verified size, not assumed small)
+DELETES_BROADCAST_CAP = 2_000_000
+
 
 def _write_bucketed(
     df: DataFrame, path: str, num_buckets: int, sort_cols: tuple[str, ...]
@@ -293,22 +299,42 @@ class Index:
 
         return snap_read(self.spark, self.paths.deletes).select("docid").distinct()
 
+    def deleted_rows_estimate(self) -> int | None:
+        """Upper bound on the deletes sidecar size from manifest
+        metadata alone (pre-dedup sum of per-batch counts; no Spark
+        job). None when an old manifest lacks a count."""
+        from solr_spark.sources.snapshots import total_rows
+
+        if not self.has_deletes():
+            return 0
+        return total_rows(self.paths.deletes)
+
+    def minus_deleted(self, df: DataFrame) -> DataFrame:
+        """`df` anti-joined against the deletes sidecar. Broadcasts the
+        sidecar while it is verifiably small (the manifest row counts
+        bound it) and silently degrades to a shuffle anti-join above
+        DELETES_BROADCAST_CAP or when the size is unknown — an
+        unbounded pending-delete set must never become a forced
+        driver/executor broadcast (round-4 scale finding)."""
+        if not self.has_deletes():
+            return df
+        dele = self.deleted_ids()
+        est = self.deleted_rows_estimate()
+        if est is not None and est <= DELETES_BROADCAST_CAP:
+            dele = F.broadcast(dele)
+        return df.join(dele, "docid", "left_anti")
+
     def postings_live(self) -> DataFrame:
         """Postings minus deleted docs. The deletes side broadcasts
-        (sidecar-sized); stats (n_docs/avgdl/df) deliberately keep their
-        build-time values — exactly Lucene's behavior with uncommitted
-        deletes (docFreq/maxDoc count deleted docs until segments
-        merge), which also keeps block-max upper bounds valid."""
-        p = self.postings()
-        if not self.has_deletes():
-            return p
-        return p.join(F.broadcast(self.deleted_ids()), "docid", "left_anti")
+        while sidecar-sized (see `minus_deleted`); stats
+        (n_docs/avgdl/df) deliberately keep their build-time values —
+        exactly Lucene's behavior with uncommitted deletes
+        (docFreq/maxDoc count deleted docs until segments merge), which
+        also keeps block-max upper bounds valid."""
+        return self.minus_deleted(self.postings())
 
     def docs_live(self) -> DataFrame:
-        d = self.docs()
-        if not self.has_deletes():
-            return d
-        return d.join(F.broadcast(self.deleted_ids()), "docid", "left_anti")
+        return self.minus_deleted(self.docs())
 
     def buckets_for(self, terms: list[str]) -> list[int]:
         b = self.meta["num_buckets"]

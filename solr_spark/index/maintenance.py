@@ -34,32 +34,41 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from solr_spark.index.builder import SKIPLIST_CAP, Index, _write_bucketed
+from solr_spark.index.builder import (
+    DELETES_BROADCAST_CAP, SKIPLIST_CAP, Index, _write_bucketed,
+)
 
 
 def delete_by_ids(index: Index, docids: list[int]) -> int:
     """Mark docids deleted (idempotent; unknown ids are harmless).
-    Returns the number of NEWLY deleted ids."""
-    from solr_spark.sources.snapshots import publish
-
+    Returns the number of NEWLY deleted ids. The explicit-id API — the
+    delete set is caller-bounded, so a driver-side list is fine here;
+    set-valued deletes go through `delete_by_df`/`delete_by_query`,
+    which never collect."""
     spark = index.spark
     ids = sorted({int(d) for d in docids})
     if not ids:
         return 0
     batch = spark.createDataFrame([(d,) for d in ids], "docid long")
-    if index.has_deletes():
-        batch = batch.join(
-            F.broadcast(index.deleted_ids()), "docid", "left_anti"
-        )
-    rows = [r["docid"] for r in batch.collect()]
-    if not rows:
-        return 0
-    publish(
-        index.paths.deletes,
-        spark.createDataFrame([(d,) for d in rows], "docid long"),
-        mode="append",
-    )
-    return len(rows)
+    return delete_by_df(index, batch)
+
+
+def delete_by_df(index: Index, docids_df: DataFrame) -> int:
+    """Mark every docid in `docids_df` deleted; returns the count of
+    NEWLY deleted ids. Fully distributed: the matched set is published
+    straight to the deletes sidecar (snapshots.publish takes the
+    DataFrame), never collected to the driver — a delete matching 100M
+    docs stays executor-side (round-4 scale finding)."""
+    from solr_spark.sources.snapshots import publish
+
+    batch = index.minus_deleted(docids_df.select("docid").distinct()).persist()
+    try:
+        n = batch.count()
+        if n:
+            publish(index.paths.deletes, batch, mode="append", n_rows=n)
+        return int(n)
+    finally:
+        batch.unpersist()
 
 
 def delete_by_query(
@@ -67,17 +76,13 @@ def delete_by_query(
 ) -> int:
     """deleteByQuery: every live doc matching the analyzed query joins
     the deletes sidecar. Matching runs through the same postings scan as
-    search (bucket-pruned, term-pushed); only docids are collected —
-    the delete set is the result size, not the corpus."""
+    search (bucket-pruned, term-pushed); the matched docids flow to the
+    sidecar as a DataFrame — nothing corpus-proportional touches the
+    driver."""
     from solr_spark.query.engine import bm25_scores
 
     matched = bm25_scores(index, qtext, mode=mode, field=field).select("docid")
-    if index.has_deletes():
-        matched = matched.join(
-            F.broadcast(index.deleted_ids()), "docid", "left_anti"
-        )
-    ids = [r["docid"] for r in matched.collect()]
-    return delete_by_ids(index, ids)
+    return delete_by_df(index, matched)
 
 
 def _swap_dir(new_dir: str, live_dir: str) -> None:
@@ -101,12 +106,18 @@ def expunge_deletes(index: Index) -> dict:
     refreshes the dictionary's block-max summary (single-field
     indexes), then clears the deletes sidecar. Returns a report dict.
 
-    Multi-field indexes with blocks keep the sidecar instead of
+    Multi-field indexes with blocks DROP the blocks sidecar instead of
     re-encoding (the on-disk postings drop the fid ordinal the
     per-field encoder needs — the same constraint as a resumed
-    multi-field build, builder.py:969-973); queries stay exact via the
-    flat path's anti-join.
+    multi-field build, builder.py:969-973): the compacted postings are
+    exact, `has_blocks` flips off in meta so WAND routing reflects
+    reality, the deletes sidecar clears, and repeated expunges are
+    no-ops. (Keeping stale blocks + a permanent sidecar was the
+    round-4 finding: pruning stayed disabled forever and every later
+    expunge re-rewrote the whole index.)
     """
+    import json
+
     spark = index.spark
     paths = index.paths
     report: dict = {"expunged": 0}
@@ -116,21 +127,21 @@ def expunge_deletes(index: Index) -> dict:
     n_del = dele.count()
     report["expunged"] = int(n_del)
     num_buckets = int(index.meta["num_buckets"])
+    # the delete set was just counted — broadcast only when it fits
+    dele_j = F.broadcast(dele) if n_del <= DELETES_BROADCAST_CAP else dele
 
-    live_post = index.postings().join(F.broadcast(dele), "docid", "left_anti")
+    live_post = index.postings().join(dele_j, "docid", "left_anti")
     tmp_post = paths.postings + ".compact"
     _write_bucketed(live_post, tmp_post, num_buckets, ("tid", "docid"))
     _swap_dir(tmp_post, paths.postings)
 
-    live_docs = index.docs().join(F.broadcast(dele), "docid", "left_anti")
+    live_docs = index.docs().join(dele_j, "docid", "left_anti")
     tmp_docs = paths.docs + ".compact"
     live_docs.write.mode("overwrite").parquet(tmp_docs)
     _swap_dir(tmp_docs, paths.docs)
 
     if index.meta.get("has_positions") and os.path.isdir(paths.positions):
-        live_pos = index.positions().join(
-            F.broadcast(dele), "docid", "left_anti"
-        )
+        live_pos = index.positions().join(dele_j, "docid", "left_anti")
         tmp_pos = paths.positions + ".compact"
         _write_bucketed(live_pos, tmp_pos, num_buckets, ("tid", "docid", "pos"))
         _swap_dir(tmp_pos, paths.positions)
@@ -140,16 +151,32 @@ def expunge_deletes(index: Index) -> dict:
         _reencode_blocks(index)
         report["blocks_reencoded"] = True
     elif index.meta.get("has_blocks") and multi_field:
-        # keep the sidecar: the WAND guard keeps routing these queries
-        # through the exact flat path (see module docstring)
-        dele.unpersist()
-        report["sidecar_kept"] = True
-        return report
+        # postings are compacted but can't be re-encoded per-field:
+        # drop the (now stale) blocks and record it, so WAND routing
+        # and repeated expunges see a consistent index
+        shutil.rmtree(paths.blocks, ignore_errors=True)
+        index.meta["has_blocks"] = False
+        with open(paths.meta, "w") as f:
+            json.dump(index.meta, f, indent=2)
+        report["blocks_dropped"] = True
 
     dele.unpersist()
     shutil.rmtree(paths.deletes, ignore_errors=True)
-    index._ts_cache = None  # dictionary was rewritten (mtp/skips)
+    _drop_ts_cache(index)  # dictionary was rewritten (mtp/skips)
     return report
+
+
+def _drop_ts_cache(index: Index) -> None:
+    """Unpersist + forget the cached dictionary DataFrame (the handle
+    caches term_stats persisted; dropping the reference without
+    unpersisting leaks a persisted DF per maintenance op in long-lived
+    sessions)."""
+    if index._ts_cache is not None:
+        try:
+            index._ts_cache.unpersist()
+        except Exception:
+            pass
+    index._ts_cache = None
 
 
 def _reencode_blocks(index: Index) -> None:
@@ -268,7 +295,14 @@ def merge_indexes(a: Index, b: Index, out_root: str) -> Index:
     os.makedirs(out_root, exist_ok=True)
     num_buckets = int(a.meta["num_buckets"])
     salt_threshold = int(a.meta["salt_threshold"])
-    offset = int(a.meta["n_docs"])
+    # the shift must clear a's ACTUAL docid space, not its live count:
+    # expunge/merge compact rows without renumbering docids, so after
+    # an expunged input max(docid) exceeds n_docs-1 and an n_docs-based
+    # shift would assign b's docs ids that already exist in a (two
+    # documents silently sharing a docid — round-4 advice, high)
+    offset = int(
+        a.docs().agg(F.max("docid").alias("m")).collect()[0]["m"]
+    ) + 1
 
     def shifted(df: DataFrame) -> DataFrame:
         return df.withColumn("docid", F.col("docid") + F.lit(offset))
@@ -339,7 +373,7 @@ def merge_indexes(a: Index, b: Index, out_root: str) -> Index:
         with open(paths.meta, "w") as f:
             json.dump(meta, f, indent=2)
         out.meta = meta
-        out._ts_cache = None
+        _drop_ts_cache(out)
     return out
 
 
@@ -450,8 +484,6 @@ def upsert_documents(index: Index, corpus: DataFrame, out_root: str) -> Index:
         .join(F.broadcast(keys), list(DOC_KEY), "left_semi")
         .select("docid")
     )
-    ids = [r["docid"] for r in colliding.collect()]
-    if ids:
-        delete_by_ids(index, ids)
+    if delete_by_df(index, colliding):
         expunge_deletes(index)
     return add_documents(index, corpus, out_root)

@@ -284,8 +284,11 @@ def bm25_explain(
         "tid long, term string, qtf double, df long, idf double",
     )
     tids = [s["tid"] for s in stats.values()]
+    # postings_live, not postings: explain must agree with search while
+    # deletes are pending (a deleted doc scores nowhere, so it also has
+    # no breakdown) — round-4 advice
     postings = (
-        index.postings()
+        index.postings_live()
         .where(F.col("bucket").isin(index.pbuckets_for(tids)))
         .where(F.col("tid").isin(tids))
         .where(F.col("docid").isin([int(x) for x in docids]))

@@ -376,7 +376,7 @@ def phrase_docids(
         "docid", freq.cast("int").alias("phrase_freq")
     ).where(F.col("phrase_freq") > 0)
     if index.has_deletes():  # liveDocs: phrase hits on deleted docs drop
-        out = out.join(F.broadcast(index.deleted_ids()), "docid", "left_anti")
+        out = index.minus_deleted(out)
     return out
 
 
@@ -469,14 +469,21 @@ def complex_phrase_docids(
         )
     )
     pos_cols = [F.col(f"_s_{j}") for j in range(len(slot_tids))]
+    # unordered uses the same Lucene-exact sloppy matcher as
+    # phrase_docids — it only consumes position arrays, so slot arrays
+    # drop in unchanged (round-4 advice: the window approximation
+    # over-matched, e.g. "a b"~1 on "b a"). Slots are treated as
+    # all-distinct: two slots whose EXPANSIONS overlap on the same
+    # position may double-count, matching Lucene's own behavior for
+    # overlapping MultiTerm slots.
     freq = (
         chain_match_count(pos_cols, slop)
         if ordered
-        else window_match_count(pos_cols, slop)
+        else sloppy_match_count(pos_cols, slop)
     )
     out = joined.select(
         "docid", freq.cast("int").alias("phrase_freq")
     ).where(F.col("phrase_freq") > 0)
     if index.has_deletes():
-        out = out.join(F.broadcast(index.deleted_ids()), "docid", "left_anti")
+        out = index.minus_deleted(out)
     return out

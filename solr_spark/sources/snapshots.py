@@ -73,20 +73,45 @@ def publish(
     table_dir: str,
     df: DataFrame,
     mode: str = "append",
+    n_rows: int | None = None,
 ) -> int:
     """Write `df` as a new committed snapshot; returns the new version.
 
     The data write targets an uncommitted `data/v{N}` dir; the commit
     is the manifest write + LATEST rename at the end. Readers resolve
-    through LATEST, so they switch from v{N-1} to v{N} atomically."""
+    through LATEST, so they switch from v{N-1} to v{N} atomically.
+
+    `n_rows` (when the caller already knows it) is recorded in the
+    manifest — Iceberg's snapshot summary row counts — so driver-side
+    planners can size the table without a Spark job (the deletes
+    sidecar uses it to decide broadcast vs shuffle anti-join)."""
     version = current_version(table_dir) + 1
     rel = os.path.join("data", f"v{version}")
     df.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
-    return commit_version(table_dir, [rel], mode=mode)
+    return commit_version(table_dir, [rel], mode=mode, n_rows=n_rows)
+
+
+def total_rows(table_dir: str, version: int | None = None) -> int | None:
+    """Sum of manifest-recorded row counts over the visible chain at
+    `version` (default latest), or None if any visible manifest lacks a
+    count (pre-counting writers) — callers must treat None as unknown,
+    not zero. Pure driver-side metadata reads."""
+    v = current_version(table_dir) if version is None else version
+    total = 0
+    while v > 0:
+        m = _load_manifest(table_dir, v)
+        if m.get("n_rows") is None:
+            return None
+        total += int(m["n_rows"])
+        if m.get("mode") == "overwrite":
+            break
+        v = m.get("parent", v - 1)
+    return total
 
 
 def commit_version(
-    table_dir: str, dirs: list[str], mode: str = "append"
+    table_dir: str, dirs: list[str], mode: str = "append",
+    n_rows: int | None = None,
 ) -> int:
     """Register already-written relative dirs as a new committed
     version (the commit half of `publish`, for artifacts the caller
@@ -102,6 +127,8 @@ def commit_version(
         "mode": mode,
         "dirs": list(dirs),
     }
+    if n_rows is not None:
+        manifest["n_rows"] = int(n_rows)
     mp = _manifest_path(table_dir, version)
     with open(mp + ".tmp", "w") as f:
         json.dump(manifest, f, indent=1)

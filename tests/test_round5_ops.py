@@ -1,0 +1,198 @@
+"""Round-5 regression tests: the round-4 verdict/advice findings.
+
+- merge/upsert docid collision after an expunged input (advice: high)
+- multi-field expunge drops stale blocks + clears the sidecar (medium)
+- deletes-sidecar broadcast cap degrades to a shuffle anti-join
+- bm25_explain agrees with search while deletes pend (low)
+- complex-phrase unordered path uses the Lucene-exact sloppy matcher
+"""
+
+from pyspark.sql import functions as F
+
+from solr_spark.index.builder import build_index
+from solr_spark.sources.corpus import synthesize_corpus
+
+
+def _payload_results(idx, q, k=15):
+    from solr_spark.query.engine import bm25_topk
+
+    return sorted(
+        (r["repo"], r["path"], round(r["score"], 6))
+        for r in bm25_topk(idx, q, k=k, with_payload=True).collect()
+    )
+
+
+def test_consecutive_upserts_no_docid_collision(spark, tmp_path):
+    """The round-4 high-severity repro: two consecutive upserts with
+    key collisions. The first upsert leaves an expunged (sparse-docid)
+    index; the second merge must base its shift on the real docid space
+    or two distinct documents share a docid."""
+    from solr_spark.index.maintenance import upsert_documents
+
+    base_c = synthesize_corpus(spark, 120, seed=9, partitions=4).persist()
+    rows = base_c.orderBy("repo", "path", "commit").collect()
+    kw = dict(num_buckets=4, salt_threshold=80, num_salts=4)
+    base = build_index(spark, base_c, str(tmp_path / "b"), **kw)
+
+    def reworded(n, tag, extra_seed):
+        changed = spark.createDataFrame(rows[:n], base_c.schema).withColumn(
+            "content", F.concat(F.lit(tag + " "), F.col("content"))
+        )
+        new = synthesize_corpus(spark, 5, seed=extra_seed, partitions=2).withColumn(
+            "repo", F.concat(F.lit(f"r{extra_seed}-"), F.col("repo"))
+        )
+        return changed.unionByName(new)
+
+    d1 = reworded(8, "zzfirstpass", 101)
+    up1 = upsert_documents(base, d1, str(tmp_path / "u1"))
+    d2 = reworded(8, "zzsecondpass", 202)
+    up2 = upsert_documents(up1, d2, str(tmp_path / "u2"))
+
+    # every docid maps to exactly one document
+    docs = up2.docs()
+    assert docs.count() == docs.select("docid").distinct().count()
+    assert up2.meta["n_docs"] == 130  # 120 + 5 + 5
+
+    # and the index equals a fresh build over the logical corpus
+    keys1 = {(r["repo"], r["path"], r["commit"]) for r in d1.collect()}
+    keys2 = {(r["repo"], r["path"], r["commit"]) for r in d2.collect()}
+    remain = [
+        r for r in rows if (r["repo"], r["path"], r["commit"]) not in keys1 | keys2
+    ]
+    d1_live = [
+        r for r in d1.collect()
+        if (r["repo"], r["path"], r["commit"]) not in keys2
+    ]
+    logical = (
+        spark.createDataFrame(remain + d1_live, base_c.schema).unionByName(d2)
+    )
+    fresh = build_index(spark, logical, str(tmp_path / "fresh"), **kw)
+    for q in ("zzsecondpass", "zzfirstpass", "return import"):
+        assert _payload_results(up2, q) == _payload_results(fresh, q), q
+
+
+def test_expunge_multifield_blocks_drops_blocks(spark, tmp_path):
+    """Multi-field + blocks expunge can't re-encode per-field blocks:
+    it must drop them (meta has_blocks=False), clear the sidecar, and
+    make repeated expunges no-ops — not keep a permanent sidecar with
+    stale blocks (round-4 medium)."""
+    import os
+
+    from solr_spark.index.builder import Index
+    from solr_spark.index.maintenance import delete_by_ids, expunge_deletes
+    from solr_spark.query.engine import bm25_topk
+    from solr_spark.query.wand import bm25_topk_wand
+
+    corpus = synthesize_corpus(spark, 400, seed=5, partitions=4).withColumn(
+        "title", F.concat_ws(" ", F.col("path"), F.col("lang"))
+    )
+    idx = build_index(
+        spark, corpus.select("repo", "path", "commit", "content", "title"),
+        str(tmp_path / "mfx"), num_buckets=4, salt_threshold=150, num_salts=4,
+        fields=["content", "title"], build_blocks=True,
+    )
+    assert idx.meta["has_blocks"]
+    before = [r["docid"] for r in bm25_topk(idx, "return import", k=10).collect()]
+    delete_by_ids(idx, before[:2])
+
+    report = expunge_deletes(idx)
+    assert report["expunged"] == 2 and report.get("blocks_dropped")
+    assert not idx.has_deletes()
+    assert idx.meta["has_blocks"] is False
+    assert not os.path.isdir(idx.paths.blocks)
+    # the change is durable (meta.json rewritten)
+    assert Index.load(spark, idx.paths.root).meta["has_blocks"] is False
+    # repeated expunge is a no-op
+    assert expunge_deletes(idx) == {"expunged": 0}
+
+    # queries still exact: flat == wand (wand routes to flat, no blocks)
+    flat = [(r.docid, round(r.score, 9))
+            for r in bm25_topk(idx, "return import", k=10, field="content").collect()]
+    wand = [(r.docid, round(r.score, 9))
+            for r in bm25_topk_wand(idx, "return import", k=10, field="content").collect()]
+    assert flat == wand and flat
+    assert not {d for d, _ in flat} & set(before[:2])
+
+
+def test_deletes_broadcast_guard(spark, tmp_path, monkeypatch):
+    """Above DELETES_BROADCAST_CAP the liveDocs anti-join must not
+    force a broadcast; results stay identical either way and the
+    manifest row counts expose the sidecar size without a Spark job."""
+    import solr_spark.index.builder as B
+    import solr_spark.index.maintenance as M
+    from solr_spark.query.engine import bm25_topk
+
+    corpus = synthesize_corpus(spark, 200, seed=7, partitions=4)
+    idx = build_index(
+        spark, corpus, str(tmp_path / "gidx"), num_buckets=4,
+        salt_threshold=100,
+    )
+    all_ids = [r["docid"] for r in idx.docs().select("docid").limit(40).collect()]
+    from solr_spark.index.maintenance import delete_by_ids
+
+    assert delete_by_ids(idx, all_ids) == 40
+    assert idx.deleted_rows_estimate() == 40
+
+    small_cap = [
+        (r["docid"], round(r["score"], 9))
+        for r in bm25_topk(idx, "return import", k=10).collect()
+    ]
+    # now force the shuffle anti-join path and compare
+    monkeypatch.setattr(B, "DELETES_BROADCAST_CAP", 5)
+    monkeypatch.setattr(M, "DELETES_BROADCAST_CAP", 5)
+    plan = idx.postings_live()._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower()
+    big_cap = [
+        (r["docid"], round(r["score"], 9))
+        for r in bm25_topk(idx, "return import", k=10).collect()
+    ]
+    assert small_cap == big_cap and big_cap
+    assert not {d for d, _ in big_cap} & set(all_ids)
+
+
+def test_bm25_explain_respects_deletes(spark, tmp_path):
+    """explain must agree with search while deletes pend: a deleted doc
+    scores nowhere, so it has no breakdown either (round-4 low)."""
+    from solr_spark.index.maintenance import delete_by_ids
+    from solr_spark.query.engine import bm25_explain, bm25_topk
+
+    corpus = synthesize_corpus(spark, 150, seed=3, partitions=4)
+    idx = build_index(
+        spark, corpus, str(tmp_path / "exidx"), num_buckets=4,
+        salt_threshold=100,
+    )
+    top = [r["docid"] for r in bm25_topk(idx, "return import", k=3).collect()]
+    assert bm25_explain(idx, "return import", top).select("docid").distinct().count() == len(top)
+    delete_by_ids(idx, [top[0]])
+    left = {
+        r["docid"]
+        for r in bm25_explain(idx, "return import", top).collect()
+    }
+    assert top[0] not in left and set(top[1:]) <= left
+
+
+def test_complex_phrase_unordered_is_sloppy_exact(spark, tmp_path):
+    """With plain single-term slots, complex_phrase_docids(ordered=False)
+    must equal phrase_docids(ordered=False) — both now run the
+    Lucene-exact sloppy matcher, not the window approximation."""
+    from solr_spark.query.positions import complex_phrase_docids, phrase_docids
+
+    corpus = synthesize_corpus(spark, 300, seed=11, partitions=4)
+    idx = build_index(
+        spark, corpus, str(tmp_path / "cpidx"), num_buckets=4,
+        salt_threshold=100, build_positions=True,
+    )
+    for slop in (1, 2):
+        want = {
+            (r["docid"], r["phrase_freq"])
+            for r in phrase_docids(
+                idx, ["import", "return"], slop=slop, ordered=False
+            ).collect()
+        }
+        got = {
+            (r["docid"], r["phrase_freq"])
+            for r in complex_phrase_docids(
+                idx, ["import", "return"], slop=slop, ordered=False
+            ).collect()
+        }
+        assert got == want and want, slop
