@@ -2571,29 +2571,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # textstats r2) yield their slots to the six newest gates so the
     # round-4 driver run externally checks them too; union coverage
     # only grows.
+    # Round-5 rotation: rounds 1-4 externally green-lit 112 distinct
+    # entries; the 48 below have NEVER had a driver-oracle row (they
+    # landed after the round-4 rotation commit). They take the window,
+    # behind a two-entry pinned BM25 core kept for round-over-round
+    # continuity. tests/test_entry.py::test_never_oracled_in_window
+    # guards this invariant against future late-round gate adds.
     _WINDOW = [
-        "bm25_topk_or",
-        "func_parsed_v5", "agg_funcs_lineitem", "func_joindf_lang",
-        "update_chain_v3", "blockjoin_childfield", "analysis_filters_v2",
-        "bm25_indexed_topk", "bm25_indexed_and", "bm25_indexed_wand",
-        "bm25_indexed_mf_wand", "search_indexed_boolean",
-        "phrase_indexed", "terms_indexed",
-        "edismax_indexed_qf", "edismax_indexed_pf", "edismax_qf_tie",
-        "edismax_mm2", "edismax_pf",
-        "phrase_match", "phrase_match_slop2", "phrase_unordered_slop2",
-        "highlight_snippets", "highlight_fragments",
-        "ltr_fixed_rescore", "textlogit_label_totals", "igain_terms",
-        "atomic_update_merge", "atomic_array_ops",
-        "blockjoin_parents", "blockjoin_children", "uniqueblock_by_flag",
-        "rtg_overlay", "spell_collations",
-        "mlt_indexed", "relatedness_lang",
-        "func_parsed_v2", "func_parsed_v3",
-        "stream_expr_rollup", "merge_sorted_streams", "reduce_order_gaps",
-        "ann_lsh_recall", "ann_ivf_recall",
-        # new this round
-        "bm25_stemmed_topk", "func_parsed_v4", "ann_lsh_persisted_recall",
-        "update_regex_clone", "update_ttl_expire", "update_uuid_assign",
-        "synonym_graph_analysis",
+        "bm25_topk_or", "bm25_indexed_topk",          # pinned core
+        # marquee round-4 late adds
+        "hybrid_rrf", "bm25_maxscore", "complex_phrase", "bm25_explain",
+        "bm25_batch_queries", "delete_by_query_flow",
+        # LLM-pipeline gates (in-repo twins only until now)
+        "sessionize_events", "pii_scrub_docs", "contamination_docs",
+        "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
+        "doc_fingerprint",
+        # spatial family
+        "geofilt_customers", "bbox_customers", "rect_range_customers",
+        "geodist_sort_top20",
+        # SQL / spell / classify / LTR
+        "sql_tpch_q5", "sql_tpch_q6", "spell_wordbreak",
+        "classify_bayes_lang", "ltr_rescore_top10", "ltr_feature_log",
+        "ltr_trees_model",
+        # stream-expression compiler + graph scoring
+        "stream_expr_having", "stream_expr_nodes", "stream_expr_timeseries",
+        "stream_expr_sigterms", "score_nodes_custs",
+        # facets / terms / relevance breadth
+        "facet_domain_chain", "facet_pivot_stats", "facet_source_prefix",
+        "facet_lang_sort_by_stat", "facet_meta_events", "terms_filtered",
+        "sigterms_indexed", "spell_indexed", "suggest_infix_indexed",
+        "mlt_interesting_terms", "hll_error_ok",
+        # analysis / updateproc / functions / edismax
+        "analysis_filters_v3", "update_tolerant_split", "update_chain_orders",
+        "func_parsed_showcase", "edismax_pf2_shingles",
+        # ML text classification
+        "textlogit_confusion", "textlogit_stored",
     ]
     _win = {k: q[k] for k in _WINDOW if k in q}
     _rest = {k: v for k, v in q.items() if k not in _win}

@@ -57,6 +57,36 @@ QUERIES = E.queries()
 ORACLES = E.oracle_sql()
 
 
+def test_never_oracled_in_window():
+    """Rotation guard (round-4 verdict, repeated finding): the external
+    driver oracles only the FIRST 50 queries() entries, so every entry
+    that has never appeared in a CORRECTNESS_r0*.json must sit inside
+    that window — otherwise it ships another round unchecked. Late-round
+    gate adds must displace already-oracled entries, not queue behind
+    them."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(p)).keys())
+        except Exception:
+            pass
+    if not seen:
+        pytest.skip("no driver correctness records yet")
+    order = list(QUERIES)
+    window = set(order[:50])
+    never = [k for k in order if k not in seen]
+    outside = [k for k in never if k not in window]
+    assert not outside, (
+        f"{len(outside)} never-externally-oracled entries sit outside the "
+        f"driver's first-50 window — rotate them in: {outside}"
+    )
+
+
 def test_oracle_coverage():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracle_sql for unknown queries: {missing}"
