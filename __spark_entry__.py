@@ -810,6 +810,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["complex_phrase"] = complex_phrase_entry
 
+    def surround_near_entry(s, d):
+        """Surround query parser ({!surround}): infix W/N distance ops
+        with boolean composition — `(fast w merge) OR (table 2n spark)`
+        compiles to the span-relation algebra over the flat positions
+        table (one bucket-pruned scan, docid-equi-joins)."""
+        from solr_spark.query.surround import surround_docids
+
+        return surround_docids(
+            _gate_index(s, d), "(fast w merge) OR (table 2n spark)"
+        ).orderBy("docid")
+
+    q["surround_near"] = surround_near_entry
+
+    def surround_trunc_entry(s, d):
+        """Surround prefix form + truncation: `3n(tabl*, spark)` —
+        the * slot expands against the term dictionary (SrndTruncQuery)
+        and the unordered matcher runs over the expanded span union."""
+        from solr_spark.query.surround import surround_docids
+
+        return surround_docids(_gate_index(s, d), "3n(tabl*, spark)").orderBy(
+            "docid"
+        )
+
+    q["surround_trunc"] = surround_trunc_entry
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -2582,6 +2607,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # marquee round-4 late adds
         "hybrid_rrf", "bm25_maxscore", "complex_phrase", "bm25_explain",
         "bm25_batch_queries", "delete_by_query_flow",
+        # round-5 marquee gates (surround grammar, scorejoin, payloads,
+        # stream evaluators) — inserted ahead of the in-repo-twinned
+        # tail so the driver oracles them first
+        "surround_near", "surround_trunc",
         # LLM-pipeline gates (in-repo twins only until now)
         "sessionize_events", "pii_scrub_docs", "contamination_docs",
         "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
@@ -3146,6 +3175,17 @@ scored AS (
                  FROM toks)
         SELECT docid, phrase_freq::INT AS phrase_freq FROM hits
         WHERE phrase_freq > 0 ORDER BY docid"""
+
+    from solr_spark.query.surround import surround_sql
+
+    # analyzed_terms: the gate index uses the base chain, so every
+    # lowercase single-token spec analyzes to itself (tokenize_py parity
+    # is covered by the analyzer twin tests)
+    o["surround_near"] = surround_sql(
+        "(fast w merge) OR (table 2n spark)",
+        {t: [t] for t in ["fast", "merge", "table", "spark"]},
+    )
+    o["surround_trunc"] = surround_sql("3n(tabl*, spark)", {"spark": ["spark"]})
 
     o["hybrid_rrf"] = f"""
         WITH {scored_cte(['table', 'spark'])},

@@ -77,14 +77,21 @@ def test_never_oracled_in_window():
             pass
     if not seen:
         pytest.skip("no driver correctness records yet")
+    pinned = {"bm25_topk_or", "bm25_indexed_topk"}  # continuity core
     order = list(QUERIES)
-    window = set(order[:50])
+    window = order[:50]
     never = [k for k in order if k not in seen]
-    outside = [k for k in never if k not in window]
-    assert not outside, (
-        f"{len(outside)} never-externally-oracled entries sit outside the "
-        f"driver's first-50 window — rotate them in: {outside}"
-    )
+    outside = [k for k in never if k not in set(window)]
+    if outside:
+        # a backlog larger than the window is allowed — but then no
+        # window slot may be wasted on an already-oracled entry
+        wasted = [k for k in window if k in seen and k not in pinned]
+        assert not wasted, (
+            f"{len(outside)} never-oracled entries queue outside the "
+            f"first-50 window while {len(wasted)} window slots are spent "
+            f"on already-oracled entries — swap them: waiting={outside} "
+            f"wasted={wasted}"
+        )
 
 
 def test_oracle_coverage():
