@@ -835,6 +835,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["surround_trunc"] = surround_trunc_entry
 
+    def score_join_modes(s, d):
+        """{!join score=max|total}: the from-side 'query' is urgent
+        open orders scored by o_totalprice; each matching customer
+        inherits the per-key MAX and TOTAL aggregate. Exercises the
+        packaged score_join operator in two modes plus the none-mode
+        semi-join as the row universe."""
+        from solr_spark.operators.streams import score_join
+
+        frm = (
+            _t(s, d, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey", F.col("o_totalprice").alias("score"))
+        )
+        cust = _t(s, d, "customer").select("c_custkey")
+        mx = score_join(frm, cust, "o_custkey", "c_custkey", mode="max")
+        tot = score_join(frm, cust, "o_custkey", "c_custkey", mode="total")
+        return (
+            mx.select("c_custkey", F.round("score", 2).alias("score_max"))
+            .join(
+                tot.select(
+                    "c_custkey", F.round("score", 2).alias("score_total")
+                ),
+                "c_custkey",
+            )
+            .orderBy(F.desc("score_total"), "c_custkey")
+            .limit(20)
+        )
+
+    q["score_join_modes"] = score_join_modes
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -2610,7 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 marquee gates (surround grammar, scorejoin, payloads,
         # stream evaluators) — inserted ahead of the in-repo-twinned
         # tail so the driver oracles them first
-        "surround_near", "surround_trunc",
+        "surround_near", "surround_trunc", "score_join_modes",
         # LLM-pipeline gates (in-repo twins only until now)
         "sessionize_events", "pii_scrub_docs", "contamination_docs",
         "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
@@ -3186,6 +3216,21 @@ scored AS (
         {t: [t] for t in ["fast", "merge", "table", "spark"]},
     )
     o["surround_trunc"] = surround_sql("3n(tabl*, spark)", {"spark": ["spark"]})
+
+    o["score_join_modes"] = """
+        WITH frm AS (
+          SELECT o_custkey, o_totalprice AS score FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+        ),
+        agg AS (
+          SELECT o_custkey AS c_custkey,
+                 round(max(score), 2) AS score_max,
+                 round(sum(score), 2) AS score_total
+          FROM frm GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, a.score_max, a.score_total
+        FROM customer c JOIN agg a USING (c_custkey)
+        ORDER BY a.score_total DESC, c.c_custkey LIMIT 20"""
 
     o["hybrid_rrf"] = f"""
         WITH {scored_cte(['table', 'spark'])},

@@ -74,6 +74,47 @@ def complement_on(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame
     return left.join(right.select(*on).distinct(), on, "left_anti")
 
 
+def score_join(
+    from_df: DataFrame,
+    to_df: DataFrame,
+    from_key: str,
+    to_key: str,
+    score_col: str = "score",
+    mode: str = "none",
+) -> DataFrame:
+    """{!join from=f to=t score=mode} — the ScoreJoin query
+    (search/join/ScoreJoinQParserPlugin.java:73, Lucene's
+    JoinUtil.createJoinQuery ScoreMode): the from-side query's scores
+    are aggregated PER JOIN KEY by `mode` (none|avg|max|min|total),
+    then every to-side doc whose key matches inherits that aggregate
+    as its score.
+
+    Spark shape: one groupBy on the from side (map-side partial agg —
+    the key set is query-result-sized, far smaller than the from
+    table), then an equi-join that AQE turns into a broadcast join
+    whenever the aggregated key set is small, which is the common case
+    for a scored query. mode='none' is a pure semi-join with the
+    constant score Lucene's ScoreMode.None assigns."""
+    if mode == "none":
+        keys = from_df.select(F.col(from_key).alias(to_key)).distinct()
+        return to_df.join(keys, to_key, "left_semi").withColumn(
+            "score", F.lit(1.0)
+        )
+    aggs = {
+        "avg": F.avg,
+        "max": F.max,
+        "min": F.min,
+        "total": F.sum,
+    }
+    if mode not in aggs:
+        raise ValueError(f"score_join: unknown score mode {mode!r}")
+    scored_keys = (
+        from_df.groupBy(F.col(from_key).alias(to_key))
+        .agg(aggs[mode](score_col).cast("double").alias("score"))
+    )
+    return to_df.join(scored_keys, to_key, "inner")
+
+
 def merge_streams(dfs: list[DataFrame], sort: list[Column]) -> DataFrame:
     """merge(on) — k-way merge of sorted streams (MergeStream.java:41)."""
     out = dfs[0]

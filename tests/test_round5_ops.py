@@ -196,3 +196,34 @@ def test_complex_phrase_unordered_is_sloppy_exact(spark, tmp_path):
             ).collect()
         }
         assert got == want and want, slop
+
+
+def test_score_join_modes(spark):
+    """{!join score=...}: every ScoreMode against a hand-computed
+    fixture (ScoreJoinQParserPlugin.java:73 semantics)."""
+    from solr_spark.operators.streams import score_join
+
+    frm = spark.createDataFrame(
+        [("k1", 2.0), ("k1", 4.0), ("k2", 10.0), ("kx", 1.0)],
+        "fk string, score double",
+    )
+    to = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), ("k3", "c")], "tk string, name string"
+    )
+
+    def got(mode):
+        return {
+            (r["tk"], r["score"])
+            for r in score_join(frm, to, "fk", "tk", mode=mode).collect()
+        }
+
+    assert got("max") == {("k1", 4.0), ("k2", 10.0)}
+    assert got("min") == {("k1", 2.0), ("k2", 10.0)}
+    assert got("avg") == {("k1", 3.0), ("k2", 10.0)}
+    assert got("total") == {("k1", 6.0), ("k2", 10.0)}
+    assert got("none") == {("k1", 1.0), ("k2", 1.0)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        score_join(frm, to, "fk", "tk", mode="sum")
