@@ -91,6 +91,56 @@ def _gate_index(spark, sf_dir):
     return idx
 
 
+_PAYLOAD_IDX: dict = {}
+
+
+def _payload_index(spark, sf_dir):
+    """Payload-bearing index over a deterministic DelimitedPayload
+    corpus derived from `orders`: every doc carries two 'price' tokens
+    (payloads o_totalprice and o_custkey) and one 'seg' token (payload
+    o_custkey % 97) — the payloads fieldType shape (WhitespaceTokenizer
+    + DelimitedPayloadTokenFilter float encoder)."""
+    import hashlib
+    import os
+    import shutil
+
+    from solr_spark.index.builder import Index, build_index
+
+    if sf_dir in _PAYLOAD_IDX:
+        return _PAYLOAD_IDX[sf_dir]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/solr_spark_gate/payload_{tag}"
+    meta = os.path.join(root, "meta.json")
+    if not os.path.exists(meta):
+        orders = _t(spark, sf_dir, "orders")
+        corpus = orders.select(
+            F.lit("ord").alias("repo"),
+            F.col("o_orderkey").cast("string").alias("path"),
+            F.lit("-").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit("price|"), F.col("o_totalprice").cast("string"),
+                F.lit(" price|"), F.col("o_custkey").cast("string"),
+                F.lit(" seg|"),
+                F.pmod(F.col("o_custkey"), F.lit(97)).cast("string"),
+            ).alias("content"),
+            F.col("o_orderkey").cast("long").alias("docid"),
+        )
+        tmp = f"{root}.build_{os.getpid()}"
+        build_index(
+            spark, corpus, tmp, num_buckets=4, build_blocks=False,
+            build_positions=True, analyzer={"delimited_payloads": "|"},
+        )
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    idx = Index.load(spark, root)
+    _PAYLOAD_IDX[sf_dir] = idx
+    return idx
+
+
 def _gate_index_del(spark, sf_dir):
     """Cached gate index with a delete_by_query APPLIED: docs matching
     'table' are tombstoned in the liveDocs sidecar (stats keep their
@@ -864,6 +914,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["score_join_modes"] = score_join_modes
+
+    def payload_score_sum(s, d):
+        """{!payload_score func=sum}: SUM over both 'price' payloads per
+        doc — one groupBy-agg on the bucket-pruned payload positions
+        scan (PayloadScoreQParserPlugin semantics)."""
+        from solr_spark.query.payloads import payload_score
+
+        return (
+            payload_score(_payload_index(s, d), "price", "sum")
+            .select("docid", F.round("score", 2).alias("score"))
+            .orderBy("docid")
+        )
+
+    q["payload_score_sum"] = payload_score_sum
+
+    def payload_check_eq(s, d):
+        """{!payload_check payloads='42' op=eq}: docs whose 'seg' token
+        carries payload 42.0 (SpanPayloadCheckQuery)."""
+        from solr_spark.query.payloads import payload_check
+
+        return payload_check(
+            _payload_index(s, d), "seg", [42.0]
+        ).orderBy("docid")
+
+    q["payload_check_eq"] = payload_check_eq
 
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
@@ -2641,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream evaluators) — inserted ahead of the in-repo-twinned
         # tail so the driver oracles them first
         "surround_near", "surround_trunc", "score_join_modes",
+        "payload_score_sum", "payload_check_eq",
         # LLM-pipeline gates (in-repo twins only until now)
         "sessionize_events", "pii_scrub_docs", "contamination_docs",
         "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
@@ -3216,6 +3292,21 @@ scored AS (
         {t: [t] for t in ["fast", "merge", "table", "spark"]},
     )
     o["surround_trunc"] = surround_sql("3n(tabl*, spark)", {"spark": ["spark"]})
+
+    # payload twins: the corpus is synthesized FROM orders (two 'price'
+    # payloads = o_totalprice, o_custkey; one 'seg' payload = o_custkey
+    # % 97), so the oracle reads orders directly. The float casts mirror
+    # the index's float32 payload encoding; the sum widens each float to
+    # double first, matching Spark's sum-over-float.
+    o["payload_score_sum"] = """
+        SELECT o_orderkey AS docid,
+               round(CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)
+                     + CAST(CAST(o_custkey AS FLOAT) AS DOUBLE), 2) AS score
+        FROM orders ORDER BY docid"""
+
+    o["payload_check_eq"] = """
+        SELECT o_orderkey AS docid, 1::BIGINT AS n_spans
+        FROM orders WHERE o_custkey % 97 = 42 ORDER BY docid"""
 
     o["score_join_modes"] = """
         WITH frm AS (

@@ -362,6 +362,14 @@ class Index:
         # the catenated index tokens are what let a one-word query
         # ("wifi") match a delimited document ("Wi-Fi").
         az = self.meta.get("analyzer") or {}
+        if az.get("delimited_payloads"):
+            # payload fieldType = whitespace tokenizer; query terms are
+            # bare (any stray delimiter+payload suffix is stripped so
+            # index/query analysis stay paired)
+            d = az["delimited_payloads"]
+            return [
+                t.split(d, 1)[0].lower() for t in text.split() if t
+            ]
         if az.get("ascii_fold"):
             from solr_spark.analysis.analyzer import ascii_fold_str_py
 
@@ -525,6 +533,10 @@ def _analyze_docs(
     # expansions), `stem` ("porter"). Stage order mirrors Solr's
     # text_en chain: tokenize -> stop -> synonyms -> stem.
     az = analyzer or {}
+    if az.get("delimited_payloads") and fields:
+        raise ValueError(
+            "delimited_payloads supports single-field indexes only"
+        )
 
     def chain(col):
         src = F.col(col) if isinstance(col, str) else col
@@ -535,6 +547,22 @@ def _analyze_docs(
             # HOLDS the token stream (array<string>) — skip the chain
             # entirely; the external analyzer owns the tokens
             return src
+        if az.get("delimited_payloads"):
+            # DelimitedPayloadTokenFilter fieldType (Solr's payloads
+            # fieldType: WhitespaceTokenizer + delimitedPayload,
+            # managed-schema delimitedPayload float encoder): tokens are
+            # `term<delim>payload`; the TERM stream strips the payload.
+            # No other chain stages apply — mirrors the reference
+            # fieldType, which pairs the filter with the whitespace
+            # tokenizer only. The aligned float payloads are extracted
+            # separately (see `_payload_chain`).
+            d = az["delimited_payloads"]
+            raw = F.filter(
+                F.split(F.trim(src), r"\s+"), lambda x: x != F.lit("")
+            )
+            return F.transform(
+                raw, lambda x: F.lower(F.substring_index(x, d, 1))
+            )
         if az.get("ascii_fold"):
             # char-filter slot: fold BEFORE tokenizing, or accents split
             # tokens on the ASCII charset (see ascii_fold_str_col)
@@ -584,11 +612,36 @@ def _analyze_docs(
             if az.get("pre_analyzed")
             else F.sha2(F.col("content"), 256)
         )
+        extra = []
+        if az.get("delimited_payloads"):
+            # position-aligned float payloads (NULL where a token
+            # carries none) — rides next to _tokens into the positions
+            # layout; the escape handles regex-special delimiters
+            d = az["delimited_payloads"]
+            import re as _re
+
+            rx = _re.escape(d)
+            raw = F.filter(
+                F.split(F.trim(F.col("content")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+            extra.append(
+                F.transform(
+                    raw,
+                    # try_element_at: a token without a delimiter has no
+                    # payload -> NULL (element_at raises on index 2 of a
+                    # 1-element array under Spark 4 ANSI mode)
+                    lambda x: F.try_element_at(
+                        F.split(x, rx, 2), F.lit(2)
+                    ).cast("float"),
+                ).alias("_payloads")
+            )
         return corpus.select(
             "docid",
             *passthrough,
             sha_content.alias("sha256"),
             toks.alias("_tokens"),
+            *extra,
         ).withColumn("doclen", F.size("_tokens")).withColumn(
             "dl_q", quantize_col("doclen").cast("int")
         )
@@ -620,7 +673,13 @@ def _analyze_docs(
 
 
 def _token_cols(df: DataFrame) -> list[str]:
-    return [c for c in df.columns if c.startswith("_tokens")]
+    # in-flight analysis columns the docs store must not persist (the
+    # payloads live in the positions table, positionally aligned)
+    return [
+        c
+        for c in df.columns
+        if c.startswith("_tokens") or c == "_payloads"
+    ]
 
 
 def _postings_from_docs(
@@ -680,6 +739,22 @@ def _positions_from_docs(
     are re-assembled at query time on the bucket-PRUNED scan — work
     proportional to the query terms' postings, not the corpus."""
     if not fields:
+        if "_payloads" in docs_tok.columns:
+            # payload-bearing layout: zip keeps term/payload aligned by
+            # position; schema grows ONE nullable float column, the
+            # payload-free read path prunes it (PLANS.md payload-prune
+            # audit) so non-payload queries pay nothing
+            return docs_tok.select(
+                "docid",
+                F.posexplode(F.arrays_zip("_tokens", "_payloads")).alias(
+                    "pos", "z"
+                ),
+            ).select(
+                F.xxhash64(F.col("z._tokens")).alias("tid"),
+                "docid",
+                (F.col("pos") + F.lit(1)).cast("int").alias("pos"),
+                F.col("z._payloads").alias("payload"),
+            )
         return docs_tok.select(
             "docid", F.posexplode("_tokens").alias("pos", "term")
         ).select(
@@ -1165,6 +1240,11 @@ def _build_index_impl(
         "build_seconds": round(time.time() - t0, 3),
         "has_blocks": bool(build_blocks and n_docs),
         "has_positions": bool(build_positions and n_docs),
+        "has_payloads": bool(
+            build_positions
+            and n_docs
+            and (analyzer or {}).get("delimited_payloads")
+        ),
     }
     if fields:
         meta["fields"] = list(fields)
