@@ -4,10 +4,13 @@ The reference ingests rich documents through Tika (solr/contrib/extraction)
 — text-centric. A 100TB training-data pipeline additionally needs binary
 assets as first-class columns. This module provides the Spark-side
 plumbing — schema, partitioning, Arrow-batched UDF signatures, batch
-shapes — as real, tested code, while the actual codec work (JPEG decode,
-audio resample, video frame extraction) is STUBBED: the image/audio
-libraries are not in this container, so `decode=...` accepts either a
-real decoder callable or the deterministic fake used by tests.
+shapes — as real, tested code. Decode itself (round 5): the
+UNCOMPRESSED containers decode natively in pure numpy — netpbm P5/P6
+images, 24-bit BI_RGB BMP, PCM WAV (8/16-bit, multi-channel) — via
+`real_decode`; compressed codecs (JPEG/PNG/MP3/MP4) still need
+PIL/librosa/pyav, which this container lacks, and raise
+NotImplementedError. `decode=...` accepts any decoder callable;
+`fake_decode` remains the deterministic stand-in for opaque payloads.
 
 Design points for scale:
 - assets are (asset_id, modality, payload binary, meta map) rows;
@@ -68,13 +71,127 @@ def fake_decode(payload: bytes, modality: str) -> np.ndarray:
     return hist / max(hist.sum(), 1.0)
 
 
+def _ppm_tokens(b: bytes, n: int) -> tuple[list[int], int]:
+    """First `n` whitespace-separated ASCII header tokens after the
+    magic, skipping `#` comments; returns (values, data offset)."""
+    vals: list[int] = []
+    i = 2  # past the P5/P6 magic
+    while len(vals) < n:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        vals.append(int(b[i:j]))
+        i = j
+    return vals, i + 1  # single whitespace byte ends the header
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm: P6 (RGB) -> (h, w, 3) uint8, P5 (gray) -> (h, w).
+    maxval up to 255 only (the 1-byte-per-sample variant)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    (w, h, maxval), off = _ppm_tokens(payload, 3)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm samples")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+    return arr.reshape((h, w, 3)) if ch == 3 else arr.reshape((h, w))
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP -> (h, w, 3) uint8 in RGB order.
+    Handles bottom-up (positive height) and top-down rows and the
+    4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape((h, stride))[:, : w * 3]
+    img = rows.reshape((h, w, 3))[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (8- or 16-bit) -> (mono float64 in [-1, 1],
+    sample_rate). Multi-channel input is averaged to mono."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, i + 8)
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"WAV format {audio_format} (non-PCM)")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV samples")
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape((-1, channels)).mean(axis=1)
+    return x, sample_rate
+
+
 def real_decode(payload: bytes, modality: str) -> np.ndarray:
-    """Production decoder hook — requires imaging/audio libs not present
-    in this environment."""
+    """Decode an asset payload by container magic — pure numpy, no
+    external codec libs. Handles the uncompressed formats (netpbm
+    P5/P6, 24-bit BMP, PCM WAV); compressed containers (JPEG/PNG/MP3/
+    MP4) still need PIL/librosa/pyav and raise NotImplementedError.
+
+    Images return uint8 pixel arrays ((h, w, 3) or (h, w)); audio
+    returns mono float64 samples in [-1, 1]."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)[0]
     raise NotImplementedError(
-        "binary decode requires PIL/librosa/pyav; pass decode=fake_decode "
-        "or a real decoder callable"
+        "compressed containers (JPEG/PNG/MP3/MP4) require PIL/librosa/"
+        "pyav; uncompressed netpbm/BMP/WAV decode natively"
     )
+
+
+def real_featurize(payload: bytes, modality: str) -> np.ndarray:
+    """Bounded-size feature from a REAL decode: the same 8-bin
+    L1-normalized histogram shape as fake_decode, but over decoded
+    pixels / samples instead of container bytes — drop-in for
+    extract_features(decode=...) with payload-heavy tables."""
+    arr = real_decode(payload, modality)
+    if arr.dtype == np.uint8:
+        hist = np.bincount(arr.reshape(-1) >> 5, minlength=8).astype(np.float64)
+    else:
+        bins = np.clip(((arr + 1.0) * 4).astype(np.int64), 0, 7)
+        hist = np.bincount(bins, minlength=8).astype(np.float64)
+    return hist / max(hist.sum(), 1.0)
 
 
 def extract_features(
