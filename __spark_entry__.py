@@ -940,6 +940,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["payload_check_eq"] = payload_check_eq
 
+    def stream_expr_strings(s, d):
+        """eval() tranche 4a — string evaluators inside a compiled
+        select(): upper/lower/trim/concat(delim)/replace/split/valueAt
+        (Lang.java registry, UpperEvaluator & friends)."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        df = eval_expr(
+            'select(search(customer, fl="c_custkey,c_name,c_mktsegment"), '
+            "c_custkey, "
+            "upper(c_name) as name_u, "
+            "lower(c_mktsegment) as seg_l, "
+            "trim(c_mktsegment) as seg_t, "
+            'concat(c_mktsegment, c_name, delim="/") as tag, '
+            'replace(c_name, "Customer", "C") as short_name, '
+            'valueAt(split(c_name, "#"), 1) as cust_num)',
+            {"customer": _t(s, d, "customer")},
+        )
+        return df.orderBy("c_custkey")
+
+    q["stream_expr_strings"] = stream_expr_strings
+
+    def stream_expr_dates(s, d):
+        """eval() tranche 4b — temporal evaluators
+        (TemporalEvaluatorYear & friends) in a compiled select ->
+        having chain; epoch is Instant.toEpochMilli milliseconds."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        df = eval_expr(
+            'having(select(search(events, fl="event_id,ts"), event_id, '
+            "year(ts) as y, month(ts) as m, day(ts) as dom, "
+            "dayOfYear(ts) as doy, hour(ts) as hh, minute(ts) as mi, "
+            "second(ts) as sec, week(ts) as wk, epoch(ts) as ep_ms), "
+            "eq(dom, 15))",
+            {"events": _t(s, d, "events")},
+        )
+        return df.orderBy("event_id")
+
+    q["stream_expr_dates"] = stream_expr_dates
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -2717,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail so the driver oracles them first
         "surround_near", "surround_trunc", "score_join_modes",
         "payload_score_sum", "payload_check_eq",
+        "stream_expr_strings", "stream_expr_dates",
         # LLM-pipeline gates (in-repo twins only until now)
         "sessionize_events", "pii_scrub_docs", "contamination_docs",
         "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
@@ -3307,6 +3347,25 @@ scored AS (
     o["payload_check_eq"] = """
         SELECT o_orderkey AS docid, 1::BIGINT AS n_spans
         FROM orders WHERE o_custkey % 97 = 42 ORDER BY docid"""
+
+    o["stream_expr_strings"] = """
+        SELECT c_custkey,
+               upper(c_name) AS name_u,
+               lower(c_mktsegment) AS seg_l,
+               trim(c_mktsegment) AS seg_t,
+               concat_ws('/', c_mktsegment, c_name) AS tag,
+               replace(c_name, 'Customer', 'C') AS short_name,
+               string_split(c_name, '#')[2] AS cust_num
+        FROM customer ORDER BY c_custkey"""
+
+    o["stream_expr_dates"] = """
+        SELECT event_id,
+               year(ts)::INT AS y, month(ts)::INT AS m,
+               day(ts)::INT AS dom, dayofyear(ts)::INT AS doy,
+               hour(ts)::INT AS hh, minute(ts)::INT AS mi,
+               second(ts)::INT AS sec, weekofyear(ts)::INT AS wk,
+               epoch_ms(ts)::BIGINT AS ep_ms
+        FROM events WHERE day(ts) = 15 ORDER BY event_id"""
 
     o["score_join_modes"] = """
         WITH frm AS (

@@ -572,6 +572,20 @@ _EVAL_UNARY = {
     "abs": F.abs, "round": F.round, "ceil": F.ceil, "floor": F.floor,
     "sqrt": F.sqrt, "log": F.log, "ln": F.log, "log10": F.log10,
 }
+#: string evaluators (Lang.java:130-373 registry: UpperEvaluator,
+#: LowerEvaluator, TrimEvaluator, SplitEvaluator, ReplaceOperator...)
+_EVAL_STR_UNARY = {
+    "upper": F.upper, "lower": F.lower, "trim": F.trim,
+}
+#: temporal evaluators (TemporalEvaluatorYear & friends; Solr returns
+#: Integer parts and epoch MILLISECONDS)
+_EVAL_TEMPORAL = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth,
+    "dayOfYear": F.dayofyear, "hour": F.hour, "minute": F.minute,
+    "second": F.second, "week": F.weekofyear, "quarter": F.quarter,
+    # Instant.toEpochMilli — true milliseconds, not seconds*1000
+    "epoch": F.unix_millis,
+}
 
 
 def _bool_eval(node) -> Column:
@@ -586,6 +600,35 @@ def _bool_eval(node) -> Column:
         return _EVAL_ARITH[name](_bool_eval(node.args[0]), _bool_eval(node.args[1]))
     if name in _EVAL_UNARY:
         return _EVAL_UNARY[name](_bool_eval(node.args[0]))
+    if name in _EVAL_STR_UNARY:
+        return _EVAL_STR_UNARY[name](_bool_eval(node.args[0]))
+    if name in _EVAL_TEMPORAL:
+        # accepts timestamp columns and ISO strings alike
+        return _EVAL_TEMPORAL[name](F.to_timestamp(_bool_eval(node.args[0])))
+    if name == "concat":
+        # ConcatOperator: concat(a, b, ..., delim="-") joins with the
+        # delimiter; without one the parts concatenate directly
+        parts = [_bool_eval(a) for a in node.args]
+        if "delim" in node.kwargs:
+            return F.concat_ws(str(_unlit(node.kwargs["delim"])), *parts)
+        return F.concat(*parts)
+    if name == "split":
+        # SplitEvaluator: split(field, delim) -> string array
+        return F.split(
+            _bool_eval(node.args[0]), str(_unlit(node.args[1]))
+        )
+    if name == "replace":
+        # ReplaceOperator (literal find/replace form)
+        return F.replace(
+            _bool_eval(node.args[0]),
+            _bool_eval(node.args[1]),
+            _bool_eval(node.args[2]),
+        )
+    if name == "valueAt":
+        # ValueAtEvaluator: 0-based index into an array field
+        return F.get(
+            _bool_eval(node.args[0]), _bool_eval(node.args[1])
+        )
     if name == "and":
         out = _bool_eval(node.args[0])
         for a in node.args[1:]:

@@ -227,3 +227,44 @@ def test_score_join_modes(spark):
 
     with _pt.raises(ValueError):
         score_join(frm, to, "fk", "tk", mode="sum")
+
+
+def test_stream_evaluators_tranche4(spark):
+    """String + temporal evaluators inside compiled select()/having()
+    (Lang.java registry tranche 4)."""
+    from solr_spark.plans.streamexpr import eval_expr
+
+    df = spark.createDataFrame(
+        [(1, " Ab-Cd ", "2024-03-15 10:20:30.500"),
+         (2, "xy-z", "2023-12-31 23:59:59.000")],
+        "id long, name string, ts string",
+    )
+    out = eval_expr(
+        "select(t, id, upper(name) as u, lower(name) as l, "
+        "trim(name) as tr, "
+        'concat(name, name, delim="+") as c2, '
+        'replace(name, "-", "_") as rep, '
+        'valueAt(split(name, "-"), 0) as first_part, '
+        "year(ts) as y, month(ts) as m, day(ts) as dom, "
+        "dayOfYear(ts) as doy, hour(ts) as hh, minute(ts) as mi, "
+        "second(ts) as sec, week(ts) as wk, quarter(ts) as qtr, "
+        "epoch(ts) as ep)",
+        {"t": df},
+    )
+    r = {row["id"]: row for row in out.collect()}
+    assert r[1]["u"] == " AB-CD " and r[1]["l"] == " ab-cd "
+    assert r[1]["tr"] == "Ab-Cd"
+    assert r[1]["c2"] == " Ab-Cd + Ab-Cd "
+    assert r[1]["rep"] == " Ab_Cd " and r[2]["rep"] == "xy_z"
+    assert r[1]["first_part"] == " Ab" and r[2]["first_part"] == "xy"
+    assert (r[1]["y"], r[1]["m"], r[1]["dom"]) == (2024, 3, 15)
+    assert r[1]["doy"] == 75 and r[1]["qtr"] == 1
+    assert (r[1]["hh"], r[1]["mi"], r[1]["sec"]) == (10, 20, 30)
+    assert r[2]["wk"] == 52 and r[2]["qtr"] == 4
+    assert r[1]["ep"] % 1000 == 500  # true milliseconds, not sec*1000
+
+    # having() over an evaluator-computed field
+    kept = eval_expr(
+        "having(select(t, id, quarter(ts) as qtr), eq(qtr, 4))", {"t": df}
+    ).collect()
+    assert [row["id"] for row in kept] == [2]
