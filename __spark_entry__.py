@@ -979,6 +979,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_expr_dates"] = stream_expr_dates
 
+    def eval_array_math(s, d):
+        """eval() tranche 5 — the math-expression array/statistical
+        evaluators (Lang.java math registry: MeanEvaluator,
+        VarianceEvaluator, PercentileEvaluator, DotProductEvaluator,
+        EuclideanDistanceEvaluator, RankEvaluator, NormEvaluator,
+        GeometricMeanEvaluator) compiled to higher-order-function
+        Columns. Arrays are built row-wise from integer columns so
+        every double op is exact and the DuckDB twin can mirror the
+        arithmetic order term by term."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        df = eval_expr(
+            'select(select(search(orders, q="o_orderkey:[1 TO 400]", '
+            'fl="o_orderkey,o_custkey"), o_orderkey, '
+            "array(add(mod(o_orderkey, 7), 1), add(mod(o_custkey, 5), 1), "
+            "add(mod(o_orderkey, 3), 1)) as xs), "
+            "o_orderkey, precision(mean(xs), 4) as m, "
+            "precision(var(xs), 4) as v, "
+            "precision(dotProduct(xs, array(1, 2, 3)), 4) as dp, "
+            "precision(euclideanDistance(xs, array(2, 2, 2)), 4) as ed, "
+            "precision(median(xs), 4) as med, "
+            "precision(valueAt(rank(xs), 0), 4) as rk0, "
+            "precision(norm(xs), 4) as l2, "
+            "precision(geometricMean(xs), 4) as gm)",
+            {"orders": _t(s, d, "orders")},
+        )
+        return df.orderBy("o_orderkey")
+
+    q["eval_array_math"] = eval_array_math
+
+    def stream_expr_reduce(s, d):
+        """Compiled reduce() + group() op (ReducerStream +
+        GroupOperation): top-3 orders per priority by price — one
+        window, no applyInPandas."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        df = eval_expr(
+            'reduce(search(orders, q="o_orderkey:[1 TO 2000]", '
+            'fl="o_orderpriority,o_orderkey,o_totalprice"), '
+            'by="o_orderpriority", '
+            'group(sort="o_totalprice desc, o_orderkey asc", n=3))',
+            {"orders": _t(s, d, "orders")},
+        )
+        return df.select(
+            "o_orderpriority", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        ).orderBy("o_orderpriority", "o_orderkey")
+
+    q["stream_expr_reduce"] = stream_expr_reduce
+
+    def stream_expr_features(s, d):
+        """Compiled features() (FeaturesSelectionStream): information-
+        gain term selection through the expression language — same
+        exact-counts math as the igain_terms operator gate."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        docs = _tok(s, d).join(_labels(s, d), "docid")
+        return eval_expr(
+            'features(docs, field="toks", outcome="label", numTerms=10, '
+            "minDocFreq=5)",
+            {"docs": docs},
+        )
+
+    q["stream_expr_features"] = stream_expr_features
+
+    def stream_expr_classify(s, d):
+        """Compiled model() -> classify() (ModelStream/ClassifyStream):
+        a FIXED stored logistic model (deterministic weights, no
+        training in the gate) scores every document as pure Column
+        arithmetic — sigmoid(b + Σ w_t · presence(t)), terms applied in
+        sorted order so the oracle mirrors the addition order."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        model = s.createDataFrame(
+            [("spark", 1.5), ("table", -0.7), ("window", 0.9),
+             ("__intercept__", -0.2)],
+            "term_s string, weight_d double",
+        )
+        toks = _tok(s, d).where(F.col("docid") <= 300)
+        out = eval_expr(
+            'classify(model(m), search(docs), field="toks")',
+            {"m": model, "docs": toks},
+        )
+        return out.select(
+            "docid",
+            F.round("probability_d", 4).alias("prob"),
+            F.col("prediction_i").alias("pred"),
+        ).orderBy("docid")
+
+    q["stream_expr_classify"] = stream_expr_classify
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -2757,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_near", "surround_trunc", "score_join_modes",
         "payload_score_sum", "payload_check_eq",
         "stream_expr_strings", "stream_expr_dates",
+        "eval_array_math", "stream_expr_reduce", "stream_expr_features",
+        "stream_expr_classify",
         # LLM-pipeline gates (in-repo twins only until now)
         "sessionize_events", "pii_scrub_docs", "contamination_docs",
         "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
@@ -3366,6 +3459,63 @@ scored AS (
                second(ts)::INT AS sec, weekofyear(ts)::INT AS wk,
                epoch_ms(ts)::BIGINT AS ep_ms
         FROM events WHERE day(ts) = 15 ORDER BY event_id"""
+
+    o["eval_array_math"] = """
+        WITH t AS (
+          SELECT o_orderkey,
+                 ((o_orderkey % 7) + 1)::DOUBLE AS a,
+                 ((o_custkey % 5) + 1)::DOUBLE AS b,
+                 ((o_orderkey % 3) + 1)::DOUBLE AS c
+          FROM orders WHERE o_orderkey BETWEEN 1 AND 400)
+        SELECT o_orderkey,
+               round(((a + b) + c) / 3, 4) AS m,
+               round((((a*a + b*b) + c*c)
+                      - (3 * (((a + b) + c) / 3)) * (((a + b) + c) / 3)) / 2,
+                     4) AS v,
+               round(((a * 1.0) + b * 2.0) + c * 3.0, 4) AS dp,
+               round(sqrt((((a-2)*(a-2) + (b-2)*(b-2)) + (c-2)*(c-2))), 4)
+                 AS ed,
+               round(((a + b) + c) - greatest(a, b, c) - least(a, b, c), 4)
+                 AS med,
+               round((((b < a)::INT + (c < a)::INT) + 1
+                      + (1 + (b <= a)::INT + (c <= a)::INT)) / 2.0, 4) AS rk0,
+               round(sqrt((a*a + b*b) + c*c), 4) AS l2,
+               round(exp(((ln(a) + ln(b)) + ln(c)) / 3), 4) AS gm
+        FROM t ORDER BY o_orderkey"""
+
+    o["stream_expr_reduce"] = """
+        WITH r AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey ASC) AS rn
+          FROM orders WHERE o_orderkey BETWEEN 1 AND 2000)
+        SELECT o_orderpriority, o_orderkey,
+               round(o_totalprice, 2) AS price
+        FROM r WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey"""
+
+    o["stream_expr_features"] = ML.igain_terms_sql("lang = 'en'", 10, 5)
+
+    o["stream_expr_classify"] = f"""
+        WITH {_DOC_TOKS_SQL}
+        SELECT docid,
+               round(1.0 / (1.0 + exp(-(
+                 (((-0.2)
+                   + CASE WHEN list_contains(toks, 'spark') THEN 1.5
+                          ELSE 0.0 END)
+                  + CASE WHEN list_contains(toks, 'table') THEN -0.7
+                         ELSE 0.0 END)
+                 + CASE WHEN list_contains(toks, 'window') THEN 0.9
+                        ELSE 0.0 END))), 4) AS prob,
+               (1.0 / (1.0 + exp(-(
+                 (((-0.2)
+                   + CASE WHEN list_contains(toks, 'spark') THEN 1.5
+                          ELSE 0.0 END)
+                  + CASE WHEN list_contains(toks, 'table') THEN -0.7
+                         ELSE 0.0 END)
+                 + CASE WHEN list_contains(toks, 'window') THEN 0.9
+                        ELSE 0.0 END))) > 0.5)::INT AS pred
+        FROM toks WHERE docid <= 300 ORDER BY docid"""
 
     o["score_join_modes"] = """
         WITH frm AS (

@@ -34,10 +34,33 @@ Supported functions (one per reference stream class):
   list(s1, s2, ...) / plist(s1, s2, ...)                 ListStream/ParallelListStream
   update(dest, stream) / daemon(update(...), ...)        UpdateStream/DaemonStream
   eval(stream) / executor(stream)                        EvalStream/ExecutorStream
+  reduce(stream, by=, group(sort=, n=))                  ReducerStream+GroupOperation
+  parallel(coll, stream, workers=, sort=)                ParallelStream
+  null(stream) / commit(dest, update(...))               NullStream/CommitStream
+  delete(dest, stream, id=)                              DeleteStream
+  topic(ckpt, coll, q=, id=)                             TopicStream (one-shot)
+  features(coll, field=, outcome=, numTerms=)            FeaturesSelectionStream
+  train(coll, features(...), field=, outcome=)           TextLogitStream
+  model(path|coll) / classify(model, stream, field=)     ModelStream/ClassifyStream
 
-Metrics inside rollup: sum/avg/min/max(col), count(*).
+Metrics inside rollup: sum/avg/min/max(col), count(*), countDist, std,
+per(col, P), wsum(col, w).
 q= filters are conjunctive `field:value` pairs (+ bare `*:*`); ranges
 `field:[a TO b]` are typed off the column.
+
+Evaluators (io.eval.*, Lang.java:130-373) compile to Columns inside
+select()/having(): boolean (eq/gt/lt/gteq/lteq/and/or/not/eor/if/
+isNull/notNull), arithmetic (add/sub/mult/div/mod/pow + abs/round/ceil/
+floor/sqrt/log/ln/log10/precision), string (upper/lower/trim/concat/
+split/replace/valueAt), temporal (year..quarter/epoch-millis), and the
+math-expression array layer — array/sequence/zeros/ones/natural/addAll/
+copyOfRange/rev/asc/desc/length, scalar*/ebe* element-wise ops, unitize/
+zscores/rank/movingAvg/diff, mean/var/stddev/median/percentile/
+geometricMean/harmonicMean/l1norm/norm, dotProduct/cosineSimilarity/
+euclideanDistance/manhattanDistance/corr/cov — each a higher-order-
+function Column (transform/zip_with/aggregate/slice), so the
+reference's client-side double[] math runs distributed per-row inside
+whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -533,6 +556,190 @@ def _eval(node, tables) -> DataFrame:
             res = _eval(parse_expr(expr_s), tables)
             out.append((expr_s, int(res.count())))
         return spark.createDataFrame(out, "expr_s string, rows long")
+    if name == "reduce":
+        # reduce(stream, by="k", group(sort="x desc", n=4)) —
+        # ReducerStream + GroupOperation (io/stream/ReducerStream.java,
+        # io/ops/GroupOperation.java): partition by the key, keep each
+        # group's top-n under the group sort. Compiles to ONE window
+        # (no applyInPandas — the group op here is expressible as
+        # row_number, so it stays in codegen; arbitrary Python group ops
+        # are operators.streams.reduce_groups)
+        from pyspark.sql import Window
+
+        df = _eval(node.args[0], tables)
+        by = _fields(kw["by"])
+        group = next(
+            (a for a in node.args[1:] if isinstance(a, Call) and a.name == "group"),
+            None,
+        )
+        if group is None:
+            raise StreamExprError("reduce() needs a group(sort=..., n=...) op")
+        gsort = _sort_cols(group.kwargs["sort"])
+        gn = int(_unlit(group.kwargs["n"])) if "n" in group.kwargs else 1
+        w = Window.partitionBy(*by).orderBy(*gsort)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= gn)
+            .drop("_rn")
+            .orderBy(*[F.col(b).asc() for b in by], *gsort)
+        )
+    if name == "parallel":
+        # parallel(coll, stream, workers=N, sort=...) — ParallelStream
+        # fans the wrapped stream over N workers; Spark's executors ARE
+        # the workers (partition parallelism), so the compile is the
+        # inner plan plus the declared re-sort barrier
+        inner = next((a for a in node.args if isinstance(a, Call)), None)
+        if inner is None:
+            raise StreamExprError("parallel() needs a wrapped stream")
+        df = _eval(inner, tables)
+        return df.orderBy(*_sort_cols(kw["sort"])) if "sort" in kw else df
+    if name == "null":
+        # null(stream) — NullStream: drain the inner stream, emit ONE
+        # tuple with the drained count (the reference's parallel-warmup
+        # utility; the count() action is the drain)
+        df = _eval(node.args[0], tables)
+        n = df.count()
+        return df.sparkSession.createDataFrame([(int(n),)], "nullCount long")
+    if name == "commit":
+        # commit(dest, stream, batchSize=...) — CommitStream wraps an
+        # update() and issues the commit. Writes here publish via atomic
+        # snapshot/rename at update() time, so commit is the pass-through
+        # acknowledgement of the wrapped stream's summary
+        inner = next((a for a in node.args if isinstance(a, Call)), None)
+        if inner is None:
+            raise StreamExprError("commit() needs a wrapped stream")
+        return _eval(inner, tables)
+    if name == "delete":
+        # delete(dest, stream, id="docid") — DeleteStream: delete-by-id
+        # into the dest collection. The registry form anti-joins the id
+        # set out of the registered table and re-registers it (the
+        # index-backed form is index.maintenance.delete_by_df); emits the
+        # batch summary like update()
+        dest = str(_unlit(node.args[0]))
+        if dest not in tables:
+            raise StreamExprError(f"unknown collection {dest!r}")
+        df = _eval(node.args[1], tables)
+        id_col = str(_unlit(kw.get("id", ("lit", "id"))))
+        ids = df.select(F.col(id_col)).distinct()
+        before = tables[dest].count()
+        kept = tables[dest].join(F.broadcast(ids), id_col, "left_anti").cache()
+        n_kept = kept.count()
+        tables[dest] = kept
+        return df.sparkSession.createDataFrame(
+            [(int(before - n_kept),)], "totalDeleted long"
+        )
+    if name == "topic":
+        # topic(checkpoints, coll, q=..., id="docid") — TopicStream's
+        # batch one-shot: deliver rows the checkpoint set hasn't seen,
+        # then advance the checkpoint (register the delivered ids). The
+        # reference tracks per-shard _version_ highwater marks in a
+        # checkpoint collection; the registry form keeps the seen-id set
+        # as that collection (directory-growth topics are
+        # streaming/topic.topic_stream)
+        ckpt, coll = str(_unlit(node.args[0])), str(_unlit(node.args[1]))
+        if coll not in tables:
+            raise StreamExprError(f"unknown collection {coll!r}")
+        id_col = str(_unlit(kw.get("id", ("lit", "docid"))))
+        df = tables[coll]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        if ckpt in tables:
+            df = df.join(
+                F.broadcast(tables[ckpt].select(id_col)), id_col, "left_anti"
+            )
+        delivered = df.cache()
+        delivered.count()
+        seen = delivered.select(id_col)
+        tables[ckpt] = (
+            tables[ckpt].select(id_col).unionByName(seen).distinct().cache()
+            if ckpt in tables
+            else seen.cache()
+        )
+        return delivered
+    if name == "features":
+        # features(coll, field="toks", outcome="label", numTerms=N) —
+        # FeaturesSelectionStream: top terms by information gain
+        from solr_spark.operators import ml as ML
+
+        tbl = str(_unlit(node.args[0]))
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        field = str(_unlit(kw.get("field", ("lit", "toks"))))
+        outcome = str(_unlit(kw.get("outcome", ("lit", "label"))))
+        n_terms = int(_unlit(kw["numTerms"])) if "numTerms" in kw else 10
+        min_df = int(_unlit(kw["minDocFreq"])) if "minDocFreq" in kw else 5
+        toks = df.select("docid", F.col(field).alias("toks"))
+        labels = df.select("docid", F.col(outcome).alias("label"))
+        return ML.igain_terms(toks, labels, limit=n_terms, min_df=min_df)
+    if name == "train":
+        # train(coll, features(...), field=, outcome=, maxIterations=) —
+        # TextLogitStream: logistic regression over the selected term-
+        # presence features; emits the model as (term_s, weight_d) rows
+        # plus the intercept row, the reference's model-tuple shape
+        from solr_spark.operators import ml as ML
+
+        tbl = str(_unlit(node.args[0]))
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        feats_node = next(
+            (a for a in node.args[1:] if isinstance(a, Call)), None
+        )
+        if feats_node is not None:
+            feats = [
+                r["term"] for r in _eval(feats_node, tables).collect()
+            ]
+        elif "features" in kw:
+            feats = _fields(kw["features"])
+        else:
+            raise StreamExprError("train() needs features(...) or features=")
+        field = str(_unlit(kw.get("field", ("lit", "toks"))))
+        outcome = str(_unlit(kw.get("outcome", ("lit", "label"))))
+        max_iter = (
+            int(_unlit(kw["maxIterations"])) if "maxIterations" in kw else 30
+        )
+        toks = df.select("docid", F.col(field).alias("toks"))
+        labels = df.select("docid", F.col(outcome).alias("label"))
+        model, _ = ML.textlogit_train(toks, labels, feats, max_iter=max_iter)
+        spark = df.sparkSession
+        rows = [
+            (t, float(w)) for t, w in zip(feats, model.coefficients.toArray())
+        ] + [("__intercept__", float(model.intercept))]
+        return spark.createDataFrame(rows, "term_s string, weight_d double")
+    if name == "model":
+        # model(path | coll, id=...) — ModelStream: fetch a stored
+        # model's tuples. A quoted arg is a model_store parquet path; a
+        # bare identifier is a registered (term_s, weight_d) table
+        dest = node.args[0]
+        if dest[0] == "lit":
+            spark = _any_session(tables)
+            return spark.read.parquet(str(dest[1]))
+        if str(dest[1]) not in tables:
+            raise StreamExprError(f"unknown model collection {dest[1]!r}")
+        return tables[str(dest[1])]
+    if name == "classify":
+        # classify(model(...), stream, field="toks") — ClassifyStream:
+        # score each tuple with the fetched logistic model. The model is
+        # tiny (feature-count rows) so it collects to the driver and the
+        # score compiles to pure Column arithmetic: sigmoid(b + Σ w_t ·
+        # presence(t)) — whole-stage codegen, no per-row Python
+        model_df = _eval(node.args[0], tables)
+        docs = _eval(node.args[1], tables)
+        field = str(_unlit(kw.get("field", ("lit", "toks"))))
+        rows = {r[0]: float(r[1]) for r in model_df.collect()}
+        b = rows.pop("__intercept__", 0.0)
+        z = F.lit(b)
+        for t, w in sorted(rows.items()):
+            z = z + F.when(
+                F.array_contains(F.col(field), t), F.lit(w)
+            ).otherwise(F.lit(0.0))
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return docs.withColumn("probability_d", prob).withColumn(
+            "prediction_i", (prob > 0.5).cast("int")
+        )
     raise StreamExprError(f"unknown stream function {name!r}")
 
 
@@ -588,6 +795,275 @@ _EVAL_TEMPORAL = {
 }
 
 
+# ---- math/array evaluators (tranche 5) ----
+#
+# The reference's math-expression layer (Lang.java:130-373 registers the
+# io.eval.* classes: ArrayEvaluator, SequenceEvaluator, MeanEvaluator,
+# VarianceEvaluator, PercentileEvaluator, DotProductEvaluator,
+# CosineSimilarityEvaluator, EuclideanDistanceEvaluator, ScalarAdd/.../
+# EbeAdd/..., NormalizeEvaluator, MovingAverageEvaluator,
+# CorrelationEvaluator, CovarianceEvaluator, RankEvaluator, ...) runs
+# single-node on the client JVM over materialized tuples. Here each
+# evaluator compiles to a Spark HIGHER-ORDER-FUNCTION Column over array
+# fields — transform/zip_with/aggregate/slice stay inside codegen, so
+# "client-side math" becomes distributed per-row math with no Python in
+# the data path. All numeric array ops compute in double, like the
+# reference's double[] pipelines.
+
+def _as_d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def _arr_d(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _asum(a: Column) -> Column:
+    """Left-to-right double sum of an array (Kahan-free, matching the
+    reference's sequential loop — and the documented arithmetic order the
+    DuckDB oracle twins mirror)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def _amean(a: Column) -> Column:
+    return _jdiv(_asum(a), F.size(a).cast("double"))
+
+
+def _avariance(a: Column) -> Column:
+    """Sample variance, commons-math Variance (bias-corrected):
+    (Σx² − n·mean²) / (n−1)."""
+    n = F.size(a).cast("double")
+    m = _amean(a)
+    sumsq = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    # commons-math Variance: a single value has zero variance (not NaN)
+    return F.when(F.size(a) == 1, F.lit(0.0)).otherwise(
+        _jdiv(sumsq - n * m * m, n - F.lit(1.0))
+    )
+
+
+def _apercentile(a: Column, p: Column) -> Column:
+    """commons-math Percentile LEGACY estimation (what the reference's
+    PercentileEvaluator news up): pos = p·(n+1)/100 over the sorted
+    values; pos<1 → min, pos≥n → max, else linear interpolation between
+    the two straddled order statistics."""
+    s = F.array_sort(_arr_d(a))
+    n = F.size(a).cast("double")
+    pos = p.cast("double") * (n + F.lit(1.0)) / F.lit(100.0)
+    k = F.floor(pos).cast("int")
+    d = pos - F.floor(pos)
+    lower = F.element_at(s, k)
+    upper = F.element_at(s, k + F.lit(1))
+    return (
+        F.when(pos < 1.0, F.element_at(s, 1))
+        .when(pos >= n, F.element_at(s, F.size(a)))
+        .otherwise(lower + d * (upper - lower))
+    )
+
+
+def _adot(a: Column, b: Column) -> Column:
+    return _asum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def _jdiv(num: Column, den: Column) -> Column:
+    """Java-double division semantics for the evaluator layer: x/0 is
+    ±Infinity (NaN for 0/0), matching the reference's double[] math —
+    Spark's ANSI mode would otherwise abort the whole job on one
+    degenerate row (e.g. corr() against a constant array)."""
+    import math
+
+    return (
+        F.when(
+            den == 0.0,
+            F.when(num > 0, F.lit(math.inf))
+            .when(num < 0, F.lit(-math.inf))
+            .otherwise(F.lit(math.nan)),
+        )
+        .otherwise(num / F.when(den == 0.0, F.lit(1.0)).otherwise(den))
+    )
+
+
+def _al2(a: Column) -> Column:
+    return F.sqrt(_adot(a, a))
+
+
+def _math_eval(name: str, node) -> Column | None:
+    """Array/statistical evaluator dispatch; None = not a math name."""
+    A = lambda i: _bool_eval(node.args[i])  # noqa: E731
+
+    # construction
+    if name == "array":
+        return F.array(*[_bool_eval(a) for a in node.args])
+    if name == "sequence":
+        # sequence(length, start, stride) — SequenceEvaluator arg order
+        ln, st, sd = A(0).cast("long"), A(1).cast("long"), A(2).cast("long")
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), ln - 1), lambda i: st + i * sd
+        )
+    if name == "zeros":
+        return F.array_repeat(F.lit(0.0), A(0).cast("int"))
+    if name == "ones":
+        return F.array_repeat(F.lit(1.0), A(0).cast("int"))
+    if name == "natural":
+        return F.transform(
+            F.sequence(F.lit(0), A(0).cast("int") - 1),
+            lambda i: i.cast("double"),
+        )
+    if name == "addAll":
+        return F.concat(*[_bool_eval(a) for a in node.args])
+    if name == "copyOfRange":
+        # copyOfRange(arr, start, end) — 0-based [start, end)
+        start, end = A(1).cast("int"), A(2).cast("int")
+        return F.slice(A(0), start + 1, end - start)
+    if name == "rev":
+        return F.reverse(A(0))
+    if name == "asc":
+        return F.array_sort(A(0))
+    if name == "desc":
+        return F.reverse(F.array_sort(A(0)))
+    if name == "length":
+        return F.size(A(0))
+
+    # element-wise (scalar op array / array op array)
+    if name in ("scalarAdd", "scalarSubtract", "scalarMultiply", "scalarDivide"):
+        k = _as_d(A(0))  # scalarAdd(value, array) arg order
+        op = {
+            "scalarAdd": lambda x: x + k,
+            "scalarSubtract": lambda x: x - k,
+            "scalarMultiply": lambda x: x * k,
+            "scalarDivide": lambda x: _jdiv(x, k),
+        }[name]
+        return F.transform(A(1), lambda x: op(x.cast("double")))
+    if name in ("ebeAdd", "ebeSubtract", "ebeMultiply", "ebeDivide"):
+        op = {
+            "ebeAdd": lambda x, y: x + y,
+            "ebeSubtract": lambda x, y: x - y,
+            "ebeMultiply": lambda x, y: x * y,
+            "ebeDivide": lambda x, y: _jdiv(x, y),
+        }[name]
+        return F.zip_with(
+            A(0), A(1), lambda x, y: op(x.cast("double"), y.cast("double"))
+        )
+    if name == "unitize":
+        a = A(0)
+        nrm = _al2(a)
+        return F.transform(a, lambda x: _jdiv(x.cast("double"), nrm))
+    if name == "zscores":
+        a = A(0)
+        m, sd = _amean(a), F.sqrt(_avariance(a))
+        return F.transform(a, lambda x: _jdiv(x.cast("double") - m, sd))
+    if name == "rank":
+        # commons-math NaturalRanking, ties averaged: mean of the first
+        # and last 1-based positions the value would occupy
+        a = A(0)
+        return F.transform(
+            a,
+            lambda x: (
+                F.size(F.filter(a, lambda y: _as_d(y) < _as_d(x)))
+                + F.lit(1)
+                + F.size(F.filter(a, lambda y: _as_d(y) <= _as_d(x)))
+            ).cast("double")
+            / F.lit(2.0),
+        )
+    if name == "movingAvg":
+        # movingAvg(arr, window) -> length n-w+1
+        a, w = A(0), A(1).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), F.size(a) - w + 1),
+            lambda i: _jdiv(_asum(F.slice(a, i, w)), w.cast("double")),
+        )
+    if name == "diff":
+        # diff(arr[, lag]) — lagged differencing, length n-lag
+        a = A(0)
+        lag = A(1).cast("int") if len(node.args) > 1 else F.lit(1)
+        n = F.size(a)
+        return F.zip_with(
+            F.slice(a, lag + 1, n - lag),
+            F.slice(a, 1, n - lag),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        )
+
+    # reductions
+    if name == "mean":
+        return _amean(A(0))
+    if name in ("var", "variance"):
+        return _avariance(A(0))
+    if name == "stddev":
+        return F.sqrt(_avariance(A(0)))
+    if name == "geometricMean":
+        a = A(0)
+        return F.exp(
+            F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.log(_as_d(x)))
+            / F.size(a)
+        )
+    if name == "harmonicMean":
+        a = A(0)
+        return _jdiv(
+            F.size(a).cast("double"),
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + _jdiv(F.lit(1.0), _as_d(x))
+            ),
+        )
+    if name == "median":
+        return _apercentile(A(0), F.lit(50.0))
+    if name == "percentile":
+        return _apercentile(A(0), A(1))
+    if name == "l1norm":
+        return F.aggregate(
+            A(0), F.lit(0.0), lambda acc, x: acc + F.abs(_as_d(x))
+        )
+    if name == "norm":
+        return _al2(A(0))
+    if name == "dotProduct":
+        return _adot(A(0), A(1))
+    if name == "cosineSimilarity":
+        a, b = A(0), A(1)
+        return _jdiv(_adot(a, b), _al2(a) * _al2(b))
+    if name == "euclideanDistance":
+        return F.sqrt(
+            _asum(
+                F.zip_with(
+                    A(0), A(1),
+                    lambda x, y: (_as_d(x) - _as_d(y)) * (_as_d(x) - _as_d(y)),
+                )
+            )
+        )
+    if name == "manhattanDistance":
+        return _asum(
+            F.zip_with(A(0), A(1), lambda x, y: F.abs(_as_d(x) - _as_d(y)))
+        )
+    if name == "corr":
+        a, b = _arr_d(A(0)), _arr_d(A(1))
+        n = F.size(a).cast("double")
+        ma, mb = _amean(a), _amean(b)
+        sxy = _adot(a, b) - n * ma * mb
+        return _jdiv(
+            sxy,
+            F.sqrt(_adot(a, a) - n * ma * ma)
+            * F.sqrt(_adot(b, b) - n * mb * mb),
+        )
+    if name == "cov":
+        a, b = _arr_d(A(0)), _arr_d(A(1))
+        n = F.size(a).cast("double")
+        return _jdiv(_adot(a, b) - n * _amean(a) * _amean(b), n - F.lit(1.0))
+
+    # conditionals / null handling
+    if name == "if":
+        return F.when(_bool_eval(node.args[0]), A(1)).otherwise(A(2))
+    if name == "eor":
+        x, y = _bool_eval(node.args[0]), _bool_eval(node.args[1])
+        return x != y
+    if name == "isNull":
+        return A(0).isNull()
+    if name == "notNull":
+        return A(0).isNotNull()
+    if name == "precision":
+        # precision(x, digits) — PrecisionEvaluator rounds to N decimals
+        return F.round(A(0), int(_unlit(node.args[1])))
+    return None
+
+
 def _bool_eval(node) -> Column:
     if isinstance(node, tuple):
         if node[0] == "ident":
@@ -641,6 +1117,9 @@ def _bool_eval(node) -> Column:
         return out
     if name == "not":
         return ~_bool_eval(node.args[0])
+    m = _math_eval(name, node)
+    if m is not None:
+        return m
     if name.lower() in ("count", "sum", "avg", "min", "max"):
         # metric-shaped reference inside having(): names the upstream
         # rollup/facet output column ("sum(v)", "count(*)") — Solr's

@@ -268,3 +268,173 @@ def test_stream_evaluators_tranche4(spark):
         "having(select(t, id, quarter(ts) as qtr), eq(qtr, 4))", {"t": df}
     ).collect()
     assert [row["id"] for row in kept] == [2]
+
+
+def test_stream_evaluators_tranche5_math(spark):
+    """Array/statistical evaluators (Lang.java math registry tranche 5):
+    every op checked against a hand-computed value; all compile to
+    higher-order-function Columns (no Python in the data path)."""
+    import math
+
+    from solr_spark.plans.streamexpr import eval_expr
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0], [2.0, 2.0, 2.0, 2.0]),
+         (2, [5.0, 1.0, 1.0, 9.0], [1.0, 0.0, 1.0, 0.0])],
+        "id long, xs array<double>, ys array<double>",
+    )
+    out = eval_expr(
+        "select(t, id, mean(xs) as m, var(xs) as v, stddev(xs) as sd, "
+        "percentile(xs, 50) as med, median(xs) as med2, "
+        "dotProduct(xs, ys) as dp, cosineSimilarity(xs, ys) as cs, "
+        "euclideanDistance(xs, ys) as ed, manhattanDistance(xs, ys) as md, "
+        "l1norm(xs) as l1, norm(xs) as l2, corr(xs, ys) as r, "
+        "cov(xs, ys) as cv, rank(xs) as rk, movingAvg(xs, 2) as ma, "
+        "diff(xs) as dif, zscores(xs) as zs, scalarAdd(10, xs) as sa, "
+        "scalarMultiply(2, xs) as sm, ebeAdd(xs, ys) as ea, "
+        "ebeMultiply(xs, ys) as em, ebeDivide(xs, ys) as edv, "
+        "unitize(ys) as un, copyOfRange(xs, 1, 3) as cr, rev(xs) as rv, "
+        "asc(xs) as srt, desc(xs) as dsrt, length(xs) as n, "
+        "addAll(xs, ys) as cat, sequence(4, 2, 3) as sq, zeros(3) as z3, "
+        "ones(2) as o2, natural(3) as nat, geometricMean(xs) as gm, "
+        "harmonicMean(xs) as hm, if(gt(id, 1), 100, 200) as iff, "
+        "eor(gt(id, 1), lt(id, 10)) as xr, notNull(id) as nn, "
+        "precision(div(mean(xs), 3.0), 3) as pr)",
+        {"t": df},
+    )
+    r = {row["id"]: row for row in out.collect()}
+    a = r[1]
+    assert a["m"] == 2.5 and a["med"] == 2.5 == a["med2"]
+    assert abs(a["v"] - 5.0 / 3.0) < 1e-12
+    assert abs(a["sd"] - math.sqrt(5.0 / 3.0)) < 1e-12
+    assert a["dp"] == 20.0 and a["md"] == 4.0 and a["l1"] == 10.0
+    assert abs(a["l2"] - math.sqrt(30.0)) < 1e-12
+    assert abs(a["ed"] - math.sqrt(6.0)) < 1e-12
+    assert math.isnan(a["r"])  # constant ys: commons-math NaN, not abort
+    assert a["cv"] == 0.0
+    assert a["rk"] == [1.0, 2.0, 3.0, 4.0]
+    assert a["ma"] == [1.5, 2.5, 3.5] and a["dif"] == [1.0, 1.0, 1.0]
+    assert a["sa"] == [11.0, 12.0, 13.0, 14.0]
+    assert a["sm"] == [2.0, 4.0, 6.0, 8.0]
+    assert a["ea"] == [3.0, 4.0, 5.0, 6.0]
+    assert a["cr"] == [2.0, 3.0] and a["rv"] == [4.0, 3.0, 2.0, 1.0]
+    assert a["n"] == 4 and a["sq"] == [2, 5, 8, 11]
+    assert a["z3"] == [0.0, 0.0, 0.0] and a["o2"] == [1.0, 1.0]
+    assert a["nat"] == [0.0, 1.0, 2.0]
+    assert abs(a["gm"] - (24.0 ** 0.25)) < 1e-12
+    assert abs(a["hm"] - 4.0 / (1 + 0.5 + 1 / 3 + 0.25)) < 1e-12
+    assert a["iff"] == 200 and a["xr"] is True and a["nn"] is True
+    assert a["pr"] == 0.833
+    b = r[2]
+    assert b["rk"] == [3.0, 1.5, 1.5, 4.0]  # ties averaged
+    assert b["med"] == 3.0  # legacy pos=2.5 -> 1 + .5*(5-1)... sorted [1,1,5,9]
+    assert abs(b["r"] - (-0.30151134457776363)) < 1e-12
+    # ebeDivide hits y=0: Java double semantics (Infinity), no ANSI abort
+    assert b["edv"][1] == math.inf
+    # unitize of a zero-free norm
+    nrm = math.sqrt(2.0)
+    assert all(abs(u - y / nrm) < 1e-12 for u, y in zip(b["un"], [1, 0, 1, 0]))
+
+
+def test_stream_functions_tranche4(spark):
+    """Compiled reduce/parallel/null/commit/delete/topic — each against
+    the reference stream's documented semantics."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.plans.streamexpr import eval_expr
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i * 7 % 11)) for i in range(1, 31)],
+        "docid long, k string, v double",
+    )
+    t = {"tbl": df}
+
+    # reduce(): top-2 per key under v desc, = window row_number
+    red = eval_expr(
+        'reduce(search(tbl), by="k", group(sort="v desc, docid asc", n=2))', t
+    ).collect()
+    assert len(red) == 6
+    by_k = {}
+    for row in red:
+        by_k.setdefault(row["k"], []).append(row["v"])
+    import pandas as pd
+
+    pdf = df.toPandas()
+    for k, vs in by_k.items():
+        expect = sorted(pdf[pdf.k == k].v, reverse=True)[:2]
+        assert vs == expect
+
+    # parallel() wraps a stream; sort applies
+    par = eval_expr(
+        'parallel(tbl, search(tbl, q="k:g0"), workers=4, sort="docid asc")', t
+    )
+    ids = [r["docid"] for r in par.collect()]
+    assert ids == sorted(ids) and all(i % 3 == 0 for i in ids)
+
+    # null() drains and reports the count
+    assert eval_expr("null(search(tbl))", t).collect()[0]["nullCount"] == 30
+
+    # commit(update(...)) passes the update summary through
+    t2 = {"tbl": df}
+    summary = eval_expr(
+        'commit(dest, update(dest, search(tbl, q="k:g1")))', t2
+    ).collect()
+    assert summary[0]["batchIndexed"] == 10 and "dest" in t2
+
+    # delete() anti-joins the id set out of the registered collection
+    deleted = eval_expr(
+        'delete(tbl, search(tbl, q="k:g2"), id="docid")', t2
+    ).collect()
+    assert deleted[0]["totalDeleted"] == 10
+    assert t2["tbl"].count() == 20
+    assert t2["tbl"].where(F.col("k") == "g2").count() == 0
+
+    # topic(): delivers only unseen rows, checkpoint advances
+    t3 = {"tbl": df}
+    first = eval_expr('topic(ck, tbl, q="k:g0", id="docid")', t3)
+    assert first.count() == 10
+    again = eval_expr('topic(ck, tbl, q="k:g0", id="docid")', t3)
+    assert again.count() == 0
+    # new q widens the topic: only the NEW matches deliver
+    wider = eval_expr('topic(ck, tbl, q="*:*", id="docid")', t3)
+    assert wider.count() == 20
+
+
+def test_stream_train_model_classify(spark):
+    """features() -> train() -> model()/classify() compiled pipeline
+    (FeaturesSelectionStream/TextLogitStream/ModelStream/ClassifyStream):
+    a linearly separable corpus classifies perfectly end-to-end."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.plans.streamexpr import eval_expr
+
+    docs = spark.createDataFrame(
+        [(i,
+          (["spark", "fast"] if i % 2 == 0 else ["slow", "turtle"])
+          + ["common"],
+          1 - (i % 2))
+         for i in range(1, 41)],
+        "docid long, toks array<string>, label int",
+    )
+    t = {"docs": docs}
+    feats = eval_expr(
+        'features(docs, field="toks", outcome="label", numTerms=4, '
+        "minDocFreq=2)", t
+    ).collect()
+    assert {r["term"] for r in feats} == {"spark", "fast", "slow", "turtle"}
+    # 'common' (in every doc) carries zero gain and is excluded
+
+    model = eval_expr(
+        "train(docs, features(docs, field=\"toks\", outcome=\"label\", "
+        'numTerms=4, minDocFreq=2), field="toks", outcome="label", '
+        "maxIterations=20)", t
+    )
+    rows = {r["term_s"]: r["weight_d"] for r in model.collect()}
+    assert rows["spark"] > 0 and rows["slow"] < 0  # signed the right way
+    t["m"] = model
+
+    scored = eval_expr('classify(model(m), search(docs), field="toks")', t)
+    ok = scored.where(F.col("prediction_i") == F.col("label")).count()
+    assert ok == 40
+    probs = scored.select("probability_d").collect()
+    assert all(0.0 <= r[0] <= 1.0 for r in probs)
