@@ -150,6 +150,35 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
         t_wall = time.time() - t_wall
         lat.sort()
 
+        # SERVED pool (round-5): the same distinct-query client pool
+        # through the QueryBatcher micro-batching front-end — waves of
+        # concurrent requests execute as ONE bm25_topk_batch plan, so
+        # the per-query driver planning that capped the raw pool at
+        # ~3 qps amortizes across each wave. Result cache OFF: every
+        # query still executes; this measures batching, not memoization.
+        from solr_spark.query.serving import QueryBatcher
+
+        batcher = QueryBatcher(
+            index, k=10, mode="OR", use_cache=False,
+            max_batch=64, max_wait_ms=8,
+        )
+
+        def one_served(job):
+            _, qtext, _, _ = job
+            t0 = time.time()
+            batcher.search(qtext)
+            return time.time() - t0
+
+        try:
+            one_served(jobs[0])  # warm the batch plan shape
+            t_srv = time.time()
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                lat_srv = list(pool.map(one_served, jobs))
+            t_srv = time.time() - t_srv
+        finally:
+            batcher.close()
+        lat_srv.sort()
+
         # batched formulation: the same workload as ONE distributed plan
         # (bm25_topk_batch) — this is the path whose throughput should
         # scale with cluster size; the concurrent-single-query pool above
@@ -174,6 +203,9 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
                 "qps": round(len(jobs) / t_wall, 2),
                 "p50_s": round(lat[len(lat) // 2], 3),
                 "p90_s": round(lat[int(len(lat) * 0.9)], 3),
+                "qps_served": round(len(jobs) / t_srv, 2),
+                "p50_served_s": round(lat_srv[len(lat_srv) // 2], 3),
+                "p90_served_s": round(lat_srv[int(len(lat_srv) * 0.9)], 3),
                 "qps_batch": round(len(batch_queries) / t_b, 2),
                 "batch_wall_s": round(t_b, 3),
                 "n_queries": len(jobs),
@@ -289,6 +321,51 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     t = time.time()
     cosine_topk(emb, qv, k=10).collect()
     queries["ann_cosine"] = round(time.time() - t, 3)
+
+    # --- sf1 block (round-5): the 10x-corpus comparison floor ---
+    # The 200k-doc suite is fixed-overhead-dominated (most queries <1 s);
+    # a 2M-doc single combined build + the same query suite gives the
+    # scale-honest numbers BENCH/BASELINE.md tracks from round 5 on.
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") == "1":
+        sf1_docs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_DOCS", "2000000"))
+        sf1: dict = {"bench_docs": sf1_docs}
+        big = synthesize_corpus(spark, sf1_docs, seed=42).persist()
+        big.count()  # generation outside the timed window
+        sf1["contention"] = _contention_markers()
+        d1 = f"{base}/solr_spark_bench/index_sf1_{cores}"
+        shutil.rmtree(d1, ignore_errors=True)
+        t0 = time.time()
+        big_idx = build_index(
+            spark, big, d1,
+            num_buckets=32, salt_threshold=20000, num_salts=8,
+            build_blocks=True, build_positions=True,
+        )
+        sf1["combined_build_s"] = round(time.time() - t0, 3)
+        sf1["docs_per_sec"] = round(sf1_docs / sf1["combined_build_s"], 1)
+        q1: dict = {}
+        for name, qtext, k, qmode in QUERY_SET:
+            times = []
+            for _ in range(3):
+                t = time.time()
+                bm25_topk(big_idx, qtext, k=k, mode=qmode).collect()
+                times.append(time.time() - t)
+            q1[name] = round(sorted(times)[1], 3)
+        for name, qtext, k, qmode in QUERY_SET:
+            if name not in WAND_SET:
+                continue
+            times = []
+            for _ in range(3):
+                t = time.time()
+                bm25_topk_wand(big_idx, qtext, k=k, mode=qmode).collect()
+                times.append(time.time() - t)
+            q1[f"{name}_wand"] = round(sorted(times)[1], 3)
+        t = time.time()
+        phrase_docids(big_idx, ["json", "parser"], slop=0).count()
+        q1["q_phrase_indexed"] = round(time.time() - t, 3)
+        sf1["queries"] = q1
+        big.unpersist()
+        shutil.rmtree(d1, ignore_errors=True)
+        res["sf1"] = sf1
 
     corpus.unpersist()
     spark.stop()

@@ -67,6 +67,13 @@ FILES_PER_BUCKET = 4
 #: the broadcast must be gated on a verified size, not assumed small)
 DELETES_BROADCAST_CAP = 2_000_000
 
+#: driver-side term-dictionary LRU capacity (entries are ~100-byte stat
+#: dicts incl. negative lookups, so 64k entries is a few MB — the same
+#: order as Lucene's TermInfosReader term-info cache / Solr's
+#: documentCache sizing). Hot query terms repeat heavily (Zipf), so a
+#: warm LRU removes the per-query dictionary-seek Spark job entirely.
+DICT_LRU_CAP = 65_536
+
 
 def _write_bucketed(
     df: DataFrame, path: str, num_buckets: int, sort_cols: tuple[str, ...]
@@ -255,6 +262,16 @@ class Index:
     paths: IndexPaths
     meta: dict = field(default_factory=dict)
     _ts_cache: object = field(default=None, init=False, repr=False)
+    #: driver-side caches, all tied to this handle's snapshot view —
+    #: Solr's caches hang off the SolrIndexSearcher and a commit opens
+    #: a new searcher with fresh caches (SolrIndexSearcher.java:123-124
+    #: filterCache/queryResultCache); here maintenance ops call
+    #: invalidate_caches() on the handle, the openSearcher analogue.
+    _df_cache: dict = field(default_factory=dict, init=False, repr=False)
+    _dict_lru: object = field(default=None, init=False, repr=False)
+    _qr_lru: object = field(default=None, init=False, repr=False)
+    _del_state: object = field(default=None, init=False, repr=False)
+    _gen: int = field(default=0, init=False, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "Index":
@@ -263,17 +280,56 @@ class Index:
             meta = json.load(f)
         return cls(spark, paths, meta)
 
+    def _read(self, path: str) -> DataFrame:
+        # memoized table handles: spark.read.parquet re-lists the dir +
+        # reads footers on EVERY call, which the concurrent-pool study
+        # measured as part of the ~0.3 s/query driver serialization.
+        # The directory is immutable between maintenance ops, which
+        # invalidate this cache (the new-searcher analogue).
+        df = self._df_cache.get(path)
+        if df is None:
+            df = self.spark.read.parquet(path)
+            self._df_cache[path] = df
+        return df
+
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docs)
+        return self._read(self.paths.docs)
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        return self._read(self.paths.postings)
 
     def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.blocks)
+        return self._read(self.paths.blocks)
 
     def positions(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.positions)
+        return self._read(self.paths.positions)
+
+    def invalidate_caches(self) -> None:
+        """Drop every driver-side cache on this handle: table handles,
+        the term-dictionary LRU, the query-result cache, the deletes
+        snapshot, and the persisted term_stats frame. Maintenance ops
+        (delete/expunge/merge/add/upsert) call this — the analogue of a
+        Solr commit opening a new searcher with cold caches."""
+        self._df_cache.clear()
+        self._dict_lru = None
+        self._qr_lru = None
+        self._del_state = None
+        self._gen += 1
+        if self._ts_cache is not None:
+            try:
+                self._ts_cache.unpersist()
+            except Exception:
+                pass
+            self._ts_cache = None
+
+    def _invalidate_deletes(self) -> None:
+        """Narrow invalidation after a sidecar append: the dictionary
+        and table handles stay valid (stats are build-time, files are
+        untouched) but the liveDocs view and any cached query RESULTS
+        are stale."""
+        self._del_state = None
+        self._qr_lru = None
+        self._gen += 1
 
     def term_stats(self) -> DataFrame:
         # the dictionary is hot (every query starts with a term->tid
@@ -294,20 +350,38 @@ class Index:
         """Distinct deleted docids (the liveDocs complement). Sidecar-
         sized: deletes accumulate between expunges, never corpus-sized
         in steady state (Lucene's deleted-docs ratio triggers merges the
-        same way expunge_deletes is the operator's lever here)."""
-        from solr_spark.sources.snapshots import read as snap_read
+        same way expunge_deletes is the operator's lever here).
 
-        return snap_read(self.spark, self.paths.deletes).select("docid").distinct()
+        Cached per sidecar VERSION: the manifest version is a cheap
+        local read, so cross-handle deletes are still seen, while the
+        frame + size estimate build once per snapshot instead of once
+        per query."""
+        return self._deletes_snapshot()[1]
+
+    def _deletes_snapshot(self):
+        from solr_spark.sources.snapshots import current_version
+        from solr_spark.sources.snapshots import read as snap_read
+        from solr_spark.sources.snapshots import total_rows
+
+        ver = current_version(self.paths.deletes)
+        if self._del_state is not None and self._del_state[0] == ver:
+            return self._del_state
+        ids = (
+            snap_read(self.spark, self.paths.deletes)
+            .select("docid")
+            .distinct()
+        )
+        est = total_rows(self.paths.deletes) if ver > 0 else 0
+        self._del_state = (ver, ids, est)
+        return self._del_state
 
     def deleted_rows_estimate(self) -> int | None:
         """Upper bound on the deletes sidecar size from manifest
         metadata alone (pre-dedup sum of per-batch counts; no Spark
         job). None when an old manifest lacks a count."""
-        from solr_spark.sources.snapshots import total_rows
-
         if not self.has_deletes():
             return 0
-        return total_rows(self.paths.deletes)
+        return self._deletes_snapshot()[2]
 
     def minus_deleted(self, df: DataFrame) -> DataFrame:
         """`df` anti-joined against the deletes sidecar. Broadcasts the
@@ -457,13 +531,23 @@ class Index:
                     [(fld, t) for t in terms]
                 ).items()
             }
+        out, misses = {}, []
+        for t in terms:
+            hit, s = self._dict_get((None, t))
+            if hit:
+                if s is not None:
+                    out[t] = s
+            else:
+                misses.append(t)
+        if not misses:
+            return out
         rows = (
             self.term_stats()
-            .where(F.col("bucket").isin(self.buckets_for(terms)))
-            .where(F.col("term").isin(terms))
+            .where(F.col("bucket").isin(self.buckets_for(misses)))
+            .where(F.col("term").isin(misses))
             .collect()
         )
-        out = {}
+        found = {}
         for r in rows:
             d = {"tid": r["tid"], "df": r["df"], "cttf": r["cttf"]}
             if "mtp" in r.__fields__:
@@ -473,8 +557,34 @@ class Index:
                     if r["skips"] is not None
                     else None
                 )
-            out[r["term"]] = d
+            found[r["term"]] = d
+        for t in set(misses):
+            d = found.get(t)
+            self._dict_put((None, t), d)  # negatives cached too
+            if d is not None:
+                out[t] = d
         return out
+
+    def _dict_get(self, key) -> tuple[bool, dict | None]:
+        """(hit, stats-or-None) from the term-dictionary LRU. A cached
+        None is a NEGATIVE entry (term absent from the index) — absent
+        terms repeat across queries just like present ones."""
+        from collections import OrderedDict
+
+        if self._dict_lru is None:
+            self._dict_lru = OrderedDict()
+        lru = self._dict_lru
+        if key in lru:
+            lru.move_to_end(key)
+            return True, lru[key]
+        return False, None
+
+    def _dict_put(self, key, val) -> None:
+        lru = self._dict_lru
+        lru[key] = val
+        lru.move_to_end(key)
+        while len(lru) > DICT_LRU_CAP:
+            lru.popitem(last=False)
 
     def term_stats_fielded(
         self, pairs: list[tuple[str, str]]
@@ -484,9 +594,19 @@ class Index:
         bucket pruning is by term, the field filter rides the same scan)."""
         if not pairs:
             return {}
-        terms = sorted({t for _, t in pairs})
-        flds = sorted({f for f, _ in pairs})
-        want = set(pairs)
+        out, miss_pairs = {}, []
+        for key in dict.fromkeys(pairs):  # de-dup, keep order
+            hit, s = self._dict_get(key)
+            if hit:
+                if s is not None:
+                    out[key] = s
+            else:
+                miss_pairs.append(key)
+        if not miss_pairs:
+            return out
+        terms = sorted({t for _, t in miss_pairs})
+        flds = sorted({f for f, _ in miss_pairs})
+        want = set(miss_pairs)
         rows = (
             self.term_stats()
             .where(F.col("bucket").isin(self.buckets_for(terms)))
@@ -494,7 +614,7 @@ class Index:
             .where(F.col("field").isin(flds))
             .collect()
         )
-        out = {}
+        found = {}
         for r in rows:
             if (r["field"], r["term"]) not in want:
                 continue
@@ -506,7 +626,12 @@ class Index:
                     if r["skips"] is not None
                     else None
                 )
-            out[(r["field"], r["term"])] = d
+            found[(r["field"], r["term"])] = d
+        for key in miss_pairs:
+            d = found.get(key)
+            self._dict_put(key, d)
+            if d is not None:
+                out[key] = d
         return out
 
 

@@ -66,6 +66,9 @@ def delete_by_df(index: Index, docids_df: DataFrame) -> int:
         n = batch.count()
         if n:
             publish(index.paths.deletes, batch, mode="append", n_rows=n)
+            # the dictionary/table caches stay valid (stats are
+            # build-time) but cached liveDocs + query RESULTS are stale
+            index._invalidate_deletes()
         return int(n)
     finally:
         batch.unpersist()
@@ -146,6 +149,10 @@ def expunge_deletes(index: Index) -> dict:
         _write_bucketed(live_pos, tmp_pos, num_buckets, ("tid", "docid", "pos"))
         _swap_dir(tmp_pos, paths.positions)
 
+    # the swapped dirs invalidate any memoized table handles NOW, not
+    # just at the end — later steps must list the new files
+    index._df_cache.clear()
+
     multi_field = bool(index.meta.get("fields"))
     if index.meta.get("has_blocks") and not multi_field:
         _reencode_blocks(index)
@@ -167,16 +174,11 @@ def expunge_deletes(index: Index) -> dict:
 
 
 def _drop_ts_cache(index: Index) -> None:
-    """Unpersist + forget the cached dictionary DataFrame (the handle
-    caches term_stats persisted; dropping the reference without
-    unpersisting leaks a persisted DF per maintenance op in long-lived
-    sessions)."""
-    if index._ts_cache is not None:
-        try:
-            index._ts_cache.unpersist()
-        except Exception:
-            pass
-    index._ts_cache = None
+    """Full handle-cache invalidation after an on-disk rewrite: the
+    persisted term_stats frame, the term-dictionary LRU, memoized table
+    handles, query-result cache and deletes snapshot all reflect the OLD
+    files. The commit-opens-a-new-searcher analogue."""
+    index.invalidate_caches()
 
 
 def _reencode_blocks(index: Index) -> None:

@@ -543,18 +543,27 @@ def _eval(node, tables) -> DataFrame:
         # and emit one summary tuple per task. The expression strings are
         # collected to the driver (the reference's task queue is likewise
         # driver-side and bounded); each compiled job is a distributed
-        # Spark plan, and independent jobs run concurrently via the
-        # scheduler — threads= is accepted and ignored.
+        # Spark plan, and threads=N runs N of them concurrently — Spark's
+        # scheduler interleaves the independent jobs across task slots,
+        # so the thread pool is the ExecutorStream worker-pool analogue.
         inner = _eval(node.args[0], tables)
         rows = inner.select("expr_s").collect()
         if not rows:
             raise StreamExprError("executor(): inner stream is empty")
         spark = inner.sparkSession
-        out = []
-        for r in rows:
-            expr_s = str(r["expr_s"])
-            res = _eval(parse_expr(expr_s), tables)
-            out.append((expr_s, int(res.count())))
+        n_threads = int(_unlit(kw.get("threads", 1)) or 1)
+
+        def _one(expr_s: str) -> tuple[str, int]:
+            return expr_s, int(_eval(parse_expr(expr_s), tables).count())
+
+        exprs = [str(r["expr_s"]) for r in rows]
+        if n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                out = list(pool.map(_one, exprs))
+        else:
+            out = [_one(e) for e in exprs]
         return spark.createDataFrame(out, "expr_s string, rows long")
     if name == "reduce":
         # reduce(stream, by="k", group(sort="x desc", n=4)) —

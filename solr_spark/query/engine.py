@@ -31,6 +31,11 @@ from solr_spark.analysis.analyzer import tokenize_py
 from solr_spark.functions.bm25 import idf_py, tf_part_col
 from solr_spark.index.builder import Index
 
+#: query-term count up to which the scoring weights inline as a CASE
+#: WHEN chain instead of a broadcast qrel join (the chain is linear in
+#: terms; past a couple dozen the relation join plans better)
+QREL_INLINE_MAX = 24
+
 
 def analyze_query(qtext: str, index: Index | None = None) -> dict[str, int]:
     """query text -> {term: qtf} via the shared analysis chain.
@@ -76,18 +81,36 @@ def _scored_postings(
         stats = index.term_stats_for(list(qterms))
     if not stats:
         return spark.createDataFrame([], "docid long, contrib double"), 0
+    tids = [s["tid"] for s in stats.values()]
+    postings = (
+        index.postings_live()  # liveDocs: deleted docs never score
+        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
+        .where(F.col("tid").isin(tids))
+    )
+    if len(stats) <= QREL_INLINE_MAX:
+        # interactive fast path: the per-tid weight qtf*idf is a
+        # CONSTANT, so inline it as a chained CASE WHEN on tid instead
+        # of materializing a qrel DataFrame + broadcast join — no Py4J
+        # createDataFrame round-trip, no broadcast exchange to plan.
+        # Identical arithmetic to the join path (same float weights).
+        w = None
+        for t, s in stats.items():
+            weight = F.lit(float(qterms[t]) * idf_py(int(s["df"]), n_docs))
+            cond = F.col("tid") == int(s["tid"])
+            w = F.when(cond, weight) if w is None else w.when(cond, weight)
+        scored = postings.select(
+            "docid",
+            (w * tf_part_col(F.col("tf"), F.col("dl_q"), float(avgdl))).alias(
+                "contrib"
+            ),
+        )
+        return scored, len(stats)
     qrel = spark.createDataFrame(
         [
             (s["tid"], float(qterms[t]), idf_py(int(s["df"]), n_docs))
             for t, s in stats.items()
         ],
         "tid long, qtf double, idf double",
-    )
-    tids = [s["tid"] for s in stats.values()]
-    postings = (
-        index.postings_live()  # liveDocs: deleted docs never score
-        .where(F.col("bucket").isin(index.pbuckets_for(tids)))
-        .where(F.col("tid").isin(tids))
     )
     scored = postings.join(F.broadcast(qrel), "tid").select(
         "docid",

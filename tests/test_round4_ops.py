@@ -1253,6 +1253,24 @@ def test_streamexpr_executor(spark):
     assert tables["lo"].count() == 1 and tables["hi"].count() == 2
 
 
+def test_streamexpr_executor_threads(spark):
+    """executor(threads=N): the driver-side task queue drains through a
+    worker pool (ExecutorStream's thread pool); results are identical
+    to the serial path."""
+    from solr_spark.plans.streamexpr import eval_expr
+
+    t = spark.createDataFrame([(i, i * 10) for i in range(6)], "k long, v long")
+    jobs = spark.createDataFrame(
+        [(f'update(o{i}, search(t, q="k:[{i} TO {i}]"))',) for i in range(4)],
+        "expr_s string",
+    )
+    tables = {"t": t, "jobs": jobs}
+    got = eval_expr("executor(search(jobs), threads=3)", tables).collect()
+    assert sorted(r["rows"] for r in got) == [1, 1, 1, 1]
+    for i in range(4):
+        assert tables[f"o{i}"].count() == 1
+
+
 def test_word_break_suggest(spark):
     from solr_spark.operators.relevance import word_break_suggest
 
