@@ -1070,6 +1070,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_expr_classify"] = stream_expr_classify
 
+    # --- stream tranche 6 (round 5): facet2D/recNum/sql/hashRollup/knn ---
+    def stream_facet2d(s, d):
+        """Facet2DStream: top-3 o_orderpriority buckets, each with its
+        top-2 o_orderstatus sub-buckets by count — one grouped agg plus
+        two window ranks (no per-bucket refinement round-trips)."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        out = eval_expr(
+            'facet2D(orders, x="o_orderpriority", y="o_orderstatus", '
+            'dimensions="3,2", count(*))',
+            {"orders": _t(s, d, "orders")},
+        )
+        return out.select(
+            "o_orderpriority", "o_orderstatus",
+            F.col("count(*)").alias("cnt"),
+        )
+
+    q["stream_facet2d"] = stream_facet2d
+
+    def stream_recnum(s, d):
+        """RecNumStream: 0-based record numbers in explicit stream
+        order (by= names the sort; a distributed plan has no implicit
+        tuple order, so the window IS the sequential counter)."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        out = eval_expr(
+            'recNum(search(orders, q="o_orderpriority:1-URGENT", '
+            'fl="o_orderkey,o_totalprice"), by="o_orderkey asc")',
+            {"orders": _t(s, d, "orders")},
+        )
+        return out.where(F.col("recNum") < 100).orderBy("recNum")
+
+    q["stream_recnum"] = stream_recnum
+
+    def stream_sql(s, d):
+        """ParallelSQL via the stream registry: sql(stmt=...) exposes
+        the bound collections as views and hands the statement to
+        Catalyst (the reference routes to Calcite over streams)."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        return eval_expr(
+            'sql(stmt="SELECT o_orderstatus, count(*) AS cnt, '
+            "round(sum(o_totalprice), 2) AS total FROM orders "
+            'GROUP BY o_orderstatus ORDER BY o_orderstatus")',
+            {"orders": _t(s, d, "orders")},
+        )
+
+    q["stream_sql"] = stream_sql
+
+    def stream_hashrollup(s, d):
+        """HashRollupStream == rollup without the sorted-input contract;
+        both compile to the same partial+final hash aggregate."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        out = eval_expr(
+            'sort(hashRollup(search(lineitem, fl="l_returnflag,l_quantity,'
+            'l_extendedprice"), over="l_returnflag", sum(l_quantity), '
+            'avg(l_extendedprice), count(*)), by="l_returnflag asc")',
+            {"lineitem": _t(s, d, "lineitem")},
+        )
+        return out.select(
+            "l_returnflag",
+            F.round(F.col("sum(l_quantity)"), 2).alias("sum_qty"),
+            F.round(F.col("avg(l_extendedprice)"), 4).alias("avg_price"),
+            F.col("count(*)").alias("cnt"),
+        )
+
+    q["stream_hashrollup"] = stream_hashrollup
+
+    def stream_knn_search(s, d):
+        """KnnStream (knnSearch): MoreLikeThis over the registry — the
+        target doc's idf-weighted top-5 terms pick the query, docs score
+        by summed matching-term weight. Two shuffles; the target term
+        vector is the only collected (broadcast-sized) piece."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        docs = _docs(s, d).select("doc_id", "text")
+        return eval_expr(
+            'knnSearch(docs, id="7", qf="text", k=15)', {"docs": docs}
+        )
+
+    q["stream_knn_search"] = stream_knn_search
+
     # --- combined search (q + fq + NOT), MLT, rerank, boost ---
     def search_filtered(s, d):
         docs = _docs(s, d)
@@ -2850,6 +2933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_expr_strings", "stream_expr_dates",
         "eval_array_math", "stream_expr_reduce", "stream_expr_features",
         "stream_expr_classify",
+        # stream tranche 6 (round-5 session adds)
+        "stream_facet2d", "stream_recnum", "stream_sql",
+        "stream_hashrollup", "stream_knn_search",
         # LLM-pipeline gates (in-repo twins only until now)
         "sessionize_events", "pii_scrub_docs", "contamination_docs",
         "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
@@ -4210,6 +4296,59 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                count(*) AS cnt
         FROM orders GROUP BY o_orderpriority HAVING count(*) > 100
         ORDER BY o_orderpriority"""
+
+    # --- stream tranche 6 (round 5) ---
+    o["stream_facet2d"] = """
+        WITH cells AS (
+          SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+          FROM orders GROUP BY 1, 2),
+        xt AS (
+          SELECT o_orderpriority, sum(cnt) AS xtot FROM cells
+          GROUP BY 1 ORDER BY xtot DESC, o_orderpriority LIMIT 3),
+        r AS (
+          SELECT c.o_orderpriority, c.o_orderstatus, c.cnt, xt.xtot,
+                 row_number() OVER (PARTITION BY c.o_orderpriority
+                                    ORDER BY c.cnt DESC, c.o_orderstatus) AS yr
+          FROM cells c JOIN xt USING (o_orderpriority))
+        SELECT o_orderpriority, o_orderstatus, cnt FROM r WHERE yr <= 2
+        ORDER BY xtot DESC, o_orderpriority, cnt DESC, o_orderstatus"""
+    o["stream_recnum"] = """
+        SELECT o_orderkey, o_totalprice, recNum FROM (
+          SELECT o_orderkey, o_totalprice,
+                 cast(row_number() OVER (ORDER BY o_orderkey) - 1 AS integer)
+                   AS recNum
+          FROM orders WHERE o_orderpriority = '1-URGENT')
+        WHERE recNum < 100 ORDER BY recNum"""
+    o["stream_sql"] = """
+        SELECT o_orderstatus, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    o["stream_hashrollup"] = """
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_extendedprice), 4) AS avg_price, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    o["stream_knn_search"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM documents),
+        tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+        target AS (
+          SELECT tk.term,
+                 count(*) * ln((n.n_docs - dfreq.df + 0.5)
+                               / (dfreq.df + 0.5) + 1.0) AS w
+          FROM tk JOIN dfreq ON tk.term = dfreq.term CROSS JOIN n
+          WHERE tk.doc_id = 7
+          GROUP BY tk.term, dfreq.df, n.n_docs
+          ORDER BY w DESC, tk.term LIMIT 5)
+        SELECT tk.doc_id, round(sum(target.w), 6) AS score
+        FROM (SELECT DISTINCT doc_id, term FROM tk) tk
+        JOIN target ON tk.term = target.term
+        WHERE tk.doc_id <> 7
+        GROUP BY tk.doc_id
+        ORDER BY score DESC, tk.doc_id LIMIT 15"""
 
     # --- scoreNodes ---
     o["score_nodes_custs"] = """

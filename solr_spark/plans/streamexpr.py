@@ -472,6 +472,206 @@ def _eval(node, tables) -> DataFrame:
         buckets = _fields(kw["over"])
         metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Call)]
         return df.groupBy(*buckets).agg(*metrics).orderBy(*buckets)
+    if name in ("shuffle", "export"):
+        # ShuffleStream / the /export handler: both are the full sorted
+        # sweep — search without the top-k score merge. Spark's scan IS
+        # the sweep; a sort= lands in a global orderBy (range-partition
+        # exchange), fl= prunes columns at the parquet reader.
+        node2 = Call("search")
+        node2.args, node2.kwargs = node.args, node.kwargs
+        return _eval(node2, tables)
+    if name == "noop":
+        # NoOpStream.java — identity passthrough (used to defeat
+        # wrapper-detection in parallel plans)
+        return _eval(node.args[0], tables)
+    if name == "sql":
+        # ParallelSQL ({!sql} / SqlHandler): the registry's tables are
+        # exposed as temp views and the statement runs through Catalyst
+        # — the reference hands SQL to Calcite over streaming sources;
+        # Spark's own SQL layer is the same role with a real optimizer.
+        stmt = str(_unlit(kw["stmt"] if "stmt" in kw else node.args[0]))
+        spark = _any_session(tables)
+        for k, v in tables.items():
+            if isinstance(v, DataFrame) and re.fullmatch(r"\w+", k):
+                v.createOrReplaceTempView(k)
+        return spark.sql(stmt)
+    if name == "calc":
+        # CalculatorStream: a one-tuple, zero-field source; evaluator
+        # fields are added by the enclosing select(calc(), expr as x)
+        return _any_session(tables).range(1).select()
+    if name == "hashRollup":
+        # HashRollupStream — same contract as rollup() without the
+        # sorted-input requirement; Spark's groupBy is already the
+        # hash-partial+final shape, so both names compile identically.
+        df = _eval(node.args[0], tables)
+        metrics = [_metric(a) for a in node.args[1:] if isinstance(a, Call)]
+        return S.rollup(df, _fields(kw["over"]), metrics)
+    if name == "facet2D":
+        # Facet2DStream: top-X x-buckets, each with its top-Y y-buckets
+        # by the metric (dimensions="X,Y"). One grouped agg + two window
+        # ranks — no per-bucket refinement round-trips.
+        from pyspark.sql.window import Window
+
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        if "q" in kw:
+            df = _q_filter(df, str(_unlit(kw["q"])))
+        xf, yf = str(_unlit(kw["x"])), str(_unlit(kw["y"]))
+        dx, dy = (int(v) for v in str(_unlit(kw["dimensions"])).split(","))
+        mnodes = [a for a in node.args[1:] if isinstance(a, Call)]
+        metric = _metric(mnodes[0]) if mnodes else F.count(F.lit(1)).alias("count(*)")
+        cells = df.groupBy(xf, yf).agg(metric)
+        mcol = cells.columns[-1]
+        xtot = (
+            cells.groupBy(xf)
+            .agg(F.sum(mcol).alias("_xtot"))
+            .orderBy(F.desc("_xtot"), xf)
+            .limit(dx)
+        )
+        ranked = cells.join(F.broadcast(xtot), xf).withColumn(
+            "_yrank",
+            F.row_number().over(
+                Window.partitionBy(xf).orderBy(F.desc(mcol), yf)
+            ),
+        )
+        return (
+            ranked.where(F.col("_yrank") <= dy)
+            .orderBy(F.desc("_xtot"), xf, F.desc(mcol), yf)
+            .select(xf, yf, mcol)
+        )
+    if name == "recNum":
+        # RecNumStream: a 0-based record number in stream order. Stream
+        # order must be explicit in a distributed plan — by= names the
+        # sort (defaults to every column ascending), and the row_number
+        # window is the single-ordering barrier the reference's
+        # sequential counter implies.
+        from pyspark.sql.window import Window
+
+        df = _eval(node.args[0], tables)
+        by = _sort_cols(kw["by"]) if "by" in kw else [
+            F.col(c).asc() for c in df.columns
+        ]
+        return df.withColumn(
+            "recNum", F.row_number().over(Window.orderBy(*by)) - 1
+        )
+    if name in ("parseCSV", "parseTSV"):
+        # CsvStream/TsvStream: parse a `line` field into typed-as-string
+        # fields. Over cat(): compiles to the native reader
+        # (spark.read.csv with header) — the scan parses, no Python.
+        # Over a generic stream: fields= names the columns and the line
+        # splits on the delimiter (quoted-comma handling deferred to the
+        # native reader path, as documented).
+        sep = "," if name == "parseCSV" else "\t"
+        inner = node.args[0]
+        if isinstance(inner, Call) and inner.name == "cat":
+            path = str(_unlit(inner.args[0]))
+            spark = _any_session(tables)
+            return spark.read.option("header", True).option("sep", sep).csv(path)
+        df = _eval(inner, tables)
+        cols = _fields(kw["fields"])
+        parts = F.split(F.col("line"), re.escape(sep))
+        return df.select(
+            *[F.element_at(parts, i + 1).alias(c) for i, c in enumerate(cols)]
+        )
+    if name == "cat":
+        # CatStream: emit (file, line) tuples from files under a path —
+        # spark.read.text with input_file_name, the distributed cat.
+        path = str(_unlit(node.args[0]))
+        spark = _any_session(tables)
+        return (
+            spark.read.text(path)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col("value").alias("line"),
+            )
+        )
+    if name in ("putCache", "getCache", "removeCache", "listCache"):
+        # stream caches (Lang: putCache/getCache/removeCache/listCache)
+        # — a driver-side registry keyed (space, key), holding
+        # MATERIALIZED streams (the reference caches tuple lists on the
+        # node; here the cached object is a cached DataFrame, so reuse
+        # skips recompute but stays distributed).
+        cache = tables.setdefault("__cache__", {})
+        spark = _any_session(tables)
+        space = str(_unlit(node.args[0]))
+        if name == "listCache":
+            keys = sorted(k for s, k in cache if s == space) or []
+            return spark.createDataFrame([(k,) for k in keys], "key string")
+        key = str(_unlit(node.args[1]))
+        if name == "putCache":
+            df = _eval(node.args[2], tables).cache()
+            n = df.count()
+            old = cache.get((space, key))
+            if old is not None:
+                old.unpersist()
+            cache[(space, key)] = df
+            return spark.createDataFrame([(int(n),)], "cached long")
+        if name == "getCache":
+            df = cache.get((space, key))
+            if df is None:
+                raise StreamExprError(f"cache miss: {space}/{key}")
+            return df
+        df = cache.pop((space, key), None)
+        if df is not None:
+            df.unpersist()
+        return spark.createDataFrame(
+            [(1 if df is not None else 0,)], "removed long"
+        )
+    if name == "knnSearch":
+        # KnnStream (knnSearch): MoreLikeThis over the registry — the
+        # target doc's terms weighted by idf pick the interesting terms,
+        # then docs score by summed matching-term idf. Two shuffles
+        # (token df agg + score agg); the target-doc term seek is one
+        # broadcast-sized collect, like the MLT handler's single-doc
+        # term vector fetch.
+        tbl = node.args[0][1]
+        if tbl not in tables:
+            raise StreamExprError(f"unknown collection {tbl!r}")
+        df = tables[tbl]
+        idf_, qf = str(_unlit(kw["id"])), str(_unlit(kw["qf"]))
+        k = int(_unlit(kw.get("k", 10)))
+        n_terms = int(_unlit(kw.get("mintf", 0)) or 0) or 5
+        idc = df.columns[0] if "id" not in df.columns else "id"
+        toks = df.select(
+            F.col(idc).alias("_kid"),
+            F.explode(
+                F.split(F.lower(F.col(qf)), r"[^a-z0-9]+")
+            ).alias("term"),
+        ).where(F.col("term") != "")
+        n_docs = df.count()
+        dfreq = toks.groupBy("term").agg(
+            F.count_distinct("_kid").alias("df")
+        )
+        target = (
+            toks.where(F.col("_kid") == idf_)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(dfreq, "term")
+            .withColumn(
+                "w",
+                F.col("tf")
+                * F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .orderBy(F.desc("w"), "term")
+            .limit(n_terms)
+        )
+        scored = (
+            toks.where(F.col("_kid") != idf_)
+            .distinct()
+            .join(F.broadcast(target.select("term", "w")), "term")
+            .groupBy("_kid")
+            .agg(F.round(F.sum("w"), 6).alias("score"))
+            .orderBy(F.desc("score"), "_kid")
+            .limit(k)
+            .select(F.col("_kid").alias(idc), "score")
+        )
+        return scored
     if name == "let":
         # let(a=<stream>, b=<stream>, <expr>) — binds names for the body
         # (LetStream.java); bindings see earlier bindings, body sees all
