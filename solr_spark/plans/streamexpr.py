@@ -987,11 +987,21 @@ _EVAL_ARITH = {
 _EVAL_UNARY = {
     "abs": F.abs, "round": F.round, "ceil": F.ceil, "floor": F.floor,
     "sqrt": F.sqrt, "log": F.log, "ln": F.log, "log10": F.log10,
+    # trig/hyperbolic tranche (Lang.java registers the commons-math
+    # wrappers Sin/Cos/.../TanhEvaluator; scalar form — the reference
+    # also maps them over lists, which here is transform(arr, sin))
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "cbrt": F.cbrt,
+    # RecipEvaluator: commons-math Inverse, 1/x
+    "recip": lambda c: _jdiv(F.lit(1.0), c.cast("double")),
 }
 #: string evaluators (Lang.java:130-373 registry: UpperEvaluator,
 #: LowerEvaluator, TrimEvaluator, SplitEvaluator, ReplaceOperator...)
 _EVAL_STR_UNARY = {
     "upper": F.upper, "lower": F.lower, "trim": F.trim,
+    "ltrim": F.ltrim, "rtrim": F.rtrim,
 }
 #: temporal evaluators (TemporalEvaluatorYear & friends; Solr returns
 #: Integer parts and epoch MILLISECONDS)
@@ -1257,6 +1267,340 @@ def _math_eval(name: str, node) -> Column | None:
         n = F.size(a).cast("double")
         return _jdiv(_adot(a, b) - n * _amean(a) * _amean(b), n - F.lit(1.0))
 
+    # ---- tranche 7 (round 5): scalers / windows / matrix / distances
+    if name == "trunc":
+        # TruncEvaluator: substring [0, n) of the string form
+        return F.substring(A(0).cast("string"), 1, int(_unlit(node.args[1])))
+    if name == "matches":
+        # MatchesEvaluator: boolean regex containment
+        return A(0).rlike(str(_unlit(node.args[1])))
+    if name == "coalesce":
+        return F.coalesce(*[_bool_eval(a) for a in node.args])
+    if name == "null" and not node.args:
+        # literal null in evaluator position (the stream null() is
+        # dispatched earlier, by arity: it wraps a stream argument)
+        return F.lit(None)
+    if name == "uuid":
+        return F.expr("uuid()")
+    if name == "repeat":
+        # RepeatEvaluator: repeat(6.5, 5) -> [6.5 x5]
+        return F.array_repeat(A(0), A(1).cast("int"))
+    if name == "distinct":
+        # stream().distinct() keeps first-occurrence order, as does Spark
+        return F.array_distinct(A(0))
+    if name == "countDist":
+        return F.size(F.array_distinct(A(0)))
+    if name == "indexOf":
+        # IndexOfEvaluator: string-compares elements, 0-based, -1 absent
+        return (
+            F.array_position(
+                F.transform(A(0), lambda x: x.cast("string")),
+                A(1).cast("string"),
+            ).cast("int")
+            - 1
+        )
+    if name == "binomialCoefficient":
+        # C(n,k) = prod_{i=1..k} (n-k+i)/i — exact in double for the
+        # ranges commons-math returns without overflow
+        n, k = A(0).cast("double"), A(1).cast("int")
+        return F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), k),
+                F.lit(1.0),
+                lambda acc, i: acc * (n - k.cast("double") + i.cast("double"))
+                / i.cast("double"),
+            )
+        ).cast("double")
+    if name == "mode":
+        # ModeEvaluator -> StatUtils.mode: ALL most-frequent values,
+        # ascending
+        a = A(0)
+        d = F.array_distinct(a)
+        cnt = lambda x: F.size(F.filter(a, lambda y: _as_d(y) == _as_d(x)))  # noqa: E731
+        mx = F.array_max(F.transform(d, cnt))
+        return F.array_sort(
+            F.transform(F.filter(d, lambda x: cnt(x) == mx), _as_d)
+        )
+    if name == "scale":
+        # ScaleEvaluator: scale(number, array) — commons MathArrays.scale
+        k = _as_d(A(0))
+        return F.transform(A(1), lambda x: x.cast("double") * k)
+    if name == "sumSq":
+        return F.aggregate(
+            A(0), F.lit(0.0), lambda acc, x: acc + _as_d(x) * _as_d(x)
+        )
+    if name == "l2norm":
+        return _al2(A(0))
+    if name == "linfnorm":
+        return F.array_max(F.transform(A(0), lambda x: F.abs(_as_d(x))))
+    if name == "normalizeSum":
+        # probability-normalize: x / sum(x)
+        a = A(0)
+        s = _asum(a)
+        return F.transform(a, lambda x: _jdiv(_as_d(x), s))
+    if name == "standardize":
+        # NormalizeEvaluator/standardize == zscores
+        a = A(0)
+        m, sd = _amean(a), F.sqrt(_avariance(a))
+        return F.transform(a, lambda x: _jdiv(_as_d(x) - m, sd))
+    if name == "minMaxScale":
+        a = A(0)
+        lo = _as_d(A(1)) if len(node.args) > 1 else F.lit(0.0)
+        hi = _as_d(A(2)) if len(node.args) > 2 else F.lit(1.0)
+        mn = F.array_min(_arr_d(a))
+        mx = F.array_max(_arr_d(a))
+        return F.transform(
+            a, lambda x: _jdiv(_as_d(x) - mn, mx - mn) * (hi - lo) + lo
+        )
+    if name == "meanDifference":
+        return _amean(F.zip_with(A(0), A(1), lambda x, y: _as_d(x) - _as_d(y)))
+    if name == "sumDifference":
+        return _asum(F.zip_with(A(0), A(1), lambda x, y: _as_d(x) - _as_d(y)))
+    if name in ("cosine",):
+        a, b = A(0), A(1)
+        return _jdiv(_adot(a, b), _al2(a) * _al2(b))
+    if name in ("euclidean", "manhattan", "canberra", "chebyshev",
+                "earthMovers", "distance"):
+        # DistanceEvaluator + the measure factories. The reference's
+        # distance(a, b, measure()) passes a commons-math
+        # DistanceMeasure; here the measure name itself is callable with
+        # two arrays, and distance(a, b[, measure(...)]) dispatches
+        # (default euclidean, like DistanceEvaluator).
+        if name == "distance":
+            a, b = A(0), A(1)
+            measure = (
+                node.args[2].name
+                if len(node.args) > 2 and isinstance(node.args[2], Call)
+                else "euclidean"
+            )
+        else:
+            a, b, measure = A(0), A(1), name
+        diff = lambda f: F.zip_with(a, b, lambda x, y: f(_as_d(x), _as_d(y)))  # noqa: E731
+        if measure == "euclidean":
+            return F.sqrt(_asum(diff(lambda x, y: (x - y) * (x - y))))
+        if measure == "manhattan":
+            return _asum(diff(lambda x, y: F.abs(x - y)))
+        if measure == "canberra":
+            # commons-math Canberra: 0/0 terms contribute 0
+            return _asum(
+                diff(
+                    lambda x, y: F.when(
+                        (x == 0.0) & (y == 0.0), F.lit(0.0)
+                    ).otherwise(F.abs(x - y) / (F.abs(x) + F.abs(y)))
+                )
+            )
+        if measure == "chebyshev":
+            return F.array_max(diff(lambda x, y: F.abs(x - y)))
+        if measure == "cosine":
+            return _jdiv(_adot(a, b), _al2(a) * _al2(b))
+        if measure == "earthMovers":
+            # commons EarthMoversDistance: emd_{i+1} = x_i + emd_i - y_i,
+            # result = sum |emd_i| — a running-sum fold
+            return F.get(
+                F.aggregate(
+                    F.zip_with(a, b, lambda x, y: _as_d(x) - _as_d(y)),
+                    F.array(F.lit(0.0), F.lit(0.0)),  # [emd, total]
+                    lambda acc, d: F.array(
+                        F.get(acc, 0) + d,
+                        F.get(acc, 1) + F.abs(F.get(acc, 0) + d),
+                    ),
+                ),
+                1,
+            )
+        raise StreamExprError(f"unknown distance measure {measure!r}")
+    if name == "expMovingAvg":
+        # ExponentialMovingAverageEvaluator: seed = mean of the first
+        # window, then ema' = ema + alpha*(v - ema) for values past the
+        # window; alpha defaults to 2/(window+1). Length n-w+1.
+        a, w = _arr_d(A(0)), A(1).cast("int")
+        alpha = (
+            _as_d(A(2))
+            if len(node.args) > 2
+            else F.lit(2.0) / (w.cast("double") + 1.0)
+        )
+        seed = F.array(_amean(F.slice(a, 1, w)))
+        return F.aggregate(
+            F.slice(a, w + 1, F.size(a) - w),
+            seed,
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.element_at(acc, -1) + alpha * (x - F.element_at(acc, -1))
+                ),
+            ),
+        )
+    if name == "movingMedian":
+        a, w = A(0), A(1).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), F.size(a) - w + 1),
+            lambda i: _apercentile(F.slice(a, i, w), F.lit(50.0)),
+        )
+    if name == "movingMAD":
+        # MovingMADEvaluator: mean |x - window mean| per window
+        a, w = A(0), A(1).cast("int")
+
+        def _mad(i):
+            win = _arr_d(F.slice(a, i, w))
+            m = _amean(win)
+            return _jdiv(
+                _asum(F.transform(win, lambda x: F.abs(x - m))),
+                w.cast("double"),
+            )
+
+        return F.transform(F.sequence(F.lit(1), F.size(a) - w + 1), _mad)
+    if name == "pairSort":
+        # PairSortEvaluator: sorts (x,y) pairs by x then y; returns the
+        # 2-row matrix [sorted x, paired y]
+        pairs = F.array_sort(
+            F.zip_with(
+                A(0), A(1), lambda x, y: F.struct(_as_d(x).alias("x"),
+                                                  _as_d(y).alias("y"))
+            )
+        )
+        return F.array(
+            F.transform(pairs, lambda p: p["x"]),
+            F.transform(pairs, lambda p: p["y"]),
+        )
+    # matrix algebra (MatrixEvaluator family) — a matrix is
+    # array<array<double>>, row-major like the reference's double[][]
+    if name == "matrix":
+        return F.array(*[_arr_d(_bool_eval(a)) for a in node.args])
+    if name == "transpose":
+        m = A(0)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(F.get(m, 0))),
+            lambda j: F.transform(m, lambda row: F.element_at(row, j)),
+        )
+    if name == "rowAt":
+        return F.get(A(0), A(1).cast("int"))
+    if name == "colAt":
+        m, j = A(0), A(1).cast("int")
+        return F.transform(m, lambda row: F.get(row, j))
+    if name == "rowCount":
+        return F.size(A(0))
+    if name == "columnCount":
+        return F.size(F.get(A(0), 0))
+    if name == "sumRows":
+        return F.transform(A(0), _asum)
+    if name == "sumColumns":
+        m = A(0)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(F.get(m, 0))),
+            lambda j: _asum(F.transform(m, lambda row: F.element_at(row, j))),
+        )
+    if name == "grandSum":
+        return _asum(F.transform(A(0), _asum))
+    if name == "matrixMult":
+        # C[i][j] = rowA_i . colB_j via transpose(B); nested transforms
+        # stay in codegen — fine for evaluator-sized matrices
+        a, b = A(0), A(1)
+        bt = F.transform(
+            F.sequence(F.lit(1), F.size(F.get(b, 0))),
+            lambda j: F.transform(b, lambda row: F.element_at(row, j)),
+        )
+        return F.transform(
+            a, lambda row: F.transform(bt, lambda col: _adot(row, col))
+        )
+    if name == "describe":
+        # DescribeEvaluator -> DescriptiveStatistics summary tuple
+        a = _arr_d(A(0))
+        return F.struct(
+            F.size(a).cast("long").alias("N"),
+            F.array_min(a).alias("min"),
+            F.array_max(a).alias("max"),
+            _amean(a).alias("mean"),
+            _asum(a).alias("sum"),
+            F.sqrt(_avariance(a)).alias("stdev"),
+            _avariance(a).alias("var"),
+        )
+    if name == "freqTable":
+        # FrequencyTableEvaluator: per distinct value (ascending) the
+        # count, percent, cumulative frequency and cumulative percent
+        a = _arr_d(A(0))
+        d = F.array_sort(F.array_distinct(a))
+        n = F.size(a).cast("double")
+        cnt = lambda x: F.size(F.filter(a, lambda y: y == x))  # noqa: E731
+        cum = lambda x: F.size(F.filter(a, lambda y: y <= x))  # noqa: E731
+        return F.transform(
+            d,
+            lambda x: F.struct(
+                x.alias("value"),
+                cnt(x).cast("long").alias("count"),
+                (cnt(x).cast("double") / n * 100.0).alias("pct"),
+                cum(x).cast("long").alias("cumFreq"),
+                (cum(x).cast("double") / n * 100.0).alias("cumPct"),
+            ),
+        )
+    if name == "hist":
+        # HistogramEvaluator: equal-width bins over [min, max]; per bin
+        # N/min/max/mean/sum like the commons EmpiricalDistribution
+        # summaries the reference serializes
+        a, nb = _arr_d(A(0)), A(1).cast("int")
+        mn, mx = F.array_min(a), F.array_max(a)
+        width = _jdiv(mx - mn, nb.cast("double"))
+
+        def _bin(i):
+            lo = mn + (i.cast("double") - 1.0) * width
+            hi = mn + i.cast("double") * width
+            inb = F.filter(
+                a,
+                lambda x: (x >= lo)
+                & (F.when(i == nb, x <= hi).otherwise(x < hi)),
+            )
+            return F.struct(
+                F.size(inb).cast("long").alias("N"),
+                lo.alias("binStart"),
+                hi.alias("binEnd"),
+                F.when(F.size(inb) > 0, _amean(inb)).alias("mean"),
+                F.when(F.size(inb) > 0, _asum(inb)).alias("sum"),
+            )
+
+        return F.transform(F.sequence(F.lit(1), nb), _bin)
+    if name == "regress":
+        # RegressionEvaluator: commons SimpleRegression over (x, y) —
+        # closed-form OLS compiled to arithmetic; the result tuple
+        # carries the fields predict()/residuals consume
+        x, y = _arr_d(A(0)), _arr_d(A(1))
+        n = F.size(x).cast("double")
+        mx_, my_ = _amean(x), _amean(y)
+        sxx = _adot(x, x) - n * mx_ * mx_
+        sxy = _adot(x, y) - n * mx_ * my_
+        syy = _adot(y, y) - n * my_ * my_
+        slope = _jdiv(sxy, sxx)
+        return F.struct(
+            slope.alias("slope"),
+            (my_ - slope * mx_).alias("intercept"),
+            _jdiv(sxy, F.sqrt(sxx * syy)).alias("R"),
+            _jdiv(sxy * sxy, sxx * syy).alias("RSquared"),
+            F.lit("regress").alias("type"),
+        )
+    if name == "predict":
+        # PredictEvaluator over a regress() tuple: scalar or array x
+        model = A(0)
+        xv = A(1)
+        pred = lambda v: model["intercept"] + model["slope"] * _as_d(v)  # noqa: E731
+        # the reference dispatches on runtime type (Number vs List); a
+        # Column's type isn't known at compile time, so dispatch on the
+        # AST shape: array-producing evaluator calls map element-wise
+        arr_names = {
+            "array", "sequence", "zeros", "ones", "natural", "addAll",
+            "copyOfRange", "rev", "asc", "desc", "colAt", "rowAt",
+            "scale", "scalarAdd", "scalarSubtract", "scalarMultiply",
+            "scalarDivide", "ebeAdd", "ebeSubtract", "ebeMultiply",
+            "ebeDivide", "unitize", "zscores", "standardize",
+            "normalizeSum", "minMaxScale", "movingAvg", "movingMedian",
+            "diff", "split", "distinct", "repeat",
+        }
+        if isinstance(node.args[1], Call) and node.args[1].name in arr_names:
+            return F.transform(xv, pred)
+        return pred(xv)
+    if name == "residuals":
+        model, x, y = A(0), A(1), A(2)
+        return F.zip_with(
+            x, y,
+            lambda xi, yi: _as_d(yi)
+            - (model["intercept"] + model["slope"] * _as_d(xi)),
+        )
     # conditionals / null handling
     if name == "if":
         return F.when(_bool_eval(node.args[0]), A(1)).otherwise(A(2))
