@@ -1009,6 +1009,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_array_math"] = eval_array_math
 
+    def eval_regress_describe(s, d):
+        """eval() tranche 7 — regression + descriptive-stat evaluators
+        (Lang.java: RegressionEvaluator, PredictEvaluator,
+        DescribeEvaluator) compiled to closed-form OLS Columns over
+        per-group arrays. regress().R is the Pearson correlation, so
+        DuckDB's regr_slope/regr_intercept/corr are exact twins; array
+        construction pairs (x, y) through ONE collect_list(struct) so
+        the two coordinates stay row-aligned."""
+        from solr_spark.plans.streamexpr import eval_expr
+
+        li = _t(s, d, "lineitem")
+        pairs = li.groupBy("l_returnflag").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_quantity").cast("double").alias("x"),
+                    (F.col("l_extendedprice") / 1000.0).alias("y"),
+                )
+            ).alias("p")
+        )
+        arr = pairs.select(
+            "l_returnflag",
+            F.transform("p", lambda e: e["x"]).alias("x"),
+            F.transform("p", lambda e: e["y"]).alias("y"),
+        )
+        out = eval_expr(
+            "select(search(g), l_returnflag, regress(x, y) as m, "
+            "describe(x) as dx, "
+            "precision(predict(regress(x, y), 25), 4) as p25)",
+            {"g": arr},
+        )
+        return out.select(
+            "l_returnflag",
+            F.round(F.col("m.slope"), 4).alias("slope"),
+            F.round(F.col("m.intercept"), 4).alias("intercept"),
+            F.round(F.col("m.R"), 6).alias("r"),
+            F.col("dx.N").alias("n"),
+            F.round(F.col("dx.min"), 4).alias("min_x"),
+            F.round(F.col("dx.max"), 4).alias("max_x"),
+            F.round(F.col("dx.mean"), 4).alias("mean_x"),
+            F.round(F.col("dx.stdev"), 4).alias("stdev_x"),
+            F.col("p25"),
+        ).orderBy("l_returnflag")
+
+    q["eval_regress_describe"] = eval_regress_describe
+
     def stream_expr_reduce(s, d):
         """Compiled reduce() + group() op (ReducerStream +
         GroupOperation): top-3 orders per priority by price — one
@@ -3545,6 +3590,23 @@ scored AS (
                second(ts)::INT AS sec, weekofyear(ts)::INT AS wk,
                epoch_ms(ts)::BIGINT AS ep_ms
         FROM events WHERE day(ts) = 15 ORDER BY event_id"""
+
+    o["eval_regress_describe"] = """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice/1000.0, l_quantity), 4)
+                 AS slope,
+               round(regr_intercept(l_extendedprice/1000.0, l_quantity), 4)
+                 AS intercept,
+               round(corr(l_extendedprice/1000.0, l_quantity), 6) AS r,
+               count(*) AS n,
+               round(min(l_quantity::DOUBLE), 4) AS min_x,
+               round(max(l_quantity::DOUBLE), 4) AS max_x,
+               round(avg(l_quantity::DOUBLE), 4) AS mean_x,
+               round(stddev_samp(l_quantity::DOUBLE), 4) AS stdev_x,
+               round(regr_intercept(l_extendedprice/1000.0, l_quantity)
+                     + regr_slope(l_extendedprice/1000.0, l_quantity) * 25,
+                     4) AS p25
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
     o["eval_array_math"] = """
         WITH t AS (

@@ -1617,6 +1617,321 @@ def _math_eval(name: str, node) -> Column | None:
     return None
 
 
+# ---- statistical evaluators (tranche 7b, round 5) ----
+#
+# Distributions, hypothesis tests, clustering and curve fitting — the
+# reference backs these with commons-math on the client JVM
+# (io/eval/*DistributionEvaluator, TTest/MannWhitneyU/KolmogorovSmirnov/
+# ChiSquareDataSet/GTestDataSet/AnovaEvaluator, Kmeans/MultiKmeans/
+# Dbscan/KnnEvaluator, PolyFit/OlsRegress/Convolution/FFTEvaluator).
+# Here a distribution value is a struct Column (dtype, p1, p2, data) and
+# every special-function consumer is an Arrow-batched pandas UDF over
+# solr_spark.functions.statseval — one Python call per batch, not per
+# row. Sampling takes a seed kwarg (default 0) for reproducibility; the
+# reference's unseeded Well19937c is the documented divergence.
+
+#: distribution constructor -> (dtype tag, arity) — arg order follows
+#: the commons-math constructors the reference evaluators call
+_DIST_CTORS = {
+    "normalDistribution": ("normal", 2),
+    "uniformDistribution": ("uniform", 2),
+    "uniformIntegerDistribution": ("uniformInt", 2),
+    "binomialDistribution": ("binomial", 2),
+    "poissonDistribution": ("poisson", 1),
+    "gammaDistribution": ("gamma", 2),
+    "betaDistribution": ("beta", 2),
+    "weibullDistribution": ("weibull", 2),
+    "logNormalDistribution": ("logNormal", 2),
+    "constantDistribution": ("constant", 1),
+    "geometricDistribution": ("geometric", 1),
+    "zipFDistribution": ("zipf", 2),
+    "triangularDistribution": ("triangular", 3),
+    "empiricalDistribution": ("empirical", 0),
+    "enumeratedDistribution": ("enumerated", 0),
+}
+
+_DIST_SCHEMA = (
+    "dtype string, p1 double, p2 double, data array<double>"
+)
+
+
+def _dist_struct(dtype: str, args: list[Column]) -> Column:
+    nil = F.lit(None).cast("double")
+    if dtype in ("empirical", "enumerated"):
+        return F.struct(
+            F.lit(dtype).alias("dtype"),
+            nil.alias("p1"),
+            nil.alias("p2"),
+            _arr_d(args[0]).alias("data"),
+        )
+    if dtype == "triangular":
+        # (low, mode) in p1/p2, high rides in data[0]
+        return F.struct(
+            F.lit(dtype).alias("dtype"),
+            _as_d(args[0]).alias("p1"),
+            _as_d(args[1]).alias("p2"),
+            F.array(_as_d(args[2])).alias("data"),
+        )
+    p2 = _as_d(args[1]) if len(args) > 1 else F.lit(0.0)
+    return F.struct(
+        F.lit(dtype).alias("dtype"),
+        _as_d(args[0]).alias("p1"),
+        p2.alias("p2"),
+        F.lit(None).cast("array<double>").alias("data"),
+    )
+
+
+def _pd_rows(fn, ret: str):
+    """Arrow-batched pandas UDF over row-aligned columns. The argument
+    columns are packed into ONE struct so the UDF has a fixed signature;
+    `fn` maps one row's python values to the return value. Arrow moves
+    the whole batch per call — one Python invocation per batch, not per
+    row of Spark-side dispatch."""
+    import pandas as pd
+
+    struct_ret = ret.strip().lower().startswith("struct")
+
+    def _udf(packed):
+        rows = [fn(*packed.iloc[i]) for i in range(len(packed))]
+        return pd.DataFrame(rows) if struct_ret else pd.Series(rows)
+
+    # assign real annotation objects: this module uses
+    # `from __future__ import annotations`, which would hand pyspark's
+    # type-hint inference unresolvable strings
+    _udf.__annotations__ = {
+        "packed": pd.DataFrame,
+        "return": pd.DataFrame if struct_ret else pd.Series,
+    }
+    _udf = F.pandas_udf(ret)(_udf)
+
+    def _call(*cols: Column) -> Column:
+        return _udf(F.struct(*[c.alias(f"_c{i}") for i, c in enumerate(cols)]))
+
+    return _call
+
+
+def _dist_args(c: Column) -> tuple:
+    return (c["dtype"], c["p1"], c["p2"], c["data"])
+
+
+def _stat_eval(name: str, node) -> Column | None:
+    from solr_spark.functions import statseval as SE
+
+    A = lambda i: _bool_eval(node.args[i])  # noqa: E731
+
+    if name in _DIST_CTORS:
+        dtype, _ = _DIST_CTORS[name]
+        return _dist_struct(dtype, [_bool_eval(a) for a in node.args])
+
+    if name == "cumulativeProbability":
+        fn = lambda t, p1, p2, d, x: SE.dist_cdf(t, p1, p2, d, x)  # noqa: E731
+        return _pd_rows(fn, "double")(*_dist_args(A(0)), _as_d(A(1)))
+    if name == "density":
+        fn = lambda t, p1, p2, d, x: SE.dist_density(t, p1, p2, d, x)  # noqa: E731
+        return _pd_rows(fn, "double")(*_dist_args(A(0)), _as_d(A(1)))
+    if name == "probability":
+        if len(node.args) > 2:
+            # continuous range form: P(lo <= X <= hi) = cdf(hi)-cdf(lo)
+            fn = lambda t, p1, p2, d, lo, hi: (  # noqa: E731
+                SE.dist_cdf(t, p1, p2, d, hi) - SE.dist_cdf(t, p1, p2, d, lo)
+            )
+            return _pd_rows(fn, "double")(
+                *_dist_args(A(0)), _as_d(A(1)), _as_d(A(2))
+            )
+        fn = lambda t, p1, p2, d, x: SE.dist_pmf(t, p1, p2, d, x)  # noqa: E731
+        return _pd_rows(fn, "double")(*_dist_args(A(0)), _as_d(A(1)))
+    if name == "sample":
+        n = _as_d(A(1)).cast("int") if len(node.args) > 1 else F.lit(1)
+        seed = int(_unlit(node.kwargs["seed"])) if "seed" in node.kwargs else 0
+        fn = lambda t, p1, p2, d, k: [  # noqa: E731
+            float(v) for v in SE.dist_sample(t, p1, p2, d, int(k), seed)
+        ]
+        return _pd_rows(fn, "array<double>")(*_dist_args(A(0)), n)
+
+    if name == "ttest":
+        ret = "struct<`t-statistic` double, `p-value` double>"
+        one_sample = isinstance(node.args[0], tuple) and node.args[0][0] != "ident"
+
+        def _t(a, b):
+            t, p = (
+                SE.ttest_onesample(float(a), list(b))
+                if one_sample
+                else SE.ttest(list(a), list(b))
+            )
+            return {"t-statistic": t, "p-value": p}
+
+        return _pd_rows(_t, ret)(A(0), A(1))
+    if name == "pairedTtest":
+        ret = "struct<`t-statistic` double, `p-value` double>"
+        fn = lambda a, b: dict(  # noqa: E731
+            zip(("t-statistic", "p-value"), SE.paired_ttest(list(a), list(b)))
+        )
+        return _pd_rows(fn, ret)(A(0), A(1))
+    if name == "mannWhitney":
+        ret = "struct<`u-statistic` double, `p-value` double>"
+        fn = lambda a, b: dict(  # noqa: E731
+            zip(("u-statistic", "p-value"), SE.mann_whitney(list(a), list(b)))
+        )
+        return _pd_rows(fn, ret)(A(0), A(1))
+    if name == "chiSquareDataSet":
+        ret = "struct<`chisquare-statistic` double, `p-value` double>"
+        fn = lambda a, b: dict(  # noqa: E731
+            zip(
+                ("chisquare-statistic", "p-value"),
+                SE.chi_square_dataset(list(a), list(b)),
+            )
+        )
+        return _pd_rows(fn, ret)(A(0), A(1))
+    if name == "gtestDataSet":
+        ret = "struct<`G-statistic` double, `p-value` double>"
+        fn = lambda a, b: dict(  # noqa: E731
+            zip(("G-statistic", "p-value"), SE.gtest_dataset(list(a), list(b)))
+        )
+        return _pd_rows(fn, ret)(A(0), A(1))
+    if name == "anova":
+        ret = "struct<`f-ratio` double, `p-value` double>"
+
+        def _anova(*groups):
+            f, p = SE.anova([list(g) for g in groups])
+            return {"f-ratio": f, "p-value": p}
+
+        return _pd_rows(_anova, ret)(*[_bool_eval(a) for a in node.args])
+    if name in ("ks", "kolmogorovSmirnov"):
+        first_is_dist = (
+            isinstance(node.args[0], Call) and node.args[0].name in _DIST_CTORS
+        )
+        if first_is_dist:
+            ret = "struct<`d-statistic` double, `p-value` double>"
+
+            def _ks1(t, p1, p2, d, sample):
+                import numpy as np
+
+                xs = np.sort(np.asarray(list(sample), float))
+                cdf = [SE.dist_cdf(t, p1, p2, d, v) for v in xs]
+                dstat, p = SE.ks_dist(cdf, xs)
+                return {"d-statistic": dstat, "p-value": p}
+
+            return _pd_rows(_ks1, ret)(*_dist_args(A(0)), A(1))
+        # two-sample form: the reference stores the P-VALUE under
+        # "d-statistic" (KolmogorovSmirnovEvaluator.java:60 quirk) —
+        # mirrored for parity
+        ret = "struct<`d-statistic` double>"
+        fn = lambda a, b: {"d-statistic": SE.ks_2samp(list(a), list(b))}  # noqa: E731
+        return _pd_rows(fn, ret)(A(0), A(1))
+
+    if name in ("kmeans", "multiKmeans"):
+        k = int(_unlit(node.args[1]))
+        trials = int(_unlit(node.args[2])) if name == "multiKmeans" else 1
+        max_iter = int(_unlit(node.kwargs.get("maxIterations", 50)))
+        ret = (
+            "struct<centroids array<array<double>>, clusters array<int>,"
+            " points array<array<double>>>"
+        )
+
+        def _km(m):
+            cent, assign = SE.kmeans(
+                [list(r) for r in m], k, max_iter=max_iter, trials=trials
+            )
+            return {
+                "centroids": [[float(v) for v in c] for c in cent],
+                "clusters": [int(c) for c in assign],
+                "points": [[float(v) for v in r] for r in m],
+            }
+
+        return _pd_rows(_km, ret)(A(0))
+    if name == "dbscan":
+        eps = float(_unlit(node.args[1]))
+        min_pts = int(_unlit(node.args[2]))
+        ret = (
+            "struct<centroids array<array<double>>, clusters array<int>,"
+            " points array<array<double>>>"
+        )
+
+        def _db(m):
+            import numpy as np
+
+            x = [list(r) for r in m]
+            labels = SE.dbscan(x, eps, min_pts)
+            xs = np.asarray(x, float)
+            cents = [
+                xs[labels == c].mean(axis=0).tolist()
+                for c in sorted(set(labels) - {-1})
+            ]
+            return {
+                "centroids": cents,
+                "clusters": [int(v) for v in labels],
+                "points": x,
+            }
+
+        return _pd_rows(_db, ret)(A(0))
+    if name == "getCentroids":
+        return A(0)["centroids"]
+    if name == "getCluster":
+        model, i = A(0), _bool_eval(node.args[1]).cast("int")
+        pairs = F.zip_with(
+            model["points"],
+            model["clusters"],
+            lambda p, c: F.struct(p.alias("p"), c.alias("c")),
+        )
+        return F.transform(
+            F.filter(pairs, lambda s: s["c"] == i), lambda s: s["p"]
+        )
+    if name == "knn":
+        # knn(matrix, vec, k): the k matrix rows nearest to vec by
+        # euclidean distance — comparator array_sort, stays in codegen
+        m, v, k = A(0), A(1), _bool_eval(node.args[2]).cast("int")
+        dist = lambda row: _asum(  # noqa: E731
+            F.zip_with(
+                row, v, lambda x, y: (_as_d(x) - _as_d(y)) * (_as_d(x) - _as_d(y))
+            )
+        )
+        srt = F.array_sort(
+            m,
+            lambda l, r: F.when(dist(l) < dist(r), -1)
+            .when(dist(l) > dist(r), 1)
+            .otherwise(0),
+        )
+        return F.slice(srt, 1, k)
+
+    if name == "polyfit":
+        args = node.args
+        if len(args) == 1:
+            cols, fn = [A(0)], lambda y: list(SE.polyfit_values(list(y)))
+        elif len(args) == 2 and isinstance(args[1], tuple) and args[1][0] != "ident":
+            deg = int(_unlit(args[1]))
+            cols, fn = [A(0)], lambda y: list(
+                SE.polyfit_values(list(y), degree=deg)
+            )
+        else:
+            deg = int(_unlit(args[2])) if len(args) > 2 else 3
+            cols, fn = [A(0), A(1)], lambda x, y: list(
+                SE.polyfit_values(list(y), list(x), degree=deg)
+            )
+        return _pd_rows(fn, "array<double>")(*cols)
+    if name == "olsRegress":
+        ret = (
+            "struct<regressionParameters array<double>, intercept double,"
+            " RSquared double, residuals array<double>>"
+        )
+        fn = lambda m, y: SE.ols_regress([list(r) for r in m], list(y))  # noqa: E731
+        return _pd_rows(fn, ret)(A(0), A(1))
+    if name == "conv":
+        fn = lambda a, b: [float(v) for v in SE.conv(list(a), list(b))]  # noqa: E731
+        return _pd_rows(fn, "array<double>")(A(0), A(1))
+    if name == "fft":
+        fn = lambda a: [  # noqa: E731
+            [float(v) for v in part] for part in SE.fft_pair(list(a))
+        ]
+        return _pd_rows(fn, "array<array<double>>")(A(0))
+    if name == "ifft":
+        fn = lambda m: [float(v) for v in SE.ifft_real(list(m[0]), list(m[1]))]  # noqa: E731
+        return _pd_rows(fn, "array<double>")(A(0))
+    if name == "finddelay":
+        fn = lambda a, b: SE.find_delay(list(a), list(b))  # noqa: E731
+        return _pd_rows(fn, "int")(A(0), A(1))
+    return None
+
+
 def _bool_eval(node) -> Column:
     if isinstance(node, tuple):
         if node[0] == "ident":
@@ -1671,6 +1986,9 @@ def _bool_eval(node) -> Column:
     if name == "not":
         return ~_bool_eval(node.args[0])
     m = _math_eval(name, node)
+    if m is not None:
+        return m
+    m = _stat_eval(name, node)
     if m is not None:
         return m
     if name.lower() in ("count", "sum", "avg", "min", "max"):
