@@ -495,3 +495,358 @@ def find_delay(a, b) -> int:
     b = np.asarray(b, float)
     xc = np.correlate(a, b, mode="full")
     return int(np.argmax(xc) - (len(b) - 1))
+
+
+# ----------------------------------------------- interpolation / fitting
+#
+# The reference wraps commons-math interpolators/fitters in
+# VectorFunction objects that serialize as fitted values and evaluate
+# via predict() (io/eval LerpEvaluator, SplineEvaluator,
+# AkimaEvaluator, LoessEvaluator, DerivativeEvaluator,
+# IntegrateEvaluator, HarmonicFitEvaluator, GaussFitEvaluator,
+# OscillateEvaluator, KnnRegressionEvaluator). Here a function value is
+# the (ftype, xs, ys, params) 4-tuple the struct Column carries;
+# `fn_predict` dispatches.
+
+
+def _natural_cubic_coeffs(x: np.ndarray, y: np.ndarray):
+    """Natural cubic spline second derivatives (classic tridiagonal
+    solve, Numerical Recipes spline())."""
+    n = len(x)
+    y2 = np.zeros(n)
+    u = np.zeros(n)
+    for i in range(1, n - 1):
+        sig = (x[i] - x[i - 1]) / (x[i + 1] - x[i - 1])
+        p = sig * y2[i - 1] + 2.0
+        y2[i] = (sig - 1.0) / p
+        u[i] = (
+            6.0
+            * (
+                (y[i + 1] - y[i]) / (x[i + 1] - x[i])
+                - (y[i] - y[i - 1]) / (x[i] - x[i - 1])
+            )
+            / (x[i + 1] - x[i - 1])
+            - sig * u[i - 1]
+        ) / p
+    for i in range(n - 2, -1, -1):
+        y2[i] = y2[i] * y2[i + 1] + u[i]
+    return y2
+
+
+def _spline_eval(x: np.ndarray, y: np.ndarray, y2: np.ndarray, v: float) -> float:
+    n = len(x)
+    klo = int(np.clip(np.searchsorted(x, v) - 1, 0, n - 2))
+    khi = klo + 1
+    h = x[khi] - x[klo]
+    a = (x[khi] - v) / h
+    b = (v - x[klo]) / h
+    return float(
+        a * y[klo]
+        + b * y[khi]
+        + ((a**3 - a) * y2[klo] + (b**3 - b) * y2[khi]) * h * h / 6.0
+    )
+
+
+def _akima_slopes(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Akima 1970 slope weighting (what commons AkimaSplineInterpolator
+    implements)."""
+    n = len(x)
+    m = np.diff(y) / np.diff(x)
+    mm = np.concatenate(
+        [[2 * m[0] - m[1], 2 * (2 * m[0] - m[1]) - m[0]][::-1], m,
+         [2 * m[-1] - m[-2], 2 * (2 * m[-1] - m[-2]) - m[-1]]]
+    )
+    t = np.zeros(n)
+    for i in range(n):
+        w1 = abs(mm[i + 3] - mm[i + 2])
+        w2 = abs(mm[i + 1] - mm[i])
+        t[i] = (
+            (w1 * mm[i + 1] + w2 * mm[i + 2]) / (w1 + w2)
+            if (w1 + w2) > 0
+            else (mm[i + 1] + mm[i + 2]) / 2.0
+        )
+    return t
+
+
+def _akima_eval(x, y, t, v: float) -> float:
+    n = len(x)
+    i = int(np.clip(np.searchsorted(x, v) - 1, 0, n - 2))
+    h = x[i + 1] - x[i]
+    s = (v - x[i]) / h
+    m = (y[i + 1] - y[i]) / h
+    # cubic hermite with akima slopes
+    h00 = 2 * s**3 - 3 * s**2 + 1
+    h10 = s**3 - 2 * s**2 + s
+    h01 = -2 * s**3 + 3 * s**2
+    h11 = s**3 - s**2
+    return float(h00 * y[i] + h10 * h * t[i] + h01 * y[i + 1] + h11 * h * t[i + 1])
+
+
+def _loess_eval(x, y, v: float, bandwidth: float = 0.3) -> float:
+    """Tricube-weighted local LINEAR regression at v (the smoothing
+    kernel commons LoessInterpolator uses; the reference then splines
+    the smoothed points — the direct local fit agrees on the data range
+    and is documented as the approximation)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    n = len(x)
+    r = max(2, int(math.ceil(bandwidth * n)))
+    d = np.abs(x - v)
+    idx = np.argsort(d, kind="stable")[:r]
+    dmax = d[idx].max() or 1.0
+    w = (1 - (d[idx] / dmax) ** 3) ** 3
+    xw, yw = x[idx], y[idx]
+    sw = w.sum()
+    mx, my = (w * xw).sum() / sw, (w * yw).sum() / sw
+    sxx = (w * (xw - mx) ** 2).sum()
+    if sxx == 0:
+        return float(my)
+    b = (w * (xw - mx) * (yw - my)).sum() / sxx
+    return float(my + b * (v - mx))
+
+
+def fn_predict(ftype: str, xs, ys, params, v: float) -> float:
+    """Evaluate a function value (interpolation/fit/regression model)
+    at point v."""
+    base, _, deriv = ftype.partition("#")
+    if deriv:
+        h = max(1e-6, abs(v) * 1e-6)
+        f = lambda u: fn_predict(base, xs, ys, params, u)  # noqa: E731
+        return (f(v + h) - f(v - h)) / (2 * h)
+    x = None if xs is None else np.asarray(xs, float)
+    y = None if ys is None else np.asarray(ys, float)
+    if base == "lerp":
+        return float(np.interp(v, x, y))
+    if base == "spline":
+        return _spline_eval(x, y, _natural_cubic_coeffs(x, y), v)
+    if base == "akima":
+        return _akima_eval(x, y, _akima_slopes(x, y), v)
+    if base == "loess":
+        bw = params[0] if params else 0.3
+        return _loess_eval(x, y, v, bw)
+    if base == "oscillate":
+        amp, om, phase = params
+        return float(amp * math.sin(om * v + phase))
+    if base == "gaussian":
+        norm, mean, sigma = params
+        return float(norm * math.exp(-((v - mean) ** 2) / (2 * sigma**2)))
+    if base == "harmonic":
+        amp, om, phase = params
+        return float(amp * math.cos(om * v + phase))
+    raise ValueError(f"cannot predict function type {ftype!r}")
+
+
+def fn_integral(ftype: str, xs, ys, params, lo: float, hi: float) -> float:
+    """Numeric integral of a function value over [lo, hi] (composite
+    Simpson, 1024 panels — the reference uses Romberg)."""
+    n = 1024
+    grid = np.linspace(lo, hi, n + 1)
+    vals = np.array([fn_predict(ftype, xs, ys, params, v) for v in grid])
+    h = (hi - lo) / n
+    return float(h / 3 * (vals[0] + vals[-1] + 4 * vals[1:-1:2].sum() + 2 * vals[2:-1:2].sum()))
+
+
+def gauss_fit(x, y) -> tuple[float, float, float]:
+    """Gaussian a·exp(−(v−b)²/2c²) fit: moment-based start (commons
+    ParameterGuesser) refined by Gauss-Newton on (a, b, c)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    a = float(y.max())
+    b = float(x[np.argmax(y)])
+    w = y.clip(min=0) / max(1e-300, y.clip(min=0).sum())
+    c = float(max(1e-6, math.sqrt(((x - (x * w).sum()) ** 2 * w).sum())))
+    for _ in range(100):
+        e = np.exp(-((x - b) ** 2) / (2 * c * c))
+        f = a * e
+        r = y - f
+        ja = e
+        jb = f * (x - b) / (c * c)
+        jc = f * (x - b) ** 2 / (c**3)
+        jac = np.column_stack([ja, jb, jc])
+        try:
+            step, *_ = np.linalg.lstsq(jac, r, rcond=None)
+        except np.linalg.LinAlgError:
+            break
+        a, b, c = a + step[0], b + step[1], c + step[2]
+        c = max(1e-9, abs(c))
+        if np.abs(step).max() < 1e-12:
+            break
+    return float(a), float(b), float(c)
+
+
+def harmonic_fit(x, y) -> tuple[float, float, float]:
+    """amp·sin(ω v + φ) fit: FFT picks the dominant frequency, then the
+    linear system y = A sin(ωx) + B cos(ωx) solves amp/phase; a 1-D
+    golden-section refine on ω (commons HarmonicCurveFitter role)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+
+    def _fit_at(om):
+        s, c = np.sin(om * x), np.cos(om * x)
+        coef, *_ = np.linalg.lstsq(np.column_stack([s, c]), y, rcond=None)
+        resid = y - coef[0] * s - coef[1] * c
+        return coef, float((resid**2).sum())
+
+    # FFT seed (assumes near-uniform x spacing for the seed only)
+    dt = np.median(np.diff(np.sort(x)))
+    freqs = np.fft.rfftfreq(len(x), dt)
+    mag = np.abs(np.fft.rfft(y - y.mean()))
+    om0 = 2 * math.pi * freqs[1 + int(np.argmax(mag[1:]))]
+    lo, hi = om0 * 0.5, om0 * 1.5
+    gr = (math.sqrt(5) - 1) / 2
+    a_, b_ = lo, hi
+    for _ in range(80):
+        c1, c2 = b_ - gr * (b_ - a_), a_ + gr * (b_ - a_)
+        if _fit_at(c1)[1] < _fit_at(c2)[1]:
+            b_ = c2
+        else:
+            a_ = c1
+    om = (a_ + b_) / 2
+    (A, B), _ = _fit_at(om)
+    amp = math.hypot(A, B)
+    phase = math.atan2(B, A)
+    return float(amp), float(om), float(phase)
+
+
+def knn_regress_predict(points, yvals, k: int, query) -> float:
+    """KnnRegressionEvaluator predict: mean y of the k nearest rows."""
+    x = np.asarray(points, float)
+    q = np.asarray(query, float)
+    d = ((x - q[None, :]) ** 2).sum(axis=1)
+    idx = np.argsort(d, kind="stable")[:k]
+    return float(np.asarray(yvals, float)[idx].mean())
+
+
+def fuzzy_kmeans(matrix, k: int, fuzziness: float = 2.0,
+                 max_iter: int = 100, seed: int = 0):
+    """Fuzzy c-means (commons FuzzyKMeansClusterer), seeded. Returns
+    (centroids, membership n×k, hard assignments)."""
+    x = np.asarray(matrix, float)
+    n = len(x)
+    rng = np.random.default_rng(seed)
+    u = rng.random((n, k))
+    u /= u.sum(axis=1, keepdims=True)
+    m = fuzziness
+    for _ in range(max_iter):
+        um = u**m
+        cent = (um.T @ x) / um.sum(axis=0)[:, None]
+        d = np.sqrt(((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2))
+        d = np.maximum(d, 1e-12)
+        inv = d ** (-2.0 / (m - 1))
+        new_u = inv / inv.sum(axis=1, keepdims=True)
+        if np.abs(new_u - u).max() < 1e-9:
+            u = new_u
+            break
+        u = new_u
+    return cent, u, u.argmax(axis=1)
+
+
+def markov_sample(transition, n: int, seed: int = 0, start: int = 0):
+    """MarkovChainEvaluator.sample: seeded walk over the row-stochastic
+    transition matrix, emitting visited states."""
+    p = np.asarray(transition, float)
+    rng = np.random.default_rng(seed)
+    state = int(start)
+    out = []
+    for _ in range(n):
+        state = int(rng.choice(len(p), p=p[state] / p[state].sum()))
+        out.append(state)
+    return out
+
+
+# ------------------------------------------------- computational geometry
+
+
+def convex_hull(points) -> np.ndarray:
+    """2-D convex hull, Andrew monotone chain (counter-clockwise
+    vertices, no duplicate endpoint) — the role commons-math's
+    MonotoneChain plays for ConvexHullEvaluator."""
+    pts = sorted({(float(p[0]), float(p[1])) for p in points})
+    if len(pts) <= 2:
+        return np.asarray(pts, float)
+
+    def _cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.asarray(lower[:-1] + upper[:-1], float)
+
+
+def hull_area(vertices) -> float:
+    v = np.asarray(vertices, float)
+    x, y = v[:, 0], v[:, 1]
+    return float(0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def hull_perimeter(vertices) -> float:
+    v = np.asarray(vertices, float)
+    return float(np.sqrt(((v - np.roll(v, -1, axis=0)) ** 2).sum(axis=1)).sum())
+
+
+def hull_barycenter(vertices) -> np.ndarray:
+    return np.asarray(vertices, float).mean(axis=0)
+
+
+def enclosing_disk(points) -> tuple[np.ndarray, float, np.ndarray]:
+    """Smallest enclosing disk, Welzl's algorithm (seeded shuffle for
+    the randomized recursion; exact result independent of order).
+    Returns (center, radius, support points)."""
+    pts = [np.asarray(p, float) for p in points]
+    rng = np.random.default_rng(0)
+    rng.shuffle(pts)
+
+    def _circle2(a, b):
+        return (a + b) / 2, float(np.linalg.norm(a - b) / 2)
+
+    def _circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-18:
+            return None
+        ux = (
+            (ax**2 + ay**2) * (by - cy)
+            + (bx**2 + by**2) * (cy - ay)
+            + (cx**2 + cy**2) * (ay - by)
+        ) / d
+        uy = (
+            (ax**2 + ay**2) * (cx - bx)
+            + (bx**2 + by**2) * (ax - cx)
+            + (cx**2 + cy**2) * (bx - ax)
+        ) / d
+        ctr = np.array([ux, uy])
+        return ctr, float(np.linalg.norm(a - ctr))
+
+    def _in(c, r, p):
+        return np.linalg.norm(p - c) <= r + 1e-9
+
+    c, r, support = pts[0], 0.0, [pts[0]]
+    for i, p in enumerate(pts):
+        if _in(c, r, p):
+            continue
+        c, r, support = p, 0.0, [p]
+        for j in range(i):
+            q = pts[j]
+            if _in(c, r, q):
+                continue
+            c, r = _circle2(p, q)
+            support = [p, q]
+            for kk in range(j):
+                s = pts[kk]
+                if _in(c, r, s):
+                    continue
+                res = _circle3(p, q, s)
+                if res is not None:
+                    c, r = res
+                    support = [p, q, s]
+    return c, float(r), np.asarray(support, float)

@@ -692,6 +692,18 @@ def _eval(node, tables) -> DataFrame:
     if name == "echo":
         spark = _any_session(tables)
         return spark.createDataFrame([(str(_unlit(node.args[0])),)], ["echo"])
+    if name == "cell":
+        # CellStream: materializes the inner stream's tuples into ONE
+        # tuple holding them as a list field — the let()-side bridge
+        # from streams to math-expression arrays. Here: a 1-row frame
+        # with an array<struct> column; collect_list is the
+        # materialization, so the cell stays size-bounded by design
+        # (the reference also holds the whole list on one node).
+        label = str(_unlit(node.args[0]))
+        inner = _eval(node.args[1], tables)
+        return inner.agg(
+            F.collect_list(F.struct(*inner.columns)).alias(label)
+        )
     if name in ("list", "plist"):
         # list() drains streams in order; plist() runs them in parallel
         # but still emits in list order — batch shape: an ordered tagged
@@ -1268,6 +1280,58 @@ def _math_eval(name: str, node) -> Column | None:
         return _jdiv(_adot(a, b) - n * _amean(a) * _amean(b), n - F.lit(1.0))
 
     # ---- tranche 7 (round 5): scalers / windows / matrix / distances
+    if name == "factorial":
+        # FactorialEvaluator returns a double (commons
+        # CombinatoricsUtils.factorialDouble)
+        return F.factorial(A(0).cast("int")).cast("double")
+    if name == "copyOf":
+        # CopyOfEvaluator == Arrays.copyOf: truncates or ZERO-pads
+        a = A(0)
+        if len(node.args) == 1:
+            return a
+        ln = A(1).cast("int")
+        return F.concat(
+            F.slice(_arr_d(a), 1, F.least(ln, F.size(a))),
+            F.array_repeat(
+                F.lit(0.0), F.greatest(F.lit(0), ln - F.size(a))
+            ),
+        )
+    if name == "primes":
+        # PrimesEvaluator(count, start): literal args, computed at
+        # compile time — first `count` primes >= start
+        count, start = int(_unlit(node.args[0])), int(_unlit(node.args[1]))
+        out, v = [], max(2, start)
+        while len(out) < count:
+            if all(v % p for p in range(2, int(v**0.5) + 1)):
+                out.append(v)
+            v += 1
+        return F.array(*[F.lit(float(p)) for p in out])
+    if name == "dateTime":
+        # DateEvaluator: dateTime(field, template) — Java
+        # SimpleDateFormat templates map onto Spark datetime patterns
+        return F.date_format(
+            F.to_timestamp(A(0)), str(_unlit(node.args[1]))
+        )
+    if name == "convert":
+        # ConversionEvaluator: length-unit conversion via the meters
+        # table (MILES/YARDS/FEET/INCHES/MILLIMETERS/CENTIMETERS/
+        # METERS/KILOMETERS)
+        meters = {
+            "miles": 1609.344, "yards": 0.9144, "feet": 0.3048,
+            "inches": 0.0254, "millimeters": 0.001, "centimeters": 0.01,
+            "meters": 1.0, "kilometers": 1000.0,
+        }
+        frm = str(_unlit(node.args[0])).lower()
+        to = str(_unlit(node.args[1])).lower()
+        if frm not in meters or to not in meters:
+            raise StreamExprError(f"convert: unknown units {frm!r}/{to!r}")
+        return _as_d(A(2)) * (meters[frm] / meters[to])
+    if name in ("getValue", "getAttribute"):
+        # tuple/model field access (GetValueEvaluator / the
+        # VectorFunction context getAttribute)
+        return A(0)[str(_unlit(node.args[1]))]
+    if name == "setValue":
+        return A(0).withField(str(_unlit(node.args[1])), _bool_eval(node.args[2]))
     if name == "trunc":
         # TruncEvaluator: substring [0, n) of the string form
         return F.substring(A(0).cast("string"), 1, int(_unlit(node.args[1])))
@@ -1575,7 +1639,52 @@ def _math_eval(name: str, node) -> Column | None:
             F.lit("regress").alias("type"),
         )
     if name == "predict":
-        # PredictEvaluator over a regress() tuple: scalar or array x
+        # PredictEvaluator: dispatches on the model's compile-time shape
+        # — regress() tuples evaluate as Column arithmetic; function
+        # values (lerp/spline/akima/loess/oscillate/gaussfit/harmfit,
+        # and their derivative() rewrites) evaluate via the numpy layer;
+        # knnRegress averages the k nearest neighbours' y
+        _FN_NAMES = {
+            "lerp", "spline", "akima", "loess", "oscillate", "gaussfit",
+            "harmfit", "harmonicFit", "derivative",
+        }
+        m_ast = node.args[0]
+        if isinstance(m_ast, Call) and m_ast.name in _FN_NAMES:
+            from solr_spark.functions import statseval as _SE
+
+            model = _bool_eval(m_ast)
+            fn = lambda t, x, y, p, v: _SE.fn_predict(  # noqa: E731
+                t,
+                None if x is None else list(x),
+                None if y is None else list(y),
+                None if p is None else list(p),
+                v,
+            )
+            vcall = _pd_rows(fn, "double")
+            xn = node.args[1]
+            if isinstance(xn, Call):
+                # array argument: map over its elements
+                xv = _bool_eval(xn)
+                return _pd_rows(
+                    lambda t, x, y, p, arr: [
+                        fn(t, x, y, p, float(v)) for v in arr
+                    ],
+                    "array<double>",
+                )(model["ftype"], model["x"], model["y"], model["params"], xv)
+            return vcall(
+                model["ftype"], model["x"], model["y"], model["params"],
+                _as_d(_bool_eval(xn)),
+            )
+        if isinstance(m_ast, Call) and m_ast.name == "knnRegress":
+            from solr_spark.functions import statseval as _SE
+
+            model = _bool_eval(m_ast)
+            fn = lambda pts, yv, k, q: _SE.knn_regress_predict(  # noqa: E731
+                [list(r) for r in pts], list(yv), int(k), list(q)
+            )
+            return _pd_rows(fn, "double")(
+                model["points"], model["y"], model["k"], A(1)
+            )
         model = A(0)
         xv = A(1)
         pred = lambda v: model["intercept"] + model["slope"] * _as_d(v)  # noqa: E731
@@ -1743,6 +1852,33 @@ def _stat_eval(name: str, node) -> Column | None:
     if name == "sample":
         n = _as_d(A(1)).cast("int") if len(node.args) > 1 else F.lit(1)
         seed = int(_unlit(node.kwargs["seed"])) if "seed" in node.kwargs else 0
+        if isinstance(node.args[0], Call) and node.args[0].name == "markovChain":
+            chain = A(0)
+            fn = lambda tr, k: [  # noqa: E731
+                float(s)
+                for s in SE.markov_sample(
+                    [list(r) for r in tr], int(k), seed=seed
+                )
+            ]
+            return _pd_rows(fn, "array<double>")(chain["transition"], n)
+        if (
+            isinstance(node.args[0], Call)
+            and node.args[0].name == "multiVariateNormalDistribution"
+        ):
+            mv = A(0)
+
+            def _mvs(mean, cov, k):
+                import numpy as np
+
+                rng = np.random.default_rng(seed)
+                draws = rng.multivariate_normal(
+                    list(mean), [list(r) for r in cov], int(k)
+                )
+                return [[float(v) for v in d] for d in draws]
+
+            return _pd_rows(_mvs, "array<array<double>>")(
+                mv["mean"], mv["cov"], n
+            )
         fn = lambda t, p1, p2, d, k: [  # noqa: E731
             float(v) for v in SE.dist_sample(t, p1, p2, d, int(k), seed)
         ]
@@ -1823,6 +1959,10 @@ def _stat_eval(name: str, node) -> Column | None:
         k = int(_unlit(node.args[1]))
         trials = int(_unlit(node.args[2])) if name == "multiKmeans" else 1
         max_iter = int(_unlit(node.kwargs.get("maxIterations", 50)))
+        _LABELED = {"termVectors", "pivot", "latlonVectors", "featureSelect"}
+        matrix_col = A(0)
+        if isinstance(node.args[0], Call) and node.args[0].name in _LABELED:
+            matrix_col = matrix_col["matrix"]
         ret = (
             "struct<centroids array<array<double>>, clusters array<int>,"
             " points array<array<double>>>"
@@ -1838,7 +1978,7 @@ def _stat_eval(name: str, node) -> Column | None:
                 "points": [[float(v) for v in r] for r in m],
             }
 
-        return _pd_rows(_km, ret)(A(0))
+        return _pd_rows(_km, ret)(matrix_col)
     if name == "dbscan":
         eps = float(_unlit(node.args[1]))
         min_pts = int(_unlit(node.args[2]))
@@ -1892,6 +2032,352 @@ def _stat_eval(name: str, node) -> Column | None:
             .otherwise(0),
         )
         return F.slice(srt, 1, k)
+
+    # ---- function values (interpolators / fitters / simulators) ----
+    # VectorFunction analogues: struct (ftype, x, y, params); predict()
+    # dispatches on ftype, derivative() rewrites it to ftype#deriv
+    if name in ("lerp", "spline", "akima", "loess"):
+        xs, ys = _arr_d(A(0)), _arr_d(A(1))
+        params = (
+            F.array(_as_d(_bool_eval(node.kwargs["bandwidth"])))
+            if name == "loess" and "bandwidth" in node.kwargs
+            else F.lit(None).cast("array<double>")
+        )
+        return F.struct(
+            F.lit(name).alias("ftype"), xs.alias("x"), ys.alias("y"),
+            params.alias("params"),
+        )
+    if name == "oscillate":
+        # HarmonicOscillator sampled at x = 0..127 (OscillateEvaluator)
+        amp, om, ph = _as_d(A(0)), _as_d(A(1)), _as_d(A(2))
+        xs = F.transform(F.sequence(F.lit(0), F.lit(127)), lambda i: i.cast("double"))
+        ys = F.transform(xs, lambda x: amp * F.sin(om * x + ph))
+        return F.struct(
+            F.lit("oscillate").alias("ftype"), xs.alias("x"), ys.alias("y"),
+            F.array(amp, om, ph).alias("params"),
+        )
+    if name == "gaussfit":
+        ret = (
+            "struct<ftype string, x array<double>, y array<double>,"
+            " params array<double>>"
+        )
+
+        def _gf(x, y):
+            a, b, c = SE.gauss_fit(list(x), list(y))
+            import math as _m
+
+            fitted = [
+                a * _m.exp(-((v - b) ** 2) / (2 * c * c)) for v in x
+            ]
+            return {
+                "ftype": "gaussian", "x": [float(v) for v in x],
+                "y": fitted, "params": [a, b, c],
+            }
+
+        return _pd_rows(_gf, ret)(A(0), A(1))
+    if name in ("harmfit", "harmonicFit"):
+        ret = (
+            "struct<ftype string, x array<double>, y array<double>,"
+            " params array<double>>"
+        )
+
+        def _hf(x, y):
+            import math as _m
+
+            amp, om, ph = SE.harmonic_fit(list(x), list(y))
+            fitted = [amp * _m.sin(om * v + ph) for v in x]
+            return {
+                "ftype": "oscillate", "x": [float(v) for v in x],
+                "y": fitted, "params": [amp, om, ph],
+            }
+
+        return _pd_rows(_hf, ret)(A(0), A(1))
+    if name == "derivative":
+        m = A(0)
+        return F.struct(
+            F.concat(m["ftype"], F.lit("#deriv")).alias("ftype"),
+            m["x"].alias("x"), m["y"].alias("y"), m["params"].alias("params"),
+        )
+    if name == "integral":
+        fn = lambda t, x, y, p, lo, hi: SE.fn_integral(  # noqa: E731
+            t,
+            None if x is None else list(x),
+            None if y is None else list(y),
+            None if p is None else list(p),
+            lo, hi,
+        )
+        m = A(0)
+        return _pd_rows(fn, "double")(
+            m["ftype"], m["x"], m["y"], m["params"], _as_d(A(1)), _as_d(A(2))
+        )
+    if name == "knnRegress":
+        # model: points matrix + y vector + k (KnnRegressionEvaluator)
+        return F.struct(
+            F.lit("knnRegress").alias("ftype"),
+            A(0).alias("points"), _arr_d(A(1)).alias("y"),
+            _bool_eval(node.args[2]).cast("int").alias("k"),
+        )
+    if name == "markovChain":
+        # row-stochastic transition matrix; sample() walks it seeded
+        return F.struct(
+            F.lit("markov").alias("ftype"), A(0).alias("transition")
+        )
+    if name == "fuzzyKmeans":
+        k = int(_unlit(node.args[1]))
+        fuzz = float(_unlit(node.kwargs.get("fuzziness", 2.0)))
+        ret = (
+            "struct<centroids array<array<double>>, clusters array<int>,"
+            " points array<array<double>>,"
+            " membership array<array<double>>>"
+        )
+
+        def _fkm(m):
+            pts = [list(r) for r in m]
+            cent, u, assign = SE.fuzzy_kmeans(pts, k, fuzziness=fuzz)
+            return {
+                "centroids": [[float(v) for v in c] for c in cent],
+                "clusters": [int(c) for c in assign],
+                "points": pts,
+                "membership": [[float(v) for v in r] for r in u],
+            }
+
+        return _pd_rows(_fkm, ret)(A(0))
+    if name == "getMembershipMatrix":
+        return A(0)["membership"]
+    if name == "outliers":
+        # outliers(dist, vec, lowCdf, hiCdf) -> the values whose CDF
+        # falls outside [low, hi], with their cumulative probabilities
+        ret = (
+            "array<struct<idx int, value double,"
+            " cumulativeProbability double>>"
+        )
+
+        def _out(t, p1, p2, d, vec, lo, hi):
+            res = []
+            for i, v in enumerate(vec):
+                c = SE.dist_cdf(t, p1, p2, d, v)
+                if c < lo or c > hi:
+                    res.append(
+                        {"idx": i, "value": float(v),
+                         "cumulativeProbability": c}
+                    )
+            return res
+
+        return _pd_rows(_out, ret)(
+            *_dist_args(A(0)), A(1), _as_d(A(2)), _as_d(A(3))
+        )
+
+    # ---- computational geometry (commons-geometry analogues) ----
+    if name == "convexHull":
+        ret = (
+            "struct<vertices array<array<double>>, area double,"
+            " boundarySize double, baryCenter array<double>>"
+        )
+
+        def _ch(m):
+            h = SE.convex_hull([list(r) for r in m])
+            return {
+                "vertices": [[float(v) for v in p] for p in h],
+                "area": SE.hull_area(h) if len(h) >= 3 else 0.0,
+                "boundarySize": SE.hull_perimeter(h) if len(h) >= 2 else 0.0,
+                "baryCenter": [float(v) for v in SE.hull_barycenter(h)],
+            }
+
+        return _pd_rows(_ch, ret)(A(0))
+    if name == "getVertices":
+        return A(0)["vertices"]
+    if name == "getArea":
+        return A(0)["area"]
+    if name == "getBoundarySize":
+        return A(0)["boundarySize"]
+    if name == "getBaryCenter":
+        return A(0)["baryCenter"]
+    if name == "enclosingDisk":
+        ret = (
+            "struct<center array<double>, radius double,"
+            " supportPoints array<array<double>>>"
+        )
+
+        def _ed(m):
+            c, r, sup = SE.enclosing_disk([list(row) for row in m])
+            return {
+                "center": [float(v) for v in c],
+                "radius": r,
+                "supportPoints": [[float(v) for v in p] for p in sup],
+            }
+
+        return _pd_rows(_ed, ret)(A(0))
+    if name == "getCenter":
+        return A(0)["center"]
+    if name == "getRadius":
+        return A(0)["radius"]
+    if name == "getSupportPoints":
+        return A(0)["supportPoints"]
+    if name == "projectToBorder":
+        # project points onto the disk's circle: c + (p−c)·r/|p−c|.
+        # Catalyst can't nest a Python-UDF column (the disk) inside a
+        # higher-order lambda, so the projection runs in the same numpy
+        # layer that built the disk.
+        disk = A(0)
+
+        def _proj(c, r, pts):
+            import numpy as np
+
+            cv = np.asarray(list(c), float)
+            out = []
+            for p in pts:
+                pv = np.asarray(list(p), float)
+                d = np.linalg.norm(pv - cv) or 1.0
+                out.append([float(v) for v in cv + (pv - cv) * r / d])
+            return out
+
+        return _pd_rows(_proj, "array<array<double>>")(
+            disk["center"], disk["radius"], A(1)
+        )
+
+    if name in ("getAmplitude", "getAngularFrequency", "getPhase"):
+        idx = {"getAmplitude": 1, "getAngularFrequency": 2, "getPhase": 3}[name]
+        return F.get(A(0)["params"], idx - 1)
+    if name == "getAttributes":
+        return A(0)
+    if name == "multiVariateNormalDistribution":
+        # multiVariateNormalDistribution(meanVector, covMatrix) — only
+        # sample() consumes it (seeded rng.multivariate_normal)
+        return F.struct(
+            F.lit("mvnormal").alias("dtype"),
+            _arr_d(A(0)).alias("mean"),
+            A(1).alias("cov"),
+        )
+
+    # ---- labeled-matrix text features (TermVectors/TopFeatures/
+    # FeatureSelect/Pivot/LatLonVectors + label accessors) ----
+    if name == "termVectors":
+        # sqrt(tf) · (ln((n+1)/(df+1)) + 1) over doc tuples carrying
+        # (id, terms); df-fraction band + min term length filters as in
+        # TermVectorsEvaluator (defaults 3 / 0.05 / 0.5)
+        min_len = int(_unlit(node.kwargs.get("minTermLength", 3)))
+        min_df = float(_unlit(node.kwargs.get("minDocFreq", 0.05)))
+        max_df = float(_unlit(node.kwargs.get("maxDocFreq", 0.5)))
+        ret = (
+            "struct<matrix array<array<double>>, rowLabels array<string>,"
+            " colLabels array<string>>"
+        )
+
+        def _tv(tuples):
+            import math as _m
+
+            docs = [
+                (
+                    str(t["id"]),
+                    []
+                    if t["terms"] is None
+                    else [str(w) for w in t["terms"]],
+                )
+                for t in tuples
+            ]
+            n = len(docs)
+            dfreq: dict = {}
+            for _, terms in docs:
+                for w in {w for w in terms if len(w) >= min_len}:
+                    dfreq[w] = dfreq.get(w, 0) + 1
+            lo, hi = int(n * min_df), int(n * max_df)
+            feats = sorted(w for w, c in dfreq.items() if lo <= c <= hi)
+            rows = []
+            for _, terms in docs:
+                tf: dict = {}
+                for w in terms:
+                    if w in dfreq and lo <= dfreq[w] <= hi:
+                        tf[w] = tf.get(w, 0) + 1
+                rows.append(
+                    [
+                        _m.sqrt(tf.get(w, 0))
+                        * (_m.log((n + 1) / (dfreq[w] + 1.0)) + 1.0)
+                        for w in feats
+                    ]
+                )
+            return {
+                "matrix": rows,
+                "rowLabels": [d[0] for d in docs],
+                "colLabels": feats,
+            }
+
+        return _pd_rows(_tv, ret)(A(0))
+    if name == "topFeatures":
+        k = int(_unlit(node.args[1]))
+
+        def _tf(m, labels):
+            out = []
+            for row in m:
+                idx = sorted(
+                    range(len(row)), key=lambda i: (-row[i], labels[i])
+                )
+                out.append([labels[i] for i in idx[:k] if row[i] > 0])
+            return out
+
+        return _pd_rows(_tf, "array<array<string>>")(
+            A(0)["matrix"], A(0)["colLabels"]
+        )
+    if name == "featureSelect":
+        def _fs(m, labels, keep):
+            keepset = [i for i, lb in enumerate(labels) if lb in set(keep)]
+            return {
+                "matrix": [[float(row[i]) for i in keepset] for row in m],
+                "colLabels": [labels[i] for i in keepset],
+            }
+
+        sel = _pd_rows(
+            _fs,
+            "struct<matrix array<array<double>>, colLabels array<string>>",
+        )(A(0)["matrix"], A(0)["colLabels"], A(1))
+        return F.struct(
+            sel["matrix"].alias("matrix"),
+            A(0)["rowLabels"].alias("rowLabels"),
+            sel["colLabels"].alias("colLabels"),
+        )
+    if name == "pivot":
+        xf = str(_unlit(node.args[1]))
+        yf = str(_unlit(node.args[2]))
+        vf = str(_unlit(node.args[3]))
+        ret = (
+            "struct<matrix array<array<double>>, rowLabels array<string>,"
+            " colLabels array<string>>"
+        )
+
+        def _pv(tuples):
+            xs = sorted({str(t[xf]) for t in tuples})
+            ys = sorted({str(t[yf]) for t in tuples})
+            xi = {v: i for i, v in enumerate(xs)}
+            yi = {v: i for i, v in enumerate(ys)}
+            m = [[0.0] * len(ys) for _ in xs]
+            for t in tuples:
+                m[xi[str(t[xf])]][yi[str(t[yf])]] = float(t[vf])
+            return {"matrix": m, "rowLabels": xs, "colLabels": ys}
+
+        return _pd_rows(_pv, ret)(A(0))
+    if name == "latlonVectors":
+        fld = str(_unlit(node.kwargs.get("field", "latlon")))
+        ret = (
+            "struct<matrix array<array<double>>, rowLabels array<string>,"
+            " colLabels array<string>>"
+        )
+
+        def _ll(tuples):
+            rows, labels = [], []
+            for t in tuples:
+                lat, lon = str(t[fld]).split(",")[:2]
+                rows.append([float(lat), float(lon)])
+                labels.append(str(t.get("id", len(labels))))
+            return {
+                "matrix": rows, "rowLabels": labels,
+                "colLabels": ["lat", "lon"],
+            }
+
+        return _pd_rows(_ll, ret)(A(0))
+    if name in ("getRowLabels", "getColumnLabels"):
+        return A(0)["rowLabels" if name == "getRowLabels" else "colLabels"]
+    if name in ("setRowLabels", "setColumnLabels"):
+        fld = "rowLabels" if name == "setRowLabels" else "colLabels"
+        return A(0).withField(fld, _bool_eval(node.args[1]))
 
     if name == "polyfit":
         args = node.args
