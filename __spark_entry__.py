@@ -1054,6 +1054,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_regress_describe"] = eval_regress_describe
 
+    def tag_entities(s, d):
+        """TaggerRequestHandler (SolrTextTagger,
+        solr/core handler/tagger/Tagger.java): dictionary phrase
+        tagging over documents — token anchors broadcast-join the
+        tokenized dictionary, then one docid-equi-join verifies the
+        remaining tokens JVM-side. ALL overlap policy (the twin is pure
+        SQL); LONGEST_DOMINANT_RIGHT is pytest-covered."""
+        from solr_spark.operators.tagger import tag_text
+
+        docs = _t(s, d, "documents")
+        dictionary = s.createDataFrame(
+            [
+                ("t_hj", "hash join"),
+                ("t_ts", "table scan"),
+                ("t_smb", "sort merge batch"),
+                ("t_win", "window agg"),
+            ],
+            "tag string, name string",
+        )
+        out = tag_text(docs, dictionary)
+        return (
+            out.groupBy("tag")
+            .agg(
+                F.count(F.lit(1)).alias("occurrences"),
+                F.count_distinct("docid").alias("docs"),
+                F.sum("start_pos").alias("pos_sum"),
+            )
+            .orderBy("tag")
+        )
+
+    q["tag_entities"] = tag_entities
+
     def stream_expr_reduce(s, d):
         """Compiled reduce() + group() op (ReducerStream +
         GroupOperation): top-3 orders per priority by price — one
@@ -3590,6 +3622,19 @@ scored AS (
                second(ts)::INT AS sec, weekofyear(ts)::INT AS wk,
                epoch_ms(ts)::BIGINT AS ep_ms
         FROM events WHERE day(ts) = 15 ORDER BY event_id"""
+
+    from solr_spark.operators.tagger import tag_text_sql
+
+    o["tag_entities"] = f"""
+        WITH hits AS ({tag_text_sql(dict_cte=(
+            "dict(tag, name) AS (VALUES ('t_hj', 'hash join'), "
+            "('t_ts', 'table scan'), ('t_smb', 'sort merge batch'), "
+            "('t_win', 'window agg'))"
+        ))})
+        SELECT tag, count(*) AS occurrences,
+               count(DISTINCT docid) AS docs,
+               sum(start_pos) AS pos_sum
+        FROM hits GROUP BY tag ORDER BY tag"""
 
     o["eval_regress_describe"] = """
         SELECT l_returnflag,

@@ -121,8 +121,20 @@ def phrase_match(
     terms = tokenize_py(phrase)
     if not terms:
         return docs.sparkSession.createDataFrame([], "docid long, phrase_freq int")
+    # JVM-side candidate prefilter: the analysis chain only INSERTS
+    # token boundaries (fused-split) and lowercases — it never merges or
+    # rewrites characters — so every emitted token is a contiguous
+    # substring of lower(text). A doc lacking any term as a substring
+    # cannot match the phrase; the contains() conjunction runs inside
+    # the scan stage and keeps the expensive tokenize + Arrow transfer
+    # + position scan to candidate docs only (bench: q_phrase_inline
+    # 6.97 s -> see BENCH/BASELINE.md round-5 table).
+    lowered = F.lower(F.col(text_col))
+    cand = docs
+    for t in set(terms):
+        cand = cand.where(lowered.contains(t))
     toks = tokens_col(text_col)
-    d = docs.select(F.col(id_col).cast("long").alias("docid"), toks.alias("_toks"))
+    d = cand.select(F.col(id_col).cast("long").alias("docid"), toks.alias("_toks"))
     freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered, window)
     return (
         d.select("docid", freq.cast("int").alias("phrase_freq"))
