@@ -1086,6 +1086,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tag_entities"] = tag_entities
 
+    def luke_top_terms(s, d):
+        """LukeRequestHandler topTerms
+        (solr/core handler/admin/LukeRequestHandler.java): top terms by
+        document frequency with total term frequency, straight off the
+        cached dictionary — one TakeOrderedAndProject, no postings
+        scan. Twin recomputes df/ttf from the documents tokens."""
+        from solr_spark.index.luke import top_terms
+
+        idx = _gate_index(s, d)
+        return top_terms(idx, k=15)
+
+    q["luke_top_terms"] = luke_top_terms
+
     def stream_expr_reduce(s, d):
         """Compiled reduce() + group() op (ReducerStream +
         GroupOperation): top-3 orders per priority by price — one
@@ -3963,6 +3976,14 @@ scored AS (
 
     o["phrase_indexed"] = _pm_sql("fast merge")
     o["terms_indexed"] = G.terms_top_df_sql(20)
+    o["luke_top_terms"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        all_t AS (SELECT docid, unnest(toks) AS term FROM toks),
+        agg AS (SELECT term, count(DISTINCT docid)::BIGINT AS docfreq,
+                       count(*)::BIGINT AS totaltf
+                FROM all_t GROUP BY term)
+        SELECT term, docfreq, totaltf FROM agg
+        ORDER BY docfreq DESC, term LIMIT 15"""
     o["sigterms_indexed"] = G.significant_terms_sql("spark", 3, 15)
     # dictionary-backed spell/MLT agree with their corpus-derived twins by
     # construction (term_stats df == per-term distinct-doc count)
