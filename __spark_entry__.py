@@ -1099,6 +1099,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["luke_top_terms"] = luke_top_terms
 
+    def cluster_search_page(s, d):
+        """ClusteringComponent analogue (rows-only: seeded k-means has
+        no SQL twin; determinism + topic-separation are pytest-covered):
+        BM25 top-40 page -> tf-idf term vectors -> k-means++ -> clusters
+        labeled by centroid top features."""
+        from solr_spark.operators.clustering import cluster_results
+        from solr_spark.query.engine import bm25_topk
+
+        idx = _gate_index(s, d)
+        page = bm25_topk(idx, "spark hash window merge", k=40)
+        # the gate index docids ARE the documents doc_ids
+        # (documents_as_corpus passes doc_id through)
+        docs = _t(s, d, "documents").select(
+            F.col("doc_id").cast("long").alias("docid"), "text"
+        )
+        joined = page.select("docid").join(docs, "docid")
+        out = cluster_results(
+            joined, n_clusters=3, text_col="text", min_df=0.02, max_df=0.8
+        )
+        return out.select(
+            "cluster", "size", F.array_join("labels", ",").alias("labels")
+        )
+
+    q["cluster_search_page"] = cluster_search_page
+
     def stream_expr_reduce(s, d):
         """Compiled reduce() + group() op (ReducerStream +
         GroupOperation): top-3 orders per priority by price — one
