@@ -1124,6 +1124,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_search_page"] = cluster_search_page
 
+    def suggest_freetext_bigram(s, d):
+        """FreeText suggester (Lucene FreeTextSuggester role): n-gram
+        model + stupid backoff. Open context 'window ' resolves at the
+        bigram order, so the twin is the plain conditional bigram
+        distribution; backoff paths are pytest-covered."""
+        from solr_spark.operators.relevance import (
+            freetext_model,
+            suggest_freetext,
+        )
+
+        model = freetext_model(_t(s, d, "documents"), "text", max_order=2)
+        return suggest_freetext(model, "window ", limit=10)
+
+    q["suggest_freetext_bigram"] = suggest_freetext_bigram
+
     def stream_expr_reduce(s, d):
         """Compiled reduce() + group() op (ReducerStream +
         GroupOperation): top-3 orders per priority by price — one
@@ -4001,6 +4016,20 @@ scored AS (
 
     o["phrase_indexed"] = _pm_sql("fast merge")
     o["terms_indexed"] = G.terms_top_df_sql(20)
+    o["suggest_freetext_bigram"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        big AS (
+          SELECT toks[p.pos] AS ctx, toks[p.pos + 1] AS word
+          FROM toks,
+               LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+                        AS pos) p),
+        w AS (SELECT word, count(*)::BIGINT AS cnt FROM big
+              WHERE ctx = 'window' GROUP BY word),
+        tot AS (SELECT sum(cnt)::DOUBLE AS total FROM w)
+        SELECT word, round(cnt / tot.total, 6) AS score, cnt
+        FROM w CROSS JOIN tot
+        ORDER BY score DESC, word LIMIT 10"""
+
     o["luke_top_terms"] = f"""
         WITH {_DOC_TOKS_SQL},
         all_t AS (SELECT docid, unnest(toks) AS term FROM toks),

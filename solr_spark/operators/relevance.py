@@ -412,3 +412,101 @@ def mlt_interesting_terms(
     return index.spark.createDataFrame(
         rows, "term string, tf int, df int, boost double"
     )
+
+
+def freetext_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_order: int = 3,
+) -> DataFrame:
+    """N-gram language model for the FreeText suggester (role of
+    Lucene's FreeTextSuggester behind solr/core suggest/: an n-gram FST
+    with stupid-backoff scoring). One tokenize + explode pass emits
+    every order-1..max_order gram as (context, word, cnt): context is
+    the space-joined preceding tokens ('' at order 1). Map-side partial
+    agg makes the shuffle gram-vocabulary sized, not corpus sized."""
+    from solr_spark.analysis.analyzer import tokens_col
+
+    toks = docs.select(tokens_col(text_col).alias("_toks"))
+    grams = None
+    for order in range(1, max_order + 1):
+        g = toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("_toks") - order + 1, F.lit(0))
+                    ),
+                    lambda i: F.struct(
+                        F.array_join(
+                            F.slice("_toks", i, order - 1), " "
+                        ).alias("context"),
+                        F.element_at("_toks", i + order - 1).alias("word"),
+                    ),
+                )
+            ).alias("g")
+        ).select(
+            F.lit(order).alias("order"),
+            F.col("g.context").alias("context"),
+            F.col("g.word").alias("word"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    return grams.groupBy("order", "context", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def suggest_freetext(
+    model: DataFrame,
+    text: str,
+    limit: int = 10,
+    alpha: float = 0.4,
+    max_order: int = 3,
+) -> DataFrame:
+    """FreeText suggestions with stupid backoff: the last whitespace
+    token is the prefix (empty if the text ends in a space), the
+    preceding tokens are context. Each candidate scores
+    alpha^(backoffs) * cnt(context', word)/cnt(context') at the LONGEST
+    context' (suffix of the context) that has any prefix-matching
+    continuation — Lucene FreeTextSuggester's scoring with the same
+    default alpha=0.4."""
+    from solr_spark.analysis.analyzer import tokenize_py
+
+    ends_open = text.endswith(" ")
+    toks = tokenize_py(text)
+    prefix = "" if ends_open else (toks[-1] if toks else "")
+    context = toks if ends_open else toks[:-1]
+    spark = model.sparkSession
+    for backoffs in range(max_order):
+        avail = min(max_order - 1, len(context)) - backoffs
+        if avail < 0:
+            break
+        ctx = " ".join(context[len(context) - avail:]) if avail > 0 else ""
+        order = avail + 1
+        cands = model.where(
+            (F.col("order") == order) & (F.col("context") == ctx)
+        )
+        if prefix:
+            cands = cands.where(F.col("word").startswith(prefix))
+        total = cands.agg(F.sum("cnt")).collect()[0][0]
+        if not total:
+            continue
+        denom = (
+            model.where(
+                (F.col("order") == order) & (F.col("context") == ctx)
+            )
+            .agg(F.sum("cnt"))
+            .collect()[0][0]
+        )
+        return (
+            cands.select(
+                "word",
+                F.round(
+                    F.lit(alpha**backoffs) * F.col("cnt") / F.lit(float(denom)),
+                    6,
+                ).alias("score"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+            .orderBy(F.desc("score"), "word")
+            .limit(limit)
+        )
+    return spark.createDataFrame([], "word string, score double, cnt long")
