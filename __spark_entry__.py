@@ -2972,6 +2972,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda s, d: TS.lang_id(_tok(s, d))
     q["doc_fingerprint"] = lambda s, d: TS.fingerprint(_tok(s, d))
 
+    def mix_sample_sources(s, d):
+        """Deterministic stratified corpus mixing: per-source sampling
+        rates applied via md5-bucket hashing — same kept set at any
+        parallelism / engine (textstats.mix_sample)."""
+        docs = _docs(s, d)
+        kept = TS.mix_sample(
+            docs,
+            "doc_id",
+            "source",
+            {"src0": 0.75, "src1": 0.25, "src2": 0.5},
+            default=0.1,
+        )
+        return (
+            kept.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum(F.col("doc_id").cast("long")).alias("id_sum"),
+            )
+            .orderBy("source")
+        )
+
+    q["mix_sample_sources"] = mix_sample_sources
+
+    def repetition_docs(s, d):
+        """Gopher-style within-doc repetition signals: top-bigram and
+        duplicated-bigram instance fractions per document."""
+        return TS.repetition_signals(_tok(s, d)).orderBy("docid")
+
+    q["repetition_docs"] = repetition_docs
+
     # --- spatial family ({!geofilt} / {!bbox} / rect range / geodist sort)
     # Coordinates are derived from c_custkey with pure integer/decimal
     # arithmetic so the DuckDB oracle reproduces them exactly; the
@@ -3473,6 +3503,19 @@ def oracle_sql() -> dict[str, str]:
     o["text_quality"] = TS.quality_score_sql()
     o["lang_id"] = TS.lang_id_sql()
     o["doc_fingerprint"] = TS.fingerprint_sql()
+    _mix_where = TS.mix_sample_sql(
+        "documents",
+        "doc_id",
+        "source",
+        {"src0": 0.75, "src1": 0.25, "src2": 0.5},
+        default=0.1,
+    )
+    o["mix_sample_sources"] = f"""
+        SELECT source, count(*)::BIGINT AS n_kept,
+               sum(doc_id::BIGINT)::BIGINT AS id_sum
+        FROM documents WHERE {_mix_where}
+        GROUP BY source ORDER BY source"""
+    o["repetition_docs"] = TS.repetition_signals_sql()
     o["simhash64"] = D.simhash_sql()
 
     # shared scored-CTE prelude for the combined-search entries

@@ -175,9 +175,28 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
             with ThreadPoolExecutor(max_workers=8) as pool:
                 lat_srv = list(pool.map(one_served, jobs))
             t_srv = time.time() - t_srv
+
+            # server-concurrency view (32 clients): a search SERVER sees
+            # many concurrent clients, and that is where micro-batching
+            # pays — a closed-loop 8-client pool can only ever form
+            # 8-query waves, which leaves the batch plan's fixed cost
+            # unamortized. Raw pool at 32 clients is the contrast: the
+            # per-query driver planning serializes it regardless of the
+            # client count.
+            t_srv32 = time.time()
+            with ThreadPoolExecutor(max_workers=32) as pool:
+                lat_srv32 = list(pool.map(one_served, jobs))
+            t_srv32 = time.time() - t_srv32
+            lat_srv32.sort()
         finally:
             batcher.close()
         lat_srv.sort()
+
+        t_raw32 = time.time()
+        with ThreadPoolExecutor(max_workers=32) as pool:
+            lat_raw32 = list(pool.map(one, jobs))
+        t_raw32 = time.time() - t_raw32
+        lat_raw32.sort()
 
         # batched formulation: the same workload as ONE distributed plan
         # (bm25_topk_batch) — this is the path whose throughput should
@@ -193,6 +212,18 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
         bm25_topk_batch(index, batch_queries, k=10).collect()
         t_b = time.time() - t_b
 
+        # HOT searcher view: a serving deployment holds the index in
+        # memory (Solr: warm searcher + OS page cache; here:
+        # Index.pin_memory() persists postings+docs in the executor
+        # columnar cache). Same 8-client raw pool, per-query parquet
+        # decode eliminated — the interactive p50 headline.
+        index.pin_memory()
+        t_hot = time.time()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            lat_hot = list(pool.map(one, jobs))
+        t_hot = time.time() - t_hot
+        lat_hot.sort()
+
         corpus.unpersist()
         spark.stop()
         res.update(
@@ -206,8 +237,18 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
                 "qps_served": round(len(jobs) / t_srv, 2),
                 "p50_served_s": round(lat_srv[len(lat_srv) // 2], 3),
                 "p90_served_s": round(lat_srv[int(len(lat_srv) * 0.9)], 3),
+                "qps_served_c32": round(len(jobs) / t_srv32, 2),
+                "p50_served_c32_s": round(lat_srv32[len(lat_srv32) // 2], 3),
+                "p90_served_c32_s": round(
+                    lat_srv32[int(len(lat_srv32) * 0.9)], 3
+                ),
+                "qps_raw_c32": round(len(jobs) / t_raw32, 2),
+                "p50_raw_c32_s": round(lat_raw32[len(lat_raw32) // 2], 3),
                 "qps_batch": round(len(batch_queries) / t_b, 2),
                 "batch_wall_s": round(t_b, 3),
+                "qps_hot": round(len(jobs) / t_hot, 2),
+                "p50_hot_s": round(lat_hot[len(lat_hot) // 2], 3),
+                "p90_hot_s": round(lat_hot[int(len(lat_hot) * 0.9)], 3),
                 "n_queries": len(jobs),
                 "bench_docs": n_docs,
                 "cores": cores,

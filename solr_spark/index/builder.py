@@ -272,6 +272,7 @@ class Index:
     _qr_lru: object = field(default=None, init=False, repr=False)
     _del_state: object = field(default=None, init=False, repr=False)
     _gen: int = field(default=0, init=False, repr=False)
+    _pinned: list = field(default_factory=list, init=False, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "Index":
@@ -304,12 +305,40 @@ class Index:
     def positions(self) -> DataFrame:
         return self._read(self.paths.positions)
 
+    def pin_memory(self, components: tuple = ("postings", "docs")) -> "Index":
+        """Serving mode: persist the hot table frames in executor
+        memory and materialize them now, so every query scans Spark's
+        in-memory columnar cache instead of re-decoding parquet. The
+        analogue of Solr serving from a warm searcher + OS page cache —
+        a search SERVER holds its index hot; batch jobs skip this.
+        Maintenance ops unpin via invalidate_caches() (commit == new
+        cold searcher). Memory cost is the decoded table size — on a
+        real cluster that is spread over executors; size the cluster or
+        pin `("postings",)` only."""
+        for comp in components:
+            path = getattr(self.paths, comp)
+            df = self._read(path)
+            if df.storageLevel.useMemory:
+                continue
+            df = df.persist()
+            df.count()  # materialize outside the first query's latency
+            self._df_cache[path] = df
+            self._pinned.append(df)
+        return self
+
     def invalidate_caches(self) -> None:
         """Drop every driver-side cache on this handle: table handles,
         the term-dictionary LRU, the query-result cache, the deletes
-        snapshot, and the persisted term_stats frame. Maintenance ops
-        (delete/expunge/merge/add/upsert) call this — the analogue of a
-        Solr commit opening a new searcher with cold caches."""
+        snapshot, pinned serving frames, and the persisted term_stats
+        frame. Maintenance ops (delete/expunge/merge/add/upsert) call
+        this — the analogue of a Solr commit opening a new searcher
+        with cold caches."""
+        for df in self._pinned:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._pinned.clear()
         self._df_cache.clear()
         self._dict_lru = None
         self._qr_lru = None

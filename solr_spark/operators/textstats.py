@@ -378,3 +378,150 @@ def pack_sequences(
         df[id_col] == F.col("__pk_id"),
     ).drop("__pk_id")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: deterministic corpus mixing + within-doc repetition
+# signals (the Gopher-style repetition filters). Both are pure
+# DataFrame/Column plans with exact DuckDB twins built from the same
+# constants — no RNG, no UDFs, no driver loops.
+# ---------------------------------------------------------------------------
+
+#: hash-bucket space for mix_sample rates — rates are quantized to
+#: 1/MIX_BUCKETS so the keep predicate compares INTEGERS (a float
+#: `u < rate` compare would hinge on representation at the boundary)
+MIX_BUCKETS = 10000
+
+
+def _mix_bucket_col(id_col: str):
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(MIX_BUCKETS),
+    )
+
+
+def mix_sample(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified corpus mixing: keep each document with
+    its group's sampling rate, decided by a portable hash of the id —
+    the training-mix operator ("2x books, 0.3x web") a 100 TB corpus
+    build runs last. Per-row predicate, no shuffle, no RNG: the SAME
+    document set is kept at any parallelism, on any engine, on re-runs
+    (md5-bucket sampling, like the random() stream's sampler). Rates
+    quantize to 1/MIX_BUCKETS and compare as integers, so engines can't
+    disagree at the keep boundary. Rates > 1.0 (upsampling) belong to a
+    repeat-explode step, not here — values are clamped to [0, 1]."""
+    thr = F.lit(int(round(max(0.0, min(1.0, default)) * MIX_BUCKETS)))
+    for g in sorted(rates):
+        r = max(0.0, min(1.0, float(rates[g])))
+        thr = F.when(
+            F.col(group_col) == g, F.lit(int(round(r * MIX_BUCKETS)))
+        ).otherwise(thr)
+    return docs.where(_mix_bucket_col(id_col) < thr)
+
+
+def mix_sample_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default: float = 0.0,
+) -> str:
+    """WHERE clause of `mix_sample` for a DuckDB twin (same buckets)."""
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(round(max(0.0, min(1.0, float(rates[g]))) * MIX_BUCKETS))}"
+        for g in sorted(rates)
+    )
+    dflt = int(round(max(0.0, min(1.0, default)) * MIX_BUCKETS))
+    return (
+        f"(('0x' || substr(md5({id_col}::VARCHAR), 1, 8))::BIGINT % {MIX_BUCKETS})"
+        f" < (CASE {group_col} {whens} ELSE {dflt} END)"
+    )
+
+
+def repetition_signals(tok_df: DataFrame) -> DataFrame:
+    """Within-document repetition features (the Gopher quality-filter
+    family): per doc, the fraction of bigram instances taken by the
+    single most frequent bigram (`top_bigram_frac`) and the fraction of
+    bigram instances whose bigram occurs more than once
+    (`dup_bigram_frac`). Boilerplate/spam pages score high; docs with
+    fewer than two tokens have no bigrams and score 0.0.
+
+    Shape for scale: bigrams explode from the token array (zip_with of
+    two slices — JVM codegen, no Python), counts aggregate per (docid,
+    bigram) with map-side partial agg, then ONE per-doc agg. Both
+    shuffles are keyed by docid(+bigram) — no skew beyond document
+    length, which the corpus already bounds."""
+    bgs = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks)-1),"
+            " slice(toks, 2, size(toks)-1), (a, b) -> concat(a, ' ', b))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        tok_df.select("docid", F.explode(bgs).alias("bg"))
+        .groupBy("docid", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("docid").agg(
+        F.sum("c").alias("n_bg"),
+        F.max("c").alias("max_bg"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_inst"
+        ),
+    )
+    return (
+        tok_df.select("docid")
+        .join(per_doc, "docid", "left")
+        .select(
+            "docid",
+            F.coalesce("n_bg", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.when(F.coalesce("n_bg", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.col("max_bg") / F.col("n_bg").cast("double")
+                ),
+                4,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(F.coalesce("n_bg", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.col("dup_inst") / F.col("n_bg").cast("double")
+                ),
+                4,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def repetition_signals_sql() -> str:
+    """DuckDB twin of `repetition_signals` over the documents view."""
+    return f"""
+WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents),
+bg AS (
+  SELECT docid,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toks WHERE len(toks) >= 2
+), cnt AS (
+  SELECT docid, bg, count(*) AS c FROM bg GROUP BY docid, bg
+), per_doc AS (
+  SELECT docid, sum(c) AS n_bg, max(c) AS max_bg,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_inst
+  FROM cnt GROUP BY docid
+)
+SELECT t.docid,
+       coalesce(p.n_bg, 0)::BIGINT AS n_bigrams,
+       round(CASE WHEN coalesce(p.n_bg, 0) = 0 THEN 0.0
+             ELSE p.max_bg / p.n_bg::DOUBLE END, 4) AS top_bigram_frac,
+       round(CASE WHEN coalesce(p.n_bg, 0) = 0 THEN 0.0
+             ELSE p.dup_inst / p.n_bg::DOUBLE END, 4) AS dup_bigram_frac
+FROM toks t LEFT JOIN per_doc p ON p.docid = t.docid
+ORDER BY t.docid
+"""

@@ -37,6 +37,16 @@ from solr_spark.index.builder import Index
 QREL_INLINE_MAX = 24
 
 
+def norm_mode(mode: str) -> str:
+    """Canonicalize the match mode ('or'/'and', any case). Unknown
+    values raise — a typo'd mode silently scoring as OR is a wrong
+    result set, not a default."""
+    m = str(mode).upper()
+    if m not in ("OR", "AND"):
+        raise ValueError(f"mode must be 'OR' or 'AND', got {mode!r}")
+    return m
+
+
 def analyze_query(qtext: str, index: Index | None = None) -> dict[str, int]:
     """query text -> {term: qtf} via the shared analysis chain.
 
@@ -131,6 +141,7 @@ def bm25_scores(
     The value-source form: `query($q)` (ValueSourceParser.java:350-420,
     QueryValueSource) reads a subquery's score per document, so it needs
     the full score frame to join by docid, not a top-k."""
+    mode = norm_mode(mode)
     qterms = analyze_query(qtext, index)
     scored, n_present = (
         _scored_postings(index, qterms, field) if qterms else (None, 0)
@@ -161,6 +172,7 @@ def bm25_topk(
     an AND query with an absent term returns no rows. The main pass is
     ONE job: per-partition heap + driver merge (TakeOrderedAndProject).
     """
+    mode = norm_mode(mode)
     qterms = analyze_query(qtext, index)
     scored, n_present = (
         _scored_postings(index, qterms, field) if qterms else (None, 0)
@@ -365,6 +377,8 @@ def bm25_topk_batch(
     drop entirely when a term is absent from the index.
     """
     from pyspark.sql import Window
+
+    mode = norm_mode(mode)
 
     spark = index.spark
     n_docs = index.meta["n_docs"]

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from solr_spark.analysis.analyzer import tokens_col
 from solr_spark.functions.bm25 import idf_col, tf_part_col
 from solr_spark.functions.smallfloat import quantize_col
-from solr_spark.query.engine import analyze_query
+from solr_spark.query.engine import analyze_query, norm_mode
 
 
 def doc_tokens(docs: DataFrame, id_col: str = "docid", text_col: str = "content") -> DataFrame:
@@ -43,6 +43,7 @@ def bm25_inline_scores(
     Global stats (N, avgdl, per-term df) are subplans joined in via
     cross/broadcast joins, so Catalyst still sees one optimizable tree.
     """
+    mode = norm_mode(mode)
     spark = docs.sparkSession
     qterms = analyze_query(qtext)
     tok = doc_tokens(docs, id_col, text_col)

@@ -128,7 +128,10 @@ class QueryBatcher:
         max_batch: int = 64,
         max_wait_ms: float = 8.0,
         use_cache: bool = True,
+        max_inflight: int = 4,
     ):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.index = index
         self.k = int(k)
         self.mode = mode
@@ -137,6 +140,16 @@ class QueryBatcher:
         self.max_wait_ms = float(max_wait_ms)
         self.use_cache = use_cache
         self._queue: queue.Queue = queue.Queue()
+        # waves OVERLAP: while one wave's Spark job runs, the loop keeps
+        # draining the queue and launches the next wave concurrently
+        # (FAIR scheduler shares executors between wave jobs). Without
+        # this, every arrival queues behind the in-flight wave and the
+        # batcher can only LOSE to independent per-query jobs.
+        self._inflight = threading.Semaphore(max(1, int(max_inflight)))
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, int(max_inflight)),
+            thread_name_prefix="solr-spark-query-wave",
+        )
         self._thread = threading.Thread(
             target=self._loop, name="solr-spark-query-batcher", daemon=True
         )
@@ -158,7 +171,8 @@ class QueryBatcher:
 
     def close(self) -> None:
         self._queue.put(_STOP)
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=30)
+        self._pool.shutdown(wait=True)
 
     # -- batching loop ----------------------------------------------------
     def _loop(self) -> None:
@@ -179,10 +193,22 @@ class QueryBatcher:
                 except queue.Empty:
                     break
                 if nxt is _STOP:
-                    self._run(wave)
+                    self._submit(wave)
                     return
                 wave.append(nxt)
-            self._run(wave)
+            self._submit(wave)
+
+    def _submit(self, wave: list[_Req]) -> None:
+        # bounded in-flight waves: acquire BEFORE submit so a stalled
+        # cluster applies backpressure to the drain loop instead of
+        # growing an unbounded job pile
+        self._inflight.acquire()
+        def go():
+            try:
+                self._run(wave)
+            finally:
+                self._inflight.release()
+        self._pool.submit(go)
 
     def _run(self, wave: list[_Req]) -> None:
         # duplicate texts inside a wave collapse to one batch entry

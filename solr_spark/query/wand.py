@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from solr_spark.functions.bm25 import B, K1, idf_py
 from solr_spark.index.blocks import varint_decode
 from solr_spark.index.builder import Index
-from solr_spark.query.engine import analyze_query, bm25_topk
+from solr_spark.query.engine import analyze_query, bm25_topk, norm_mode
 
 #: widen every threshold cut by this much — covers float64 sum-order ulp
 #: differences between driver-side and executor-side arithmetic
@@ -257,6 +257,7 @@ def bm25_topk_wand(
     benchmarks to verify that pruning actually skips work. Debug mode
     runs extra count() jobs; the production path is ONE action.
     """
+    mode = norm_mode(mode)
     if index.has_deletes():
         # pending deletes: the metadata-seeded threshold T0 counts
         # deleted docs, so a live doc below T0 could be wrongly pruned

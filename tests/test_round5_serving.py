@@ -141,3 +141,37 @@ def test_deletes_snapshot_cached_per_version(spark, corpus, tmp_path):
     assert not idx.has_deletes()
     assert bm25_topk(idx, "return", k=3).count() > 0
     assert 0 not in {r["docid"] for r in idx.docs().select("docid").collect()}
+
+
+def test_pin_memory_rank_identical_and_unpinned_on_invalidate(spark, corpus, tmp_path):
+    idx = build_index(
+        spark, corpus, str(tmp_path / "pin"), num_buckets=4,
+        salt_threshold=100, num_salts=4,
+    )
+    cold = bm25_topk(idx, "return import", k=8).collect()
+    idx.pin_memory()
+    assert len(idx._pinned) == 2
+    hot = bm25_topk(idx, "return import", k=8).collect()
+    assert [r["docid"] for r in hot] == [r["docid"] for r in cold]
+    for a, b in zip(hot, cold):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+    # idempotent: re-pinning must not double-persist
+    idx.pin_memory()
+    assert len(idx._pinned) == 2
+    pinned = list(idx._pinned)
+    idx.invalidate_caches()  # commit == cold searcher: pins released
+    assert not idx._pinned
+    for df in pinned:
+        assert not df.storageLevel.useMemory
+
+
+def test_mode_case_normalized_and_invalid_raises(spark, corpus, tmp_path):
+    """mode='and' (any case) must give AND semantics — a lowercase mode
+    silently scoring as OR is a wrong result set; unknown modes raise."""
+    idx = build_index(spark, corpus, str(tmp_path / "mode"), num_buckets=4)
+    assert bm25_topk(idx, "zz_definitely_absent_zz return", k=5, mode="and").count() == 0
+    upper = {r["docid"] for r in bm25_topk(idx, "return import", k=8, mode="AND").collect()}
+    lower = {r["docid"] for r in bm25_topk(idx, "return import", k=8, mode="and").collect()}
+    assert upper == lower and upper
+    with pytest.raises(ValueError):
+        bm25_topk(idx, "return", k=5, mode="XOR")
