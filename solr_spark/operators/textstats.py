@@ -446,24 +446,29 @@ def mix_sample_sql(
     )
 
 
-def repetition_signals(tok_df: DataFrame) -> DataFrame:
+def repetition_signals(tok_df: DataFrame, n: int = 2) -> DataFrame:
     """Within-document repetition features (the Gopher quality-filter
-    family): per doc, the fraction of bigram instances taken by the
-    single most frequent bigram (`top_bigram_frac`) and the fraction of
-    bigram instances whose bigram occurs more than once
-    (`dup_bigram_frac`). Boilerplate/spam pages score high; docs with
-    fewer than two tokens have no bigrams and score 0.0.
+    family, parametric in n-gram size — Gopher thresholds n=2..10):
+    per doc, the fraction of n-gram instances taken by the single most
+    frequent n-gram (`top_bigram_frac`) and the fraction of n-gram
+    instances whose n-gram occurs more than once (`dup_bigram_frac`).
+    Boilerplate/spam pages score high; docs with fewer than n tokens
+    have no n-grams and score 0.0. Column names keep the n=2 spelling
+    for the gate contract at any n.
 
-    Shape for scale: bigrams explode from the token array (zip_with of
-    two slices — JVM codegen, no Python), counts aggregate per (docid,
-    bigram) with map-side partial agg, then ONE per-doc agg. Both
-    shuffles are keyed by docid(+bigram) — no skew beyond document
-    length, which the corpus already bounds."""
+    Shape for scale: n-grams explode from the token array (transform
+    over index range + slice-join — JVM codegen, no Python), counts
+    aggregate per (docid, ngram) with map-side partial agg, then ONE
+    per-doc agg. Both shuffles are keyed by docid(+ngram) — no skew
+    beyond document length, which the corpus already bounds."""
+    n = int(n)
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
     bgs = F.when(
-        F.size("toks") >= 2,
+        F.size("toks") >= n,
         F.expr(
-            "zip_with(slice(toks, 1, size(toks)-1),"
-            " slice(toks, 2, size(toks)-1), (a, b) -> concat(a, ' ', b))"
+            f"transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> array_join(slice(toks, i, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
@@ -500,15 +505,19 @@ def repetition_signals(tok_df: DataFrame) -> DataFrame:
     )
 
 
-def repetition_signals_sql() -> str:
+def repetition_signals_sql(n: int = 2) -> str:
     """DuckDB twin of `repetition_signals` over the documents view."""
+    n = int(n)
+    joined = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(n)
+    )
     return f"""
 WITH toks AS (SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents),
 bg AS (
   SELECT docid,
-         unnest(list_transform(range(1, len(toks)),
-                               i -> toks[i] || ' ' || toks[i+1])) AS bg
-  FROM toks WHERE len(toks) >= 2
+         unnest(list_transform(range(1, len(toks) - {n - 2}),
+                               i -> {joined})) AS bg
+  FROM toks WHERE len(toks) >= {n}
 ), cnt AS (
   SELECT docid, bg, count(*) AS c FROM bg GROUP BY docid, bg
 ), per_doc AS (

@@ -57,3 +57,21 @@ def test_repetition_signals_hand_case(spark):
     assert out[2]["n_bigrams"] == 1
     assert out[2]["dup_bigram_frac"] == 0.0
     assert out[2]["top_bigram_frac"] == 1.0
+
+
+def test_repetition_signals_parametric_n(spark):
+    tok = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c", "a", "b", "c"]),  # trigrams: abc bca cab abc
+            (1, ["x", "y"]),  # too short for n=3
+        ],
+        "docid long, toks array<string>",
+    )
+    out = {r["docid"]: r for r in TS.repetition_signals(tok, n=3).collect()}
+    assert out[0]["n_bigrams"] == 4
+    assert out[0]["top_bigram_frac"] == 0.5  # 'a b c' twice of 4
+    assert out[0]["dup_bigram_frac"] == 0.5
+    assert out[1]["n_bigrams"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        TS.repetition_signals(tok, n=1)
