@@ -335,33 +335,51 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
         num_salts=8, build_blocks=True, build_positions=True,
     )
     shutil.rmtree(full_dir, ignore_errors=True)
-    t = time.time()
-    phrase_docids(pos_index, ["json", "parser"], slop=0).count()
-    queries["q_phrase_indexed"] = round(time.time() - t, 3)
-    t = time.time()
+
+    # best-of protocol for the single-shot ops (round-5): a cold first
+    # run pays parquet page-cache misses + JIT/python-worker warmup
+    # that r-over-r comparisons then misread as regressions (the r5
+    # first run measured dedup_lsh at 39 s cold vs 4.9 s on the third
+    # same-session run, zero code change). Builds already report
+    # best-of-N with raws kept; do the same here.
+    raw_ops: dict[str, list[float]] = {}
+
+    def timed_op(name: str, fn, reps: int = 2) -> None:
+        vals = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            vals.append(round(time.time() - t0, 3))
+        raw_ops[name] = vals
+        queries[name] = min(vals)
+
+    timed_op(
+        "q_phrase_indexed",
+        lambda: phrase_docids(pos_index, ["json", "parser"], slop=0).count(),
+    )
     # inline comparison point: derive positions from raw text at query time
     corpus_ids = pos_index.docs().select("docid", "repo", "path", "commit")
-    phrase_match(
-        corpus.join(corpus_ids, ["repo", "path", "commit"]),
-        "json parser", id_col="docid", text_col="content",
-    ).count()
-    queries["q_phrase_inline"] = round(time.time() - t, 3)
+    timed_op(
+        "q_phrase_inline",
+        lambda: phrase_match(
+            corpus.join(corpus_ids, ["repo", "path", "commit"]),
+            "json parser", id_col="docid", text_col="content",
+        ).count(),
+    )
 
     # --- operator suite over harness tables ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t = time.time()
-    terms_facet(docs, "lang", limit=10).collect()
-    queries["facet_lang"] = round(time.time() - t, 3)
-    t = time.time()
-    lsh_candidate_pairs(
-        doc_tokens(docs, id_col="doc_id", text_col="text"), ordered=False
-    ).count()
-    queries["dedup_lsh"] = round(time.time() - t, 3)
+    timed_op("facet_lang", lambda: terms_facet(docs, "lang", limit=10).collect())
+    timed_op(
+        "dedup_lsh",
+        lambda: lsh_candidate_pairs(
+            doc_tokens(docs, id_col="doc_id", text_col="text"), ordered=False
+        ).count(),
+    )
     qv = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
-    t = time.time()
-    cosine_topk(emb, qv, k=10).collect()
-    queries["ann_cosine"] = round(time.time() - t, 3)
+    timed_op("ann_cosine", lambda: cosine_topk(emb, qv, k=10).collect())
+    res["raw_ops"] = raw_ops
 
     # --- sf1 block (round-5): the 10x-corpus comparison floor ---
     # The 200k-doc suite is fixed-overhead-dominated (most queries <1 s);
@@ -400,9 +418,12 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
                 bm25_topk_wand(big_idx, qtext, k=k, mode=qmode).collect()
                 times.append(time.time() - t)
             q1[f"{name}_wand"] = round(sorted(times)[1], 3)
-        t = time.time()
-        phrase_docids(big_idx, ["json", "parser"], slop=0).count()
-        q1["q_phrase_indexed"] = round(time.time() - t, 3)
+        ph = []
+        for _ in range(2):
+            t = time.time()
+            phrase_docids(big_idx, ["json", "parser"], slop=0).count()
+            ph.append(round(time.time() - t, 3))
+        q1["q_phrase_indexed"] = min(ph)
         sf1["queries"] = q1
         big.unpersist()
         shutil.rmtree(d1, ignore_errors=True)
