@@ -2656,6 +2656,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["contamination_docs"] = contamination_docs
 
+    def dup_spans_docs(s, d):
+        """Exact-substring (duplicate-span) dedup profile: per doc, how
+        many of its 8-token spans occur >= 2 times anywhere in the
+        corpus (the suffix-array-free form of keep-first-occurrence
+        training-data dedup). Integer columns only — the frac is
+        derivable and float-tie-free gates compare cleanly."""
+        from solr_spark.operators import dedup as DD
+
+        toks = _tok(s, d).select("docid", "toks")
+        return (
+            DD.dup_span_stats(toks, n=8)
+            .select("docid", "n_spans", "n_dup")
+            .orderBy("docid")
+        )
+
+    q["dup_spans_docs"] = dup_spans_docs
+
+    def lm_logprob_heldout(s, d):
+        """Bigram-LM quality signal: stupid-backoff average log-prob of
+        held-out docs (doc_id >= 300) under a count model trained on
+        doc_id < 300 — the perplexity-filter shape (CCNet/Gopher KenLM
+        stage) on a bigram model."""
+        from solr_spark.operators import textstats as TS
+
+        toks = _tok(s, d).select("docid", "toks")
+        model = toks.where(F.col("docid") < 300)
+        score = toks.where(F.col("docid") >= 300)
+        return TS.lm_doc_logprob(score, model, alpha=0.4).orderBy("docid")
+
+    q["lm_logprob_heldout"] = lm_logprob_heldout
+
     def pack_docs_seqs(s, d):
         """Token-budget packing: documents laid end-to-end by doc_id,
         pack_id = floor(prefix n_chars / 50000) via the two-phase
@@ -4438,6 +4469,47 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
         LEFT JOIN tot ON tot.doc_id = d.doc_id
         LEFT JOIN hit ON hit.doc_id = d.doc_id
         WHERE d.doc_id < 200 ORDER BY docid"""
+    _span8 = _shingle_sql(tokens_sql("text"), 8, "\x1f", False)
+    o["dup_spans_docs"] = f"""
+        WITH sh AS (
+          SELECT docid, md5(s) AS h FROM (
+            SELECT doc_id AS docid, unnest({_span8}) AS s
+            FROM documents)),
+        cnt AS (SELECT h, count(*) AS c FROM sh GROUP BY h)
+        SELECT sh.docid AS docid,
+               count(*)::BIGINT AS n_spans,
+               sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM sh JOIN cnt USING (h)
+        GROUP BY sh.docid ORDER BY docid"""
+    _LM_TOKS = f"SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents"
+    o["lm_logprob_heldout"] = f"""
+        WITH toks AS ({_LM_TOKS}),
+        model AS (SELECT * FROM toks WHERE docid < 300),
+        score AS (SELECT * FROM toks WHERE docid >= 300),
+        uni AS (SELECT t, count(*) AS cu
+                FROM (SELECT unnest(toks) AS t FROM model) GROUP BY t),
+        tot AS (SELECT sum(cu)::DOUBLE AS n_total FROM uni),
+        bi AS (SELECT w1, w2, count(*) AS cb FROM (
+                 SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+                        unnest(toks[2:len(toks)]) AS w2 FROM model)
+               GROUP BY w1, w2),
+        docbi AS (SELECT docid,
+                         unnest(toks[1:len(toks) - 1]) AS w1,
+                         unnest(toks[2:len(toks)]) AS w2 FROM score),
+        scored AS (
+          SELECT d.docid,
+                 CASE WHEN b.cb IS NOT NULL
+                      THEN ln(b.cb / u1.cu::DOUBLE)
+                      ELSE ln(0.4 * coalesce(u2.cu, 1)::DOUBLE
+                              / (SELECT n_total FROM tot))
+                 END AS lp
+          FROM docbi d
+          LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+          LEFT JOIN uni u1 ON u1.t = d.w1
+          LEFT JOIN uni u2 ON u2.t = d.w2)
+        SELECT docid, count(*)::BIGINT AS n_bigrams,
+               round(avg(lp), 4) AS avg_logprob
+        FROM scored GROUP BY docid ORDER BY docid"""
     o["pack_docs_seqs"] = """
         SELECT doc_id::BIGINT AS docid,
                coalesce(sum(n_chars::BIGINT) OVER (ORDER BY doc_id

@@ -428,3 +428,81 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(
         F.col("id").alias("docid"), F.col("label").alias("cluster")
     )
+
+
+# --- exact-substring (duplicate-span) dedup -------------------------------
+#
+# The "remove any 50-token span that appears more than once in the
+# corpus" procedure from the training-data dedup literature, expressed
+# without a suffix array: every n-token span is hashed, spans whose hash
+# occurs >= 2 times anywhere (another document OR elsewhere in the same
+# document) are duplicated, and the canonical occurrence is the
+# (docid, pos)-minimum. All aggregates are groupBy-min/count (map-side
+# partial agg) rather than windows over the span hash — a boilerplate
+# span shared by millions of documents would make a window partition
+# hot, while min/count stay skew-safe.
+
+
+def span_hashes(tok_df: DataFrame, n: int = 8) -> DataFrame:
+    """(docid, toks) -> (docid, pos, h): md5 of every n-token span.
+
+    pos is the 1-based index of the span's first token. Docs shorter
+    than n tokens contribute no rows. md5 over a \\x1f-joined slice so
+    the DuckDB oracle reproduces hashes bit-for-bit.
+    """
+    from solr_spark.analysis.analyzer import shingle_col
+
+    sh = shingle_col(F.col("toks"), n, "\x1f", output_unigrams=False)
+    return tok_df.select(
+        "docid", F.posexplode(sh).alias("pos0", "s")
+    ).select(
+        "docid", (F.col("pos0") + 1).alias("pos"), F.md5("s").alias("h")
+    )
+
+
+def dup_span_stats(tok_df: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document duplicated-span profile: (docid, n_spans, n_dup,
+    dup_frac), one row per doc with >= 1 span.
+
+    One token-scale groupBy for the corpus-wide hash counts, one join
+    back (counts side is one row per distinct hash), one per-doc agg.
+    """
+    spans = span_hashes(tok_df, n)
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spans.join(counts, "h")
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup") / F.col("n_spans").cast("double"), 4),
+        )
+    )
+
+
+def dup_span_occurrences(tok_df: DataFrame, n: int = 8) -> DataFrame:
+    """Every NON-canonical occurrence of a duplicated n-token span —
+    the removal set for keep-first-occurrence substring dedup.
+
+    Canonical occurrence of a hash = min (docid, pos) struct, computed
+    with a groupBy-min (partial-agg'd, skew-safe) instead of a
+    row_number window. Consumers mask tokens [pos, pos+n) of each
+    returned row.
+    """
+    spans = span_hashes(tok_df, n)
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct("docid", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    dup = firsts.where(F.col("c") >= 2)
+    return (
+        spans.join(dup, "h")
+        .where(
+            (F.col("docid") != F.col("first.docid"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("docid", "pos", "h")
+    )

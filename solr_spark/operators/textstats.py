@@ -534,3 +534,110 @@ SELECT t.docid,
 FROM toks t LEFT JOIN per_doc p ON p.docid = t.docid
 ORDER BY t.docid
 """
+
+
+# --- n-gram LM scoring (stupid backoff) -----------------------------------
+#
+# The perplexity-style quality signal the big pipeline papers filter
+# on (CCNet/Gopher use a KenLM 5-gram; the signal here is the same
+# shape with a bigram model and stupid backoff): score each document
+# by its average bigram log-probability under a count model trained
+# on a reference slice. Low average log-prob = far from the reference
+# distribution (gibberish, boilerplate, wrong language).
+
+
+def lm_counts(tok_df: DataFrame):
+    """(docid, toks) -> (uni, bi) count frames for the bigram LM.
+
+    uni: (t, cu) token counts; bi: (w1, w2, cb) adjacent-pair counts.
+    Two token-scale groupBys (map-side partial agg), no Python.
+    """
+    uni = (
+        tok_df.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    pairs = tok_df.select(
+        F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))").alias("a"),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))").alias("b"),
+    )
+    bi = (
+        pairs.select(F.explode(F.arrays_zip("a", "b")).alias("p"))
+        .select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return uni, bi
+
+
+def lm_doc_logprob(
+    score_tok: DataFrame,
+    model_tok: DataFrame = None,
+    alpha: float = 0.4,
+    counts=None,
+) -> DataFrame:
+    """Average stupid-backoff bigram log-prob per document:
+    (docid, n_bigrams, avg_logprob), one row per doc with >= 1 bigram.
+
+    P(w2 | w1) = cb(w1,w2) / cu(w1)          when the model saw the pair
+               = alpha * cu(w2) / total      otherwise (backoff), with
+                 OOV w2 backing off to a count of 1.
+
+    Shapes for scale: the model frames are one row per distinct
+    token/pair (far smaller than the corpus); the score-side bigrams
+    join them on their natural keys — three hash joins Catalyst/AQE
+    sizes freely (broadcast when the model fits, shuffle when it
+    doesn't) — then ONE per-doc agg. No Python anywhere.
+
+    The plan joins the unigram table twice (as cu1 and cu2), and
+    Catalyst re-derives it per join — three model scans. For a big
+    model slice, materialize once and pass `counts`:
+        counts = tuple(c.persist() for c in lm_counts(model_tok))
+    """
+    if counts is not None:
+        uni, bi = counts
+    else:
+        uni, bi = lm_counts(model_tok)
+    total = uni.agg(F.sum("cu").cast("double").alias("n_total"))
+    docbi = (
+        score_tok.select(
+            "docid",
+            F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))").alias("a"),
+            F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))").alias("b"),
+        )
+        .select("docid", F.explode(F.arrays_zip("a", "b")).alias("p"))
+        .select("docid", F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    )
+    scored = (
+        docbi.join(bi, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("t").alias("w1"), F.col("cu").alias("cu1")),
+            "w1",
+            "left",
+        )
+        .join(
+            uni.select(F.col("t").alias("w2"), F.col("cu").alias("cu2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(total)
+        .select(
+            "docid",
+            F.when(
+                F.col("cb").isNotNull(),
+                F.log(F.col("cb") / F.col("cu1").cast("double")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * F.coalesce(F.col("cu2"), F.lit(1)).cast("double")
+                    / F.col("n_total")
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("docid").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )

@@ -75,3 +75,94 @@ def test_repetition_signals_parametric_n(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         TS.repetition_signals(tok, n=1)
+
+
+# --- duplicate-span (exact-substring) dedup --------------------------------
+
+
+def _tok_rows(spark, rows):
+    return spark.createDataFrame(rows, "docid long, toks array<string>")
+
+
+def _span_corpus(spark):
+    shared = ["a", "b", "c", "d"]  # a 4-token span planted in docs 1 and 3
+    return _tok_rows(
+        spark,
+        [
+            (1, shared + ["x", "y", "z"]),
+            (2, ["p", "q", "r", "s", "t"]),
+            (3, ["m", "n"] + shared),
+            (4, ["u", "v"]),  # shorter than n: no spans
+            (5, ["k"] * 9),  # self-repetition: k,k,k,k occurs 6 times
+        ],
+    )
+
+
+def test_dup_span_stats_cross_and_self(spark):
+    from solr_spark.operators import dedup as DD
+
+    out = {
+        r["docid"]: r.asDict()
+        for r in DD.dup_span_stats(_span_corpus(spark), n=4).collect()
+    }
+    assert 4 not in out, "docs shorter than n contribute no rows"
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup"] == 1
+    assert out[3]["n_spans"] == 3 and out[3]["n_dup"] == 1
+    assert out[2]["n_dup"] == 0
+    # all 6 spans of doc 5 are the same hash -> all duplicated
+    assert out[5]["n_spans"] == 6 and out[5]["n_dup"] == 6
+    assert out[5]["dup_frac"] == 1.0
+
+
+def test_dup_span_occurrences_keep_first(spark):
+    from solr_spark.operators import dedup as DD
+
+    occ = DD.dup_span_occurrences(_span_corpus(spark), n=4).collect()
+    got = sorted((r["docid"], r["pos"]) for r in occ)
+    # shared span: canonical is (1, 1), so (3, 3) is removed;
+    # doc 5's canonical is (5, 1), so positions 2..6 are removed
+    assert got == [(3, 3)] + [(5, p) for p in range(2, 7)]
+
+
+# --- bigram LM (stupid backoff) --------------------------------------------
+
+
+def test_lm_doc_logprob_branches(spark):
+    import math
+
+    model = _tok_rows(spark, [(1, ["the", "cat", "sat"]), (2, ["the", "dog"])])
+    # uni: the=2, cat=1, sat=1, dog=1 (total 5)
+    # bi:  (the,cat)=1 (cat,sat)=1 (the,dog)=1
+    score = _tok_rows(
+        spark,
+        [
+            (10, ["the", "cat"]),          # seen bigram: ln(1/2)
+            (11, ["cat", "dog"]),          # unseen pair: ln(.4*1/5)
+            (12, ["the", "zebra"]),        # OOV w2 -> ln(.4*1/5)
+            (13, ["x"]),                   # no bigrams: no row
+        ],
+    )
+    out = {
+        r["docid"]: r.asDict()
+        for r in TS.lm_doc_logprob(score, model, alpha=0.4).collect()
+    }
+    assert 13 not in out
+    assert out[10]["avg_logprob"] == round(math.log(0.5), 4)
+    assert out[11]["avg_logprob"] == round(math.log(0.4 * 1 / 5.0), 4)
+    assert out[12]["avg_logprob"] == round(math.log(0.4 * 1 / 5.0), 4)
+    assert out[10]["n_bigrams"] == 1
+
+
+def test_lm_self_scoring_never_backs_off(spark):
+    """Self-scored corpus: every doc bigram is in the model, so every
+    log-prob is ln(cb/cu(w1)) >= ln(1/total) — finite and > backoff
+    floor ln(alpha/total)."""
+    import math
+
+    corp = _tok_rows(
+        spark, [(i, ["w%d" % (i % 3), "w%d" % ((i + 1) % 3), "z"]) for i in range(9)]
+    )
+    out = TS.lm_doc_logprob(corp, corp).collect()
+    assert len(out) == 9
+    floor = math.log(0.4 / 18.0)
+    assert all(r["avg_logprob"] > floor for r in out)
