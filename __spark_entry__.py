@@ -2687,6 +2687,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_logprob_heldout"] = lm_logprob_heldout
 
+    def phrase_stats_query(s, d):
+        """PhrasesIdentificationComponent stats pass: shingle ttf/df +
+        unigram-conjunction doc counts for every window of the query
+        'table value part hash' (broadcast candidate lattice, two
+        corpus passes)."""
+        from solr_spark.operators.phrases import phrase_candidate_stats
+
+        toks = _tok(s, d).select("docid", "toks")
+        return phrase_candidate_stats(
+            toks, ["table", "value", "part", "hash"],
+            max_indexed=3, max_query=4,
+        ).orderBy("t")
+
+    q["phrase_stats_query"] = phrase_stats_query
+
+    def phrases_identify(s, d):
+        """Full phrase identification: Bayesian computeFieldScore model
+        over the stats lattice (driver-side scoring like the reference
+        coordinator; no SQL twin — covered by the independent-model
+        tests in tests/test_phrases.py and the oracled stats gate)."""
+        from solr_spark.operators.phrases import identify_phrases
+
+        toks = _tok(s, d).select("docid", "toks")
+        return identify_phrases(
+            toks, "table value part hash",
+            max_indexed=3, max_query=4, min_score=-1e9,
+        )
+
+    q["phrases_identify"] = phrases_identify
+
     def pack_docs_seqs(s, d):
         """Token-budget packing: documents laid end-to-end by doc_id,
         pack_id = floor(prefix n_chars / 50000) via the two-phase
@@ -4481,6 +4511,41 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
         FROM sh JOIN cnt USING (h)
         GROUP BY sh.docid ORDER BY docid"""
+    from solr_spark.analysis.analyzer import shingle_sql as _shsql
+    from solr_spark.operators.phrases import _candidates as _ph_cands
+
+    _ph_sh = ", ".join(
+        _shsql("toks", m, " ", False) for m in range(1, 4)
+    )
+    _ph_rows = []
+    _ph_seen = set()
+    for _c in _ph_cands(["table", "value", "part", "hash"], 3, 4):
+        if _c.text in _ph_seen:
+            continue
+        _ph_seen.add(_c.text)
+        _terms = ", ".join(f"'{w}'" for w in sorted(set(_c.terms)))
+        _ttf = (
+            f"(SELECT count(*) FROM sh WHERE s = '{_c.text}')"
+            if _c.is_indexed else "0"
+        )
+        _df = (
+            f"(SELECT count(DISTINCT docid) FROM sh WHERE s = '{_c.text}')"
+            if _c.is_indexed else "0"
+        )
+        _ph_rows.append(
+            f"SELECT '{_c.text}' AS t, {_c.length}::INTEGER AS length, "
+            f"{_ttf}::BIGINT AS ttf, {_df}::BIGINT AS df, "
+            f"(SELECT count(*) FROM (SELECT docid FROM post "
+            f"WHERE term IN ({_terms}) GROUP BY docid "
+            f"HAVING count(DISTINCT term) = {len(set(_c.terms))}))::BIGINT"
+            f" AS conj_dc"
+        )
+    o["phrase_stats_query"] = f"""
+        WITH {_DOC_TOKS_SQL}, {_POST_SQL},
+        sh AS (SELECT docid,
+                      unnest(flatten([{_ph_sh}])) AS s
+               FROM toks)
+        SELECT * FROM ({" UNION ALL ".join(_ph_rows)}) ORDER BY t"""
     _LM_TOKS = f"SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents"
     o["lm_logprob_heldout"] = f"""
         WITH toks AS ({_LM_TOKS}),

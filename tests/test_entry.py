@@ -104,6 +104,9 @@ def test_oracle_coverage():
         "ltr_rescore_top10", "textlogit_stored",
         # round 5: seeded k-means page clustering has no SQL twin
         "cluster_search_page",
+        # round 5: driver-side Bayesian lattice scoring (stats pass is
+        # oracled as phrase_stats_query; model tested in test_phrases)
+        "phrases_identify",
     }, no_oracle
 
 
