@@ -2323,6 +2323,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_persisted_recall"] = ann_lsh_persisted_recall
 
+    def ann_int8_recall(s, d):
+        # int8 scalar quantization + exact rescore (Lucene byte-vector
+        # shape): the rescore set is 4x k, so recall vs exact is 1.0
+        # unless quantization reorders past 4x — 0.9 leaves margin
+        rec = SIM.int8_recall_at_k(
+            _t(s, d, "embeddings"), _qvec(s, d), k=10, rescore=4
+        )
+        return rec.select("k", (F.col("recall") >= 0.9).alias("recall_ok"))
+
+    q["ann_int8_recall"] = ann_int8_recall
+
     def hll_error_ok(s, d):
         ev = _t(s, d, "events")
         agg = ev.groupBy("event_type").agg(
@@ -4341,6 +4352,7 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
     o["ann_lsh_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
     o["ann_ivf_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
     o["ann_lsh_persisted_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
+    o["ann_int8_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
     o["hll_error_ok"] = """
         SELECT event_type, true AS within_bound
         FROM events GROUP BY event_type ORDER BY event_type"""

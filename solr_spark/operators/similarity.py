@@ -462,3 +462,117 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), "docid")
         .limit(limit)
     )
+
+
+# ------------------------------------------- int8 scalar quantization
+#
+# Lucene's byte-encoded vector field (KnnByteVectorField; Solr's
+# DenseVectorField vectorEncoding=BYTE, schema/DenseVectorField.java)
+# as a storage/scan lever: per-vector symmetric int8 quantization
+# shrinks the vector column 4x, so a brute-force pass over 100 TB of
+# float32 vectors becomes a 25 TB scan plus an exact rescore of the
+# tiny approximate top-k*rescore set.
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, float vec) -> (vec_id, q array<tinyint>, q_scale, norm).
+
+    q[i] = round(v[i] / q_scale) in [-127, 127] with
+    q_scale = max|v| / 127 (symmetric per-vector scale); `norm` keeps
+    the EXACT float L2 norm so cosine denominators stay exact and only
+    the dot product is approximated. Pure per-row expressions — no
+    shuffle, no Python. NOTE: the per-row scale is re-evaluated inside
+    the transform lambda per element (O(dim^2) element ops after
+    projection collapse) — fine for build-once quantization at the
+    dims common for retrieval embeddings; swap to a vectorized pandas
+    UDF if profiling a very high-dim corpus shows it.
+    """
+    v = _as_double(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    scale = F.when(amax > F.lit(0.0), amax / F.lit(127.0)).otherwise(
+        F.lit(1.0)
+    )
+    return emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")).alias(
+            "q"
+        ),
+        scale.alias("q_scale"),
+        _norm(v).alias("norm"),
+    )
+
+
+def cosine_topk_int8(
+    qemb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 4,
+    emb: DataFrame = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over a quantize_int8() table.
+
+    approx_sim = q_scale_d * q_scale_q * dot(q_d, q_q) /
+                 (norm_d * norm_q); the top k*rescore approximate rows
+    are exact-rescored against the float table when `emb` is given
+    (two-phase: cheap int8 scan over everything, exact math over a
+    k-sized set — the Lucene byte-vector + rescore shape).
+    """
+    import math
+
+    amax = max(abs(float(x)) for x in query_vec) or 1.0
+    qs = amax / 127.0
+    qq = [round(float(x) / qs) for x in query_vec]
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qcol = F.array(*[F.lit(int(x)) for x in qq])
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("q"), qcol, lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        qemb.select(
+            "vec_id",
+            (
+                int_dot
+                * F.col("q_scale")
+                * F.lit(qs)
+                / (F.col("norm") * F.lit(qnorm))
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k * rescore if emb is not None else k)
+    )
+    if emb is None:
+        return approx.select("vec_id", F.round("s", 4).alias("sim"))
+    cand_ids = approx.select(F.col("vec_id").alias("_cand_id"))
+    cand = emb.join(
+        cand_ids,
+        F.col(id_col).cast("long") == F.col("_cand_id"),
+        "left_semi",
+    )
+    return cosine_topk(cand, query_vec, k, id_col)
+
+
+def int8_recall_at_k(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(k, recall) of the int8+rescore path vs exact brute force."""
+    exact = cosine_topk(emb, query_vec, k, id_col).select("vec_id")
+    qemb = quantize_int8(emb, id_col)
+    approx = cosine_topk_int8(
+        qemb, query_vec, k, rescore=rescore, emb=emb, id_col=id_col
+    ).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi").count()
+    spark = emb.sparkSession
+    return spark.createDataFrame([(k, hits / float(k))], "k long, recall double")
