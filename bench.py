@@ -379,6 +379,10 @@ def run(cores: int | None = None, out: dict | None = None) -> dict:
     )
     qv = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
     timed_op("ann_cosine", lambda: cosine_topk(emb, qv, k=10).collect())
+    from solr_spark.operators.dedup import dup_span_stats
+
+    doc_toks = doc_tokens(docs, id_col="doc_id", text_col="text")
+    timed_op("dedup_spans", lambda: dup_span_stats(doc_toks, n=8).count())
     res["raw_ops"] = raw_ops
 
     # --- sf1 block (round-5): the 10x-corpus comparison floor ---
