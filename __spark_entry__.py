@@ -2684,6 +2684,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_spans_docs"] = dup_spans_docs
 
+    def dedup_span_removal(s, d):
+        """Keep-first-occurrence substring dedup APPLIED: tokens covered
+        by non-canonical duplicated 8-token spans drop; gate compares
+        the md5 of each doc's cleaned token stream + removal count."""
+        from solr_spark.operators import dedup as DD
+
+        toks = _tok(s, d).select("docid", "toks")
+        return (
+            DD.remove_dup_spans(toks, n=8)
+            .select(
+                "docid",
+                F.md5(F.concat_ws(" ", "toks")).alias("kept_md5"),
+                F.col("n_removed").cast("long").alias("n_removed"),
+            )
+            .orderBy("docid")
+        )
+
+    q["dedup_span_removal"] = dedup_span_removal
+
     def lm_logprob_heldout(s, d):
         """Bigram-LM quality signal: stupid-backoff average log-prob of
         held-out docs (doc_id >= 300) under a count model trained on
@@ -4558,6 +4577,48 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                       unnest(flatten([{_ph_sh}])) AS s
                FROM toks)
         SELECT * FROM ({" UNION ALL ".join(_ph_rows)}) ORDER BY t"""
+    _US = "\x1f"
+    o["dedup_span_removal"] = f"""
+        WITH {_DOC_TOKS_SQL},
+        spans AS (
+          SELECT docid, u.pos AS pos, md5(u.s) AS h FROM (
+            SELECT docid,
+                   unnest(list_transform(
+                     range(1, greatest(len(toks) - 7, 0) + 1),
+                     i -> {{'pos': i,
+                           's': array_to_string(toks[i:i+7], '{_US}')}}))
+                     AS u
+            FROM toks)),
+        firsts AS (
+          SELECT h, count(*) AS c,
+                 min(docid * 1000000 + pos) AS firstkey
+          FROM spans GROUP BY h),
+        occ AS (
+          SELECT s.docid, s.pos FROM spans s JOIN firsts f USING (h)
+          WHERE f.c >= 2 AND s.docid * 1000000 + s.pos <> f.firstkey),
+        covered AS (
+          SELECT DISTINCT docid, unnest(range(pos, pos + 8)) AS tokpos
+          FROM occ),
+        tp AS (
+          SELECT docid, u.p AS tokpos, u.t AS tok FROM (
+            SELECT docid,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                          i -> {{'p': i, 't': toks[i]}})) AS u
+            FROM toks)),
+        kept AS (
+          SELECT tp.* FROM tp WHERE NOT EXISTS (
+            SELECT 1 FROM covered c
+            WHERE c.docid = tp.docid AND c.tokpos = tp.tokpos)),
+        rebuilt AS (
+          SELECT docid,
+                 md5(string_agg(tok, ' ' ORDER BY tokpos)) AS kept_md5,
+                 count(*) AS n_kept
+          FROM kept GROUP BY docid)
+        SELECT t.docid AS docid,
+               coalesce(r.kept_md5, md5('')) AS kept_md5,
+               (len(t.toks) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+        FROM toks t LEFT JOIN rebuilt r ON r.docid = t.docid
+        ORDER BY docid"""
     _LM_TOKS = f"SELECT doc_id AS docid, {tokens_sql('text')} AS toks FROM documents"
     o["lm_logprob_heldout"] = f"""
         WITH toks AS ({_LM_TOKS}),

@@ -506,3 +506,54 @@ def dup_span_occurrences(tok_df: DataFrame, n: int = 8) -> DataFrame:
         )
         .select("docid", "pos", "h")
     )
+
+
+def remove_dup_spans(tok_df: DataFrame, n: int = 8) -> DataFrame:
+    """Keep-first-occurrence substring dedup applied: (docid, toks,
+    n_removed) where every token covered by a NON-canonical duplicated
+    n-token span is dropped (the 'remove any duplicated span' pass of
+    the exact-substring dedup recipe; canonical occurrences survive, so
+    every span's text remains in the corpus exactly once).
+
+    All-JVM plan: removal spans explode to covered token positions
+    (sequence(pos, pos+n-1)), distinct per (docid, tokpos), anti-joined
+    against the posexploded tokens, then one per-doc sort_array
+    re-assembly. Shuffles are keyed by docid — no span-hash skew.
+    """
+    occ = dup_span_occurrences(tok_df, n)
+    covered = occ.select(
+        "docid",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("tokpos"),
+    ).distinct()
+    toks_pos = tok_df.select(
+        "docid", F.posexplode("toks").alias("pos0", "tok")
+    ).select("docid", (F.col("pos0") + 1).alias("tokpos"), "tok")
+    kept = toks_pos.join(covered, ["docid", "tokpos"], "left_anti")
+    n_tok = tok_df.select("docid", F.size("toks").alias("n_toks"))
+    rebuilt = (
+        kept.groupBy("docid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tokpos", "tok"))
+            ).alias("pairs")
+        )
+        .select(
+            "docid",
+            F.transform(F.col("pairs"), lambda p: p["tok"]).alias("toks"),
+            F.size("pairs").alias("n_kept"),
+        )
+    )
+    return (
+        n_tok.join(rebuilt, "docid", "left")
+        .select(
+            "docid",
+            F.coalesce(
+                "toks", F.array().cast("array<string>")
+            ).alias("toks"),
+            (
+                F.col("n_toks") - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

@@ -166,3 +166,47 @@ def test_lm_self_scoring_never_backs_off(spark):
     assert len(out) == 9
     floor = math.log(0.4 / 18.0)
     assert all(r["avg_logprob"] > floor for r in out)
+
+
+def test_remove_dup_spans_keep_first(spark):
+    from solr_spark.operators import dedup as DD
+
+    out = {
+        r["docid"]: r.asDict()
+        for r in DD.remove_dup_spans(_span_corpus(spark), n=4).collect()
+    }
+    assert len(out) == 5, "every input doc keeps a row"
+    # doc 1 holds the canonical 'a b c d' -> untouched
+    assert out[1]["toks"] == ["a", "b", "c", "d", "x", "y", "z"]
+    assert out[1]["n_removed"] == 0
+    # doc 3's copy is non-canonical -> its 4 covered tokens drop
+    assert out[3]["toks"] == ["m", "n"]
+    assert out[3]["n_removed"] == 4
+    # doc 5 (k x9): canonical span at pos 1 covers tokens 1-4; spans at
+    # pos 2..6 cover 2..9 -> tokens 5..9 are only covered by
+    # non-canonical spans, but 2..4 are shared with the canonical one —
+    # removal drops every token covered by a NON-canonical occurrence
+    assert out[5]["toks"] == ["k"]
+    assert out[5]["n_removed"] == 8
+    # untouched docs: no duplicated spans / too short
+    assert out[2]["n_removed"] == 0 and out[4]["n_removed"] == 0
+
+
+def test_remove_then_rescan_finds_no_cross_doc_dups(spark):
+    """Metamorphic: after removal, re-scanning finds no span that
+    occurs in two different documents (self-repeats inside one
+    canonical doc may survive when overlap re-creates them; cross-doc
+    duplication must be gone)."""
+    from solr_spark.operators import dedup as DD
+
+    cleaned = DD.remove_dup_spans(_span_corpus(spark), n=4).select(
+        "docid", "toks"
+    )
+    spans = DD.span_hashes(cleaned, n=4)
+    cross = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("docid").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .count()
+    )
+    assert cross == 0
