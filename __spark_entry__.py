@@ -2334,6 +2334,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_int8_recall"] = ann_int8_recall
 
+    def ann_pca_recall(s, d):
+        # PCA embedding compression: full-rank projection is a pure
+        # rotation (orthonormal basis), so cosine top-k recall MUST be
+        # exactly 1.0 — a hard contract, not a tuned bound. Truncated
+        # 56-of-64 measured 0.8 on the near-isotropic harness
+        # embeddings (no low-rank structure to keep; real embedding
+        # corpora compress far better) — 0.5 leaves wide margin for
+        # eigenvalue-order instability under different partitionings.
+        emb = _t(s, d, "embeddings")
+        qv = _qvec(s, d)
+        full = SIM.pca_recall_at_k(emb, qv, k=10, n_components=64)
+        trunc = SIM.pca_recall_at_k(emb, qv, k=10, n_components=56)
+        f = full.collect()[0]["recall"]
+        t = trunc.collect()[0]["recall"]
+        return s.createDataFrame(
+            [(10, f == 1.0, t >= 0.5)],
+            "k long, full_rank_ok boolean, trunc_ok boolean",
+        )
+
+    q["ann_pca_recall"] = ann_pca_recall
+
     def hll_error_ok(s, d):
         ev = _t(s, d, "events")
         agg = ev.groupBy("event_type").agg(
@@ -4372,6 +4393,9 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
     o["ann_ivf_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
     o["ann_lsh_persisted_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
     o["ann_int8_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
+    o["ann_pca_recall"] = (
+        "SELECT 10::BIGINT AS k, true AS full_rank_ok, true AS trunc_ok"
+    )
     o["hll_error_ok"] = """
         SELECT event_type, true AS within_bound
         FROM events GROUP BY event_type ORDER BY event_type"""

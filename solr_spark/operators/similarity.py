@@ -576,3 +576,81 @@ def int8_recall_at_k(
     hits = exact.join(approx, "vec_id", "left_semi").count()
     spark = emb.sparkSession
     return spark.createDataFrame([(k, hits / float(k))], "k long, recall double")
+
+
+# --------------------------------------- PCA embedding compression
+#
+# Dimensionality reduction for the embedding column — the standard
+# pre-step before large-scale embedding dedup / ANN (shrink 100 TB of
+# vectors before the expensive pairwise stages). Spark-first: the
+# covariance/SVD runs in pyspark.ml (distributed gram-matrix
+# aggregation in the JVM); projection back to array<double> is a
+# zip_with dot per component.
+
+
+def pca_fit(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Top-k principal components of the embedding column as plain
+    row-major [k][dim] lists (sign-normalized: each component's
+    largest-|x| coordinate is positive, removing eigenvector sign
+    indeterminacy so results are engine-stable)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = emb.select(array_to_vector(_as_double(vec_col)).alias("features"))
+    model = PCA(k=k, inputCol="features", outputCol="pc").fit(vdf)
+    pc = model.pc.toArray()  # dim x k
+    comps = []
+    for j in range(pc.shape[1]):
+        col = [float(x) for x in pc[:, j]]
+        pivot = max(range(len(col)), key=lambda i: abs(col[i]))
+        if col[pivot] < 0:
+            col = [-x for x in col]
+        comps.append(col)
+    return comps
+
+
+def pca_project(
+    emb: DataFrame,
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> (vec_id, embedding array<double> of len k): project
+    onto the given components. Pure zip_with/aggregate expressions (one
+    dot product per component, no Python, no shuffle)."""
+    v = _as_double(vec_col)
+    dots = [
+        _dot(v, F.array(*[F.lit(float(x)) for x in comp]))
+        for comp in components
+    ]
+    return emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.array(*dots).alias("embedding"),
+    )
+
+
+def pca_recall_at_k(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_components: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(k, recall) of cosine top-k in PCA space vs full-dim exact —
+    the bounded-contract gate for the compression path."""
+    comps = pca_fit(emb, n_components, id_col)
+    proj = pca_project(emb, comps, id_col)
+    qp = [
+        sum(float(a) * float(b) for a, b in zip(comp, query_vec))
+        for comp in comps
+    ]
+    exact = cosine_topk(emb, query_vec, k, id_col).select("vec_id")
+    approx = cosine_topk(proj, qp, k, "vec_id").select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi").count()
+    spark = emb.sparkSession
+    return spark.createDataFrame([(k, hits / float(k))], "k long, recall double")

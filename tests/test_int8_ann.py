@@ -74,3 +74,43 @@ def test_int8_sim_error_bounded(spark):
     }
     for vid, s in exact.items():
         assert abs(approx[vid] - s) < 0.05, (vid, approx[vid], s)
+
+
+# --------------------------------------------------- PCA compression
+
+
+def test_pca_components_orthonormal(spark):
+    emb = _emb(spark, 100, dim=8)
+    comps = SIM.pca_fit(emb, 4)
+    assert len(comps) == 4 and all(len(c) == 8 for c in comps)
+    for i in range(4):
+        ni = math.sqrt(sum(x * x for x in comps[i]))
+        assert abs(ni - 1.0) < 1e-6
+        # sign normalization: pivot coordinate positive
+        piv = max(range(8), key=lambda j: abs(comps[i][j]))
+        assert comps[i][piv] > 0
+        for j in range(i + 1, 4):
+            d = sum(a * b for a, b in zip(comps[i], comps[j]))
+            assert abs(d) < 1e-6
+
+
+def test_pca_full_rank_preserves_distances(spark):
+    """Projecting onto ALL components is an isometry up to the mean
+    shift — cosine top-k of CENTERED data must be preserved; here we
+    check pairwise distances instead (rotation-invariant)."""
+    emb = _emb(spark, 60, dim=6)
+    comps = SIM.pca_fit(emb, 6)
+    proj = {r["vec_id"]: list(r["embedding"])
+            for r in SIM.pca_project(emb, comps).collect()}
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for a, b in [(0, 1), (5, 17), (30, 59)]:
+        d0 = math.sqrt(sum((x - y) ** 2 for x, y in zip(orig[a], orig[b])))
+        d1 = math.sqrt(sum((x - y) ** 2 for x, y in zip(proj[a], proj[b])))
+        assert abs(d0 - d1) < 1e-6
+
+
+def test_pca_recall_reasonable(spark):
+    emb = _emb(spark, 200, dim=8)
+    qv = [math.cos(0.3 * d) for d in range(8)]
+    rec = SIM.pca_recall_at_k(emb, qv, k=10, n_components=6).collect()[0]
+    assert rec["recall"] >= 0.6, rec
