@@ -2738,6 +2738,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_logprob_heldout"] = lm_logprob_heldout
 
+    def grouping_func_orders(s, d):
+        """group.func: top-2 orders per mod(o_custkey,7) bucket, the
+        grouped-by-valuesource command compiled via the function-query
+        registry."""
+        from solr_spark.operators.collapse import grouping_by_func
+
+        orders = _t(s, d, "orders").where(F.col("o_orderkey") <= 2000)
+        return (
+            grouping_by_func(
+                orders,
+                "mod(o_custkey,7)",
+                [F.desc("o_totalprice"), F.asc("o_orderkey")],
+                group_limit=2,
+            )
+            .select(
+                "o_orderkey",
+                F.col("group_value").cast("long").alias("group_value"),
+                F.col("grp_rank").cast("long").alias("grp_rank"),
+            )
+            .orderBy("group_value", "grp_rank")
+        )
+
+    q["grouping_func_orders"] = grouping_func_orders
+
+    def grouping_query_orders(s, d):
+        """group.query: one top-2 group per named predicate (docs may
+        appear in both groups, like the reference's query command)."""
+        from solr_spark.operators.collapse import grouping_by_queries
+
+        orders = _t(s, d, "orders").where(F.col("o_orderkey") <= 2000)
+        return (
+            grouping_by_queries(
+                orders,
+                {
+                    "big": F.col("o_totalprice") > 300000,
+                    "urgent": F.col("o_orderpriority") == "1-URGENT",
+                },
+                [F.desc("o_totalprice"), F.asc("o_orderkey")],
+                group_limit=2,
+            )
+            .select(
+                "o_orderkey", "group_value",
+                F.col("grp_rank").cast("long").alias("grp_rank"),
+            )
+            .orderBy("group_value", "grp_rank")
+        )
+
+    q["grouping_query_orders"] = grouping_query_orders
+
     def phrase_stats_query(s, d):
         """PhrasesIdentificationComponent stats pass: shingle ttf/df +
         unigram-conjunction doc counts for every window of the query
@@ -4601,6 +4650,32 @@ WHERE hits > 0 ORDER BY hits DESC, "collation" LIMIT 5
                       unnest(flatten([{_ph_sh}])) AS s
                FROM toks)
         SELECT * FROM ({" UNION ALL ".join(_ph_rows)}) ORDER BY t"""
+    o["grouping_func_orders"] = """
+        SELECT o_orderkey, group_value, grp_rank FROM (
+          SELECT o_orderkey,
+                 (o_custkey % 7)::BIGINT AS group_value,
+                 row_number() OVER (
+                   PARTITION BY o_custkey % 7
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 )::BIGINT AS grp_rank
+          FROM orders WHERE o_orderkey <= 2000)
+        WHERE grp_rank <= 2 ORDER BY group_value, grp_rank"""
+    o["grouping_query_orders"] = """
+        SELECT o_orderkey, group_value, grp_rank FROM (
+          SELECT o_orderkey, group_value,
+                 row_number() OVER (
+                   PARTITION BY group_value
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 )::BIGINT AS grp_rank
+          FROM (
+            SELECT o_orderkey, o_totalprice, 'big' AS group_value
+            FROM orders
+            WHERE o_orderkey <= 2000 AND o_totalprice > 300000
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, 'urgent' AS group_value
+            FROM orders
+            WHERE o_orderkey <= 2000 AND o_orderpriority = '1-URGENT'))
+        WHERE grp_rank <= 2 ORDER BY group_value, grp_rank"""
     _US = "\x1f"
     o["dedup_span_removal"] = f"""
         WITH {_DOC_TOKS_SQL},

@@ -80,3 +80,43 @@ def grouped_facet(
         .orderBy(F.desc("cnt"), F.asc("value"))
         .limit(limit)
     )
+
+
+def grouping_by_func(
+    df: DataFrame,
+    func_expr: str,
+    order: list[Column],
+    group_limit: int = 2,
+) -> DataFrame:
+    """group.func: grouped results keyed by a function-query VALUE
+    (search/Grouping.java grouped-by-valuesource command). The
+    expression compiles through the function-query registry
+    (functions/valuesources.parse_func) into a Column, then the
+    standard per-group top-N window applies — the group key never
+    leaves the JVM."""
+    from solr_spark.functions.valuesources import parse_func
+
+    keyed = df.withColumn("group_value", parse_func(func_expr, df=df))
+    return grouping(keyed, "group_value", order, group_limit)
+
+
+def grouping_by_queries(
+    df: DataFrame,
+    queries: dict,
+    order: list[Column],
+    group_limit: int = 2,
+) -> DataFrame:
+    """group.query: one group of top-N rows per named predicate
+    (search/Grouping.java query command; a doc can appear in several
+    groups, exactly like the reference). `queries` maps group label ->
+    boolean Column. Single plan: union of filtered windows — Catalyst
+    shares the scan via reused exchange when predicates overlap."""
+    parts = []
+    for label, pred in queries.items():
+        parts.append(
+            df.where(pred).withColumn("group_value", F.lit(label))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return grouping(out, "group_value", order, group_limit)

@@ -438,3 +438,50 @@ def test_stream_train_model_classify(spark):
     assert ok == 40
     probs = scored.select("probability_d").collect()
     assert all(0.0 <= r[0] <= 1.0 for r in probs)
+
+
+# --- group.func / group.query ---------------------------------------------
+
+
+def test_grouping_by_func_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.collapse import grouping_by_func
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("score")
+    )
+    out = grouping_by_func(
+        df, "mod(id,4)", [F.desc("score"), F.asc("id")], group_limit=3
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["group_value"], []).append(r)
+    assert set(by_grp) == {0, 1, 2, 3}
+    for g, rows in by_grp.items():
+        assert len(rows) == 3
+        assert all(r["id"] % 4 == g for r in rows)
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_grouping_by_queries_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.collapse import grouping_by_queries
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 10).alias("score")
+    )
+    out = grouping_by_queries(
+        df,
+        {"even": F.col("id") % 2 == 0, "small": F.col("id") < 10},
+        [F.desc("score"), F.asc("id")],
+        group_limit=2,
+    ).collect()
+    grp = {}
+    for r in out:
+        grp.setdefault(r["group_value"], set()).add(r["id"])
+    # id=8 is even AND small AND top-scoring in both -> appears twice
+    assert 8 in grp["even"] and 8 in grp["small"]
+    assert len(grp["even"]) == 2 and len(grp["small"]) == 2
