@@ -118,3 +118,16 @@ def test_permutation_of_docs_is_stable(spark):
     tok_b = spark.createDataFrame(rows, "docid long, toks array<string>")
     b = PH.identify_phrases(tok_b, q, 2, 3, min_score=-10.0).collect()
     assert a == b
+
+
+def test_repeated_word_query(spark):
+    """Repeated tokens produce duplicate candidate texts at different
+    spans — stats dedupe by text, scoring stays span-keyed."""
+    corpus2 = CORPUS + [(6, ["brown", "brown", "fox"])]
+    tok = spark.createDataFrame(corpus2, "docid long, toks array<string>")
+    out = PH.identify_phrases(
+        tok, "brown brown fox", 2, 3, min_score=-100.0
+    ).collect()
+    spans = {(r["position_start"], r["position_end"]) for r in out}
+    # all three multi-word spans scored
+    assert spans == {(1, 3), (2, 4), (1, 4)}
