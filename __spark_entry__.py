@@ -3243,44 +3243,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # guards this invariant against future late-round gate adds.
     _WINDOW = [
         "bm25_topk_or", "bm25_indexed_topk",          # pinned core
-        # marquee round-4 late adds
+        # round-6 rotation: the 32 entries never seen in any
+        # CORRECTNESS_r0*.json take the window (round-5 verdict item 1);
+        # ltr_rescore_top10 (no oracle by design) rotates OUT so no
+        # window slot can only ever return no_oracle (verdict item 3)
+        "analysis_filters_v3", "terms_filtered", "facet_source_prefix",
+        "facet_lang_sort_by_stat", "eval_regress_describe", "tag_entities",
+        "luke_top_terms", "cluster_search_page", "suggest_freetext_bigram",
+        "sigterms_indexed", "spell_indexed", "suggest_infix_indexed",
+        "facet_meta_events", "mlt_interesting_terms", "textlogit_confusion",
+        "textlogit_stored", "ann_int8_recall", "ann_pca_recall",
+        "hll_error_ok", "func_parsed_showcase", "update_tolerant_split",
+        "dup_spans_docs", "dedup_span_removal", "lm_logprob_heldout",
+        "grouping_func_orders", "grouping_query_orders",
+        "phrase_stats_query", "phrases_identify", "update_chain_orders",
+        "edismax_pf2_shingles", "mix_sample_sources", "repetition_docs",
+        # remaining 16 slots: oldest-green marquee ops re-confirmed
         "hybrid_rrf", "bm25_maxscore", "complex_phrase", "bm25_explain",
         "bm25_batch_queries", "delete_by_query_flow",
-        # round-5 marquee gates (surround grammar, scorejoin, payloads,
-        # stream evaluators) — inserted ahead of the in-repo-twinned
-        # tail so the driver oracles them first
         "surround_near", "surround_trunc", "score_join_modes",
         "payload_score_sum", "payload_check_eq",
-        "stream_expr_strings", "stream_expr_dates",
-        "eval_array_math", "stream_expr_reduce", "stream_expr_features",
-        "stream_expr_classify",
-        # stream tranche 6 (round-5 session adds)
-        "stream_facet2d", "stream_recnum", "stream_sql",
-        "stream_hashrollup", "stream_knn_search",
-        # LLM-pipeline gates (in-repo twins only until now)
-        "sessionize_events", "pii_scrub_docs", "contamination_docs",
-        "pack_docs_seqs", "lang_id", "text_quality", "token_counts",
-        "doc_fingerprint",
-        # spatial family
-        "geofilt_customers", "bbox_customers", "rect_range_customers",
-        "geodist_sort_top20",
-        # SQL / spell / classify / LTR
-        "sql_tpch_q5", "sql_tpch_q6", "spell_wordbreak",
-        "classify_bayes_lang", "ltr_rescore_top10", "ltr_feature_log",
-        "ltr_trees_model",
-        # stream-expression compiler + graph scoring
-        "stream_expr_having", "stream_expr_nodes", "stream_expr_timeseries",
-        "stream_expr_sigterms", "score_nodes_custs",
-        # facets / terms / relevance breadth
-        "facet_domain_chain", "facet_pivot_stats", "facet_source_prefix",
-        "facet_lang_sort_by_stat", "facet_meta_events", "terms_filtered",
-        "sigterms_indexed", "spell_indexed", "suggest_infix_indexed",
-        "mlt_interesting_terms", "hll_error_ok",
-        # analysis / updateproc / functions / edismax
-        "analysis_filters_v3", "update_tolerant_split", "update_chain_orders",
-        "func_parsed_showcase", "edismax_pf2_shingles",
-        # ML text classification
-        "textlogit_confusion", "textlogit_stored",
+        "sql_tpch_q5", "sql_tpch_q6", "sessionize_events",
+        "geofilt_customers", "ltr_trees_model",
     ]
     _win = {k: q[k] for k in _WINDOW if k in q}
     _rest = {k: v for k, v in q.items() if k not in _win}

@@ -96,7 +96,7 @@ if MODE == "fused":
     sorted_post = salted.sortWithinPartitions("tid", "salt", "docid")
 else:
     sorted_post = salted.repartition(96, "tid", "salt").sortWithinPartitions("tid", "salt", "docid")
-blocks = sorted_post.mapInPandas(make_block_encoder(avgdl, BLOCK_SIZE), schema=BLOCKS_SCHEMA)
+blocks = sorted_post.mapInArrow(make_block_encoder(avgdl, BLOCK_SIZE), schema=BLOCKS_SCHEMA)
 _write_bucketed(blocks, f"{out}/blocks", B, ("tid", "salt", "block_id"))
 mark("blocks_write")
 

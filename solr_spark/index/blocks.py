@@ -17,7 +17,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 
 from solr_spark.functions.bm25 import B, K1
 
@@ -30,11 +29,17 @@ BLOCKS_SCHEMA = (
 )
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """Vectorized unsigned LEB128 encode of a non-negative int64 array."""
+def _varint_parts(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized unsigned LEB128 encode of a non-negative int64 array.
+
+    Returns (uint8 buffer, per-value byte-END cumsum). LEB128 is a
+    per-value code, so the buffer of a concatenated array equals the
+    concatenation of the individually encoded slices — the byte ends let
+    a caller slice one big encode into per-block views without
+    re-encoding (the whole-batch encoder below relies on this)."""
     v = np.asarray(vals, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     nb = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -53,7 +58,12 @@ def varint_encode(vals: np.ndarray) -> bytes:
         rem[active] >>= np.uint64(7)
         active = active[more]
         k += 1
-    return out.tobytes()
+    return out, ends
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Vectorized unsigned LEB128 encode of a non-negative int64 array."""
+    return _varint_parts(vals)[0].tobytes()
 
 
 def varint_decode(buf: bytes, n: int) -> np.ndarray:
@@ -129,10 +139,27 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def make_block_encoder(avgdl, block_size: int = BLOCK_SIZE):
-    """Returns a mapInPandas function that streams partition-sorted
+def make_block_encoder(
+    avgdl,
+    block_size: int = BLOCK_SIZE,
+    salt_threshold: int | None = None,
+    num_salts: int = 1,
+):
+    """Returns a mapInArrow function that streams partition-sorted
     postings (tid, salt, docid, tf, dl_q, bucket; sorted by tid, salt,
     docid within the partition) into block rows.
+
+    With `salt_threshold` set, the input needs NO salt column and only
+    (tid, docid) sort order: the encoder derives the head-term salt
+    itself. The builder's layout exchange keys on pure functions of tid,
+    so every tid's postings sit wholly inside one partition and the
+    in-partition group length IS the term's exact df — groups longer
+    than salt_threshold are re-sorted (in numpy, per head group only) to
+    (docid % num_salts, docid) order, reproducing byte-for-byte the
+    blocks the old pre-sorted path emitted. This removes a broadcast
+    join against the head-tid list AND a second full sortWithinPartitions
+    over the postings from the build (guide §2.4: remove shuffles/passes
+    outright; the re-sort touches only the handful of head terms).
 
     `avgdl` is a float on single-field indexes. On MULTI-FIELD indexes
     pass a sequence indexed by field ordinal and include a `fid` column
@@ -141,65 +168,157 @@ def make_block_encoder(avgdl, block_size: int = BLOCK_SIZE):
     per-field similarity). A tid belongs to exactly one (field, term),
     so fid is constant within every (tid, salt) group.
 
+    Fully vectorized across groups AND blocks (round-6): the previous
+    per-(tid, salt) Python loop paid ~40 interpreter ops per vocabulary
+    term — vocabulary-scale Python — while every per-block statistic is
+    a `np.{maximum,minimum}.reduceat` over block starts and the three
+    varint payloads are ONE whole-batch LEB128 encode each, sliced into
+    per-block views via byte offsets (LEB128 is per-value, so the slices
+    are bit-identical to per-block encodes). Output binary columns are
+    built zero-copy from the single encode buffer + an offsets array
+    (`pa.Array.from_buffers`), never one Python bytes object per block.
+
     Carries the trailing incomplete (tid, salt) group across Arrow batch
     boundaries; group keys never span partitions because the input is
     repartitioned on (tid, salt).
     """
+    import pyarrow as pa
+
     avgdl_arr = None if isinstance(avgdl, float) else np.asarray(avgdl, dtype=np.float64)
+    derive_salt = salt_threshold is not None
+    in_cols = ["tid", "docid", "tf", "dl_q", "bucket"] + (
+        [] if derive_salt else ["salt"]
+    ) + (["fid"] if avgdl_arr is not None else [])
+    pa_schema = pa.schema(
+        [
+            ("tid", pa.int64()), ("salt", pa.int32()),
+            ("block_id", pa.int32()), ("n_docs", pa.int32()),
+            ("first_docid", pa.int64()), ("max_docid", pa.int64()),
+            ("max_tf", pa.int32()), ("max_tf_part", pa.float64()),
+            ("min_tf_part", pa.float64()), ("docids_bin", pa.binary()),
+            ("tfs_bin", pa.binary()), ("dlqs_bin", pa.binary()),
+            ("bucket", pa.int32()),
+        ]
+    )
 
-    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-
-        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            out: list[dict] = []
-            tids = pdf["tid"].to_numpy(dtype=np.int64)
-            salts = pdf["salt"].to_numpy()
-            # group boundaries on (tid, salt)
-            change = np.nonzero((tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1]))[0] + 1
-            bounds = np.concatenate(([0], change, [len(pdf)]))
-            docids = pdf["docid"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dlqs = pdf["dl_q"].to_numpy(dtype=np.float64)
-            buckets = pdf["bucket"].to_numpy()
-            fids = (
-                pdf["fid"].to_numpy(dtype=np.int64)
-                if avgdl_arr is not None
-                else None
+    def emit(cols: dict) -> pa.RecordBatch:
+        tids = cols["tid"]
+        nrow = tids.size
+        if derive_salt:
+            # tid runs; a run longer than salt_threshold is a head term
+            # (exact df: the layout keys on functions of tid, so a tid
+            # never spans partitions) — reorder its rows to the
+            # (docid % num_salts, docid) order the old pre-sorted path
+            # delivered, then proceed identically.
+            tb = np.concatenate(
+                ([0], np.nonzero(tids[1:] != tids[:-1])[0] + 1, [nrow])
             )
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                adl = (
-                    float(avgdl_arr[fids[lo]])
-                    if avgdl_arr is not None
-                    else avgdl
-                )
-                out.extend(
-                    encode_posting_list(
-                        int(tids[lo]), int(salts[lo]), int(buckets[lo]),
-                        docids[lo:hi], tfs[lo:hi], dlqs[lo:hi], adl,
-                        block_size,
-                    )
-                )
-            cols = ["tid", "salt", "block_id", "n_docs", "first_docid",
-                    "max_docid", "max_tf", "max_tf_part", "min_tf_part",
-                    "docids_bin", "tfs_bin", "dlqs_bin", "bucket"]
-            return pd.DataFrame(out, columns=cols)
+            heads = np.nonzero(np.diff(tb) > salt_threshold)[0]
+            salts = np.zeros(nrow, dtype=np.int32)
+            if heads.size:
+                cols = {c: cols[c].copy() for c in in_cols}
+                for gi in heads:
+                    lo, hi = int(tb[gi]), int(tb[gi + 1])
+                    s = (cols["docid"][lo:hi] % num_salts).astype(np.int32)
+                    order = np.lexsort((cols["docid"][lo:hi], s))
+                    for c in in_cols:
+                        cols[c][lo:hi] = cols[c][lo:hi][order]
+                    salts[lo:hi] = s[order]
+        else:
+            salts = cols["salt"]
+        change = np.nonzero(
+            (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1])
+        )[0] + 1
+        gb = np.concatenate(([0], change, [nrow]))  # group bounds
+        glen = np.diff(gb)
+        nblk = -(-glen // block_size)  # ceil-div blocks per group
+        tot = int(nblk.sum())
+        gidx = np.repeat(np.arange(glen.size), nblk)
+        first_blk = np.concatenate(([0], np.cumsum(nblk)))[:-1]
+        blk_in_grp = (np.arange(tot) - first_blk[gidx]).astype(np.int32)
+        bstart = gb[:-1][gidx] + blk_in_grp * block_size
+        bend = np.minimum(bstart + block_size, gb[1:][gidx])
 
-        for pdf in batches:
+        docids = cols["docid"]
+        tfs = cols["tf"]
+        qs = cols["dl_q"].astype(np.float64)
+        adl = avgdl_arr[cols["fid"]] if avgdl_arr is not None else avgdl
+        tf_part = tfs / (tfs + K1 * (1.0 - B + B * qs / adl))
+
+        deltas = np.empty(nrow, dtype=np.int64)
+        deltas[0] = 0
+        np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+        deltas[bstart] = 0  # each block's first delta is 0 (first_docid col)
+
+        def bin_col(vals: np.ndarray) -> pa.Array:
+            buf, ends = _varint_parts(vals)
+            offsets = np.zeros(tot + 1, dtype=np.int32)
+            offsets[1:] = ends[bend - 1]  # blocks tile the batch, so byte
+            # ranges tile the buffer: end of block i == start of block i+1
+            return pa.Array.from_buffers(
+                pa.binary(), tot,
+                [None, pa.py_buffer(offsets), pa.py_buffer(buf)],
+            )
+
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(tids[bstart], type=pa.int64()),
+                pa.array(salts[bstart].astype(np.int32), type=pa.int32()),
+                pa.array(blk_in_grp, type=pa.int32()),
+                pa.array((bend - bstart).astype(np.int32), type=pa.int32()),
+                pa.array(docids[bstart], type=pa.int64()),
+                pa.array(docids[bend - 1], type=pa.int64()),
+                pa.array(
+                    np.maximum.reduceat(tfs, bstart).astype(np.int32),
+                    type=pa.int32(),
+                ),
+                pa.array(np.maximum.reduceat(tf_part, bstart), type=pa.float64()),
+                pa.array(np.minimum.reduceat(tf_part, bstart), type=pa.float64()),
+                bin_col(deltas),
+                bin_col(tfs),
+                bin_col(qs.astype(np.int64)),
+                pa.array(cols["bucket"][bstart].astype(np.int32), type=pa.int32()),
+            ],
+            schema=pa_schema,
+        )
+
+    def encode_stream(batches: Iterator) -> Iterator:
+        carry: dict | None = None
+        for rb in batches:
+            names = rb.schema.names
+            cols = {
+                c: rb.column(names.index(c)).to_numpy(zero_copy_only=False)
+                for c in in_cols
+            }
+            cols["tid"] = cols["tid"].astype(np.int64, copy=False)
+            cols["docid"] = cols["docid"].astype(np.int64, copy=False)
+            cols["tf"] = cols["tf"].astype(np.int64, copy=False)
+            if avgdl_arr is not None:
+                cols["fid"] = cols["fid"].astype(np.int64, copy=False)
             if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
+                cols = {
+                    c: np.concatenate([carry[c], cols[c]]) for c in in_cols
+                }
                 carry = None
-            if len(pdf) == 0:
+            nrow = cols["tid"].size
+            if nrow == 0:
                 continue
-            # hold back the last (tid, salt) group — it may continue
-            last_tid = pdf["tid"].iloc[-1]
-            last_salt = pdf["salt"].iloc[-1]
-            tail_mask = (pdf["tid"] == last_tid) & (pdf["salt"] == last_salt)
-            # tail is a contiguous suffix (input sorted); find its start
-            cut = int(len(pdf) - tail_mask.iloc[::-1].cumprod().sum())
-            carry = pdf.iloc[cut:].reset_index(drop=True)
+            # hold back the trailing group — it may continue in the next
+            # batch; the input is sorted so it is a suffix (whole tid
+            # when the encoder derives salts itself: a head tid must be
+            # salted as one unit)
+            if derive_salt:
+                last_same = cols["tid"] == cols["tid"][-1]
+            else:
+                last_same = (cols["tid"] == cols["tid"][-1]) & (
+                    cols["salt"] == cols["salt"][-1]
+                )
+            nz = np.nonzero(~last_same)[0]
+            cut = int(nz[-1] + 1) if nz.size else 0
+            carry = {c: cols[c][cut:] for c in in_cols}
             if cut > 0:
-                yield emit(pdf.iloc[:cut])
-        if carry is not None and len(carry):
+                yield emit({c: cols[c][:cut] for c in in_cols})
+        if carry is not None and carry["tid"].size:
             yield emit(carry)
 
     return encode_stream

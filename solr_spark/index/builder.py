@@ -203,6 +203,13 @@ def assign_docids(
     # -> ~1 GB of task results -> spark.driver.maxResultSize kill).
     # The shuffle_hash hint pins a shuffled hash join: each task builds
     # only its partition's id map, nothing crosses the driver.
+    # (Round-6 note: a measured-count-gated BROADCAST of the ids side —
+    # leaving the corpus un-shuffled — was tried and REJECTED by A/B:
+    # the id exchange doubles as the re-partitioning that gives the
+    # downstream tokenize/invert stages `spark.sql.shuffle.partitions`
+    # balanced partitions; without it they inherit the corpus's coarse
+    # scan partitioning and the invert's partial-agg tables grow past
+    # cache residency — 200k-doc index_build 28.1 s -> 35.7 s.)
     return df.join(ids.hint("shuffle_hash"), list(keys))
 
 
@@ -1281,47 +1288,35 @@ def _build_index_impl(
         # rebuilt — skip blocks (flat scoring serves every field)
         build_blocks = False
     if build_blocks and n_docs:
-        head_tids = (
-            postings_agg.where(F.col("df") > F.lit(salt_threshold))
-            .select("tid")
-            .withColumn("_is_head", F.lit(True))
-        )
-        salted = (
-            (laid if laid is not None else spark.read.parquet(paths.postings))
-            .join(F.broadcast(head_tids), "tid", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("_is_head").isNotNull(),
-                    F.pmod(F.col("docid"), F.lit(num_salts)).cast("int"),
-                ).otherwise(F.lit(0)),
-            )
-            .drop("_is_head")
-        )
         from solr_spark.index.blocks import BLOCK_SIZE
 
         bsz = block_size or BLOCK_SIZE
+        # Round-6: the head-term salt is derived INSIDE the encoder
+        # (make_block_encoder salt_threshold/num_salts): the layout keys
+        # on pure functions of tid, so a tid's in-partition run length
+        # is its exact df and the encoder salts head groups locally.
+        # This drops the head-tid broadcast join and the second full
+        # sortWithinPartitions the old shape paid over every posting
+        # (guide §2.4) — the laid cache feeds the encoder as-is.
         if single and laid is not None:
-            # the cached layout shuffle already holds each tid wholly
-            # inside one partition; the head-term salt only reorders rows
-            # WITHIN a partition, so a local re-sort replaces the full
-            # postings shuffle the chunked path pays below. Encode
-            # parallelism = num_buckets * FILES_PER_BUCKET tasks — the
-            # same width as the postings write; num_buckets is the
+            # encode parallelism = num_buckets * FILES_PER_BUCKET tasks
+            # — the same width as the postings write; num_buckets is the
             # cluster-size scaling knob.
-            sorted_post = salted.sortWithinPartitions("tid", "salt", "docid")
+            sorted_post = laid
         else:
             shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            sorted_post = salted.repartition(
-                shuffle_parts, "tid", "salt"
-            ).sortWithinPartitions("tid", "salt", "docid")
-        blocks = sorted_post.mapInPandas(
+            sorted_post = (
+                spark.read.parquet(paths.postings)
+                .repartition(shuffle_parts, "tid")
+                .sortWithinPartitions("tid", "docid")
+            )
+        blocks = sorted_post.mapInArrow(
             # multi-field: per-field avgdl array, indexed by the fid
             # ordinal riding the in-flight postings (per-field norms in
             # the block-max metadata)
             make_block_encoder(
                 [avgdl_by_field[f] for f in fields] if fields else avgdl,
-                bsz,
+                bsz, salt_threshold=salt_threshold, num_salts=num_salts,
             ),
             schema=BLOCKS_SCHEMA,
         )

@@ -196,6 +196,10 @@ def _reencode_blocks(index: Index) -> None:
     num_salts = int(index.meta["num_salts"])
     avgdl = float(index.meta["avgdl"])
 
+    # salting here deliberately keeps the DICTIONARY's is_head flag
+    # (build-time df), not the post-compaction run length, so the salt
+    # layout stays stable across expunges — the salt column is provided
+    # to the encoder rather than derived
     ts = spark.read.parquet(paths.term_stats)
     head_tids = ts.where(F.col("is_head")).select("tid").withColumn(
         "_is_head", F.lit(True)
@@ -216,7 +220,7 @@ def _reencode_blocks(index: Index) -> None:
     sorted_post = salted.repartition(
         shuffle_parts, "tid", "salt"
     ).sortWithinPartitions("tid", "salt", "docid")
-    blocks = sorted_post.mapInPandas(
+    blocks = sorted_post.mapInArrow(
         make_block_encoder(avgdl, BLOCK_SIZE), schema=BLOCKS_SCHEMA
     )
     tmp_blocks = paths.blocks + ".compact"

@@ -464,17 +464,52 @@ def dup_span_stats(tok_df: DataFrame, n: int = 8) -> DataFrame:
     """Per-document duplicated-span profile: (docid, n_spans, n_dup,
     dup_frac), one row per doc with >= 1 span.
 
-    One token-scale groupBy for the corpus-wide hash counts, one join
-    back (counts side is one row per distinct hash), one per-doc agg.
+    Round-6 shape (same values, fewer passes): n_spans is a pure size
+    expression (#shingles = len - n + 1), and a span occurrence is
+    duplicated iff its hash is NOT globally unique — so
+    n_dup = n_spans - #unique-hash occurrences. A hash with count 1 has
+    exactly one occurrence, whose docid IS min(docid), so ONE
+    token-scale groupBy (h -> count, min docid) feeds a hash-scale
+    re-agg to (docid -> n_uniq). This replaces the previous
+    count-then-join-back pipeline, which computed the shingle+md5 pass
+    twice and shuffled the token-scale span rows twice (guide §2.3/§2.4:
+    shuffle fewer bytes, remove the join exchange outright). `pos` is
+    never materialized here (the stats need no positions).
     """
-    spans = span_hashes(tok_df, n)
-    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    from solr_spark.analysis.analyzer import shingle_col
+
+    sh = shingle_col(F.col("toks"), n, "\x1f", output_unigrams=False)
+    # unhex: the 128-bit hash shuffles as 16 raw bytes, not 32 hex chars
+    # (same grouping — hex -> bytes is bijective; guide §2.3 narrower
+    # types). The hex form only exists oracle-side.
+    spans = tok_df.select("docid", F.explode(sh).alias("s")).select(
+        "docid", F.unhex(F.md5("s")).alias("h")
+    )
+    # explicit repartition BEFORE the groupBy: span hashes are mostly
+    # unique, so the map-side partial aggregation a bare groupBy plans
+    # builds a token-scale hash map that collapses almost nothing —
+    # measured 9.3 s -> 5.7 s at sf1 by shuffling raw rows instead
+    # (partition count = spark.sql.shuffle.partitions; scale-adaptive)
+    g = spans.repartition(F.col("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("docid").alias("d0")
+    )
+    uniq = (
+        g.where(F.col("c") == 1)
+        .groupBy(F.col("d0").alias("docid"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    base = tok_df.select(
+        "docid",
+        (F.size("toks") - F.lit(n - 1)).cast("long").alias("n_spans"),
+    ).where(F.col("n_spans") >= 1)
     return (
-        spans.join(counts, "h")
-        .groupBy("docid")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup"),
+        base.join(uniq, "docid", "left")
+        .select(
+            "docid",
+            "n_spans",
+            (
+                F.col("n_spans") - F.coalesce(F.col("n_uniq"), F.lit(0))
+            ).alias("n_dup"),
         )
         .withColumn(
             "dup_frac",
