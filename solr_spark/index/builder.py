@@ -37,7 +37,6 @@ import shutil
 import time
 from dataclasses import dataclass, field
 
-from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -176,25 +175,28 @@ def assign_docids(
         offsets[pid] = acc
         acc += cnt.get(pid, 0)
 
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(
-        list(sorted_keys.schema.fields) + [StructField("docid", LongType(), False)]
+    # Round-6 (guide §4.1): the id pass is pure JVM now. The previous
+    # mapInPandas shipped 14 MB of keys through 256 Python workers and
+    # the stage profile showed 1,184 executor-run-s against 44.6 cpu-s —
+    # tasks were blocked on Python worker spin-up, not computing.
+    # monotonically_increasing_id() over the SAME persisted sorted
+    # partitions is (partition_id << 33) | local_row_index, so the
+    # global rank is offsets[pid] + local_index with a literal offsets
+    # array — identical docids (both forms number the persisted
+    # partition-local row order), zero Python.
+    off_arr = F.array(
+        *[F.lit(int(offsets.get(p, 0))) for p in range(max_pid + 1)]
+    ) if max_pid >= 0 else F.array(F.lit(0))
+    local_idx = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
     )
-
-    def add_ids(batches):
-        import numpy as np
-
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["docid"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            yield pdf
-
-    ids = sorted_keys.mapInPandas(add_ids, schema=out_schema)
+    ids = sorted_keys.select(
+        *keys,
+        (
+            F.element_at(off_arr, F.spark_partition_id() + F.lit(1))
+            + local_idx
+        ).alias("docid"),
+    )
     # BOTH join sides are corpus-sized, so broadcasting is never
     # correct here — but Catalyst can wildly UNDER-estimate either side
     # (a spark.range-derived corpus stats at 8 bytes/row; the real rows

@@ -135,44 +135,18 @@ def phrase_match(
         cand = cand.where(lowered.contains(t))
     toks = tokens_col(text_col)
     d = cand.select(F.col(id_col).cast("long").alias("docid"), toks.alias("_toks"))
-    # Round-6: extract the PHRASE TERMS' position arrays JVM-side
-    # (posexplode + isin + collect_list — the same assembly the indexed
-    # path phrase_docids runs over its positions scan) instead of
-    # shipping every doc's FULL token array through Arrow to Python and
-    # scanning object-dtype arrays per term there. Only |terms| small
-    # integer arrays per candidate doc cross the Python boundary, and
-    # the matching algebra is the shared chain/window/sloppy UDF trio —
-    # identical counts by construction (guide §4.1: pass only the
-    # columns the function needs).
-    uniq = list(dict.fromkeys(terms))
-    ex = d.select(
-        "docid", F.posexplode("_toks").alias("_pos0", "_tok")
-    ).where(F.col("_tok").isin(uniq))
-    joined = ex.groupBy("docid").agg(
-        *[
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("_tok") == t, F.col("_pos0") + 1)
-                )
-            ).alias(f"_p_{i}")
-            for i, t in enumerate(uniq)
-        ]
-    )
-    for i in range(len(uniq)):
-        joined = joined.where(F.size(f"_p_{i}") > 0)
-    from solr_spark.query.positions import (
-        chain_match_count, sloppy_match_count, window_match_count,
-    )
-
-    pos_cols = [F.col(f"_p_{uniq.index(t)}") for t in terms]
-    if ordered:
-        freq = chain_match_count(pos_cols, slop)
-    elif window:
-        freq = window_match_count(pos_cols, slop)
-    else:
-        freq = sloppy_match_count(pos_cols, slop, terms)
+    # Round-6 measured REVERT of a JVM-side position-extraction variant
+    # (posexplode + isin + collect_list feeding the shared matchers):
+    # that shape pays a full-corpus Generate plus a shuffle, while this
+    # one has ZERO exchanges before the final sort — the scan-stage
+    # contains() prefilter plus ONE ArrowEval UDF over the candidate
+    # docs' token arrays. Interleaved same-window A/B on the 200k bench
+    # corpus ("json parser", n=182,428 identical both ways): this shape
+    # best 5.0 s vs 8.1 s for the exploded variant (guide §1.2: the
+    # job's distributed shape beats shrinking the Python transfer).
+    freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered, window)
     return (
-        joined.select("docid", freq.cast("int").alias("phrase_freq"))
+        d.select("docid", freq.cast("int").alias("phrase_freq"))
         .where(F.col("phrase_freq") > 0)
         .orderBy("docid")
     )
