@@ -79,6 +79,242 @@ def tokenize_py(text: str) -> list[str]:
     return [t for t in _PY_SEP.split(s.lower()) if t]
 
 
+def _np_tables():
+    """Byte-class and lowercase lookup tables for the vectorized form
+    (built lazily so the module keeps zero numpy cost for pure-driver
+    imports)."""
+    import numpy as np
+
+    cls = np.zeros(256, dtype=np.uint8)
+    cls[ord("a"):ord("z") + 1] = 1
+    cls[ord("A"):ord("Z") + 1] = 2
+    cls[ord("0"):ord("9") + 1] = 3
+    lower = np.arange(256, dtype=np.uint8)
+    lower[ord("A"):ord("Z") + 1] += 32
+    return cls, lower
+
+
+_NP_TABLES = None
+
+
+def tokenize_arrow_batch(col):
+    """The SAME chain as `tokens_col`/`tokenize_py`, vectorized over one
+    Arrow string array (a fourth executable form, used inside mapInArrow
+    bodies — guide §4.2: whole-batch native kernels instead of the JVM
+    regex or per-row Python).
+
+    Returns (values, val_off, tok_rows, nrows, null_rows):
+      values   - uint8 numpy buffer of all token bytes, lowercased,
+                 tokens juxtaposed in (row, position) order
+      val_off  - int64 numpy array (n_tokens+1): token i occupies
+                 values[val_off[i]:val_off[i+1]]
+      tok_rows - int64 numpy array: row index of token i (non-decreasing)
+      nrows    - number of rows in the batch
+      null_rows- int64 indexes of NULL input rows (no tokens; callers
+                 must preserve null-ness to match tokens_col(null)=null)
+
+    Exactness: the chain is pure ASCII character-class logic, so the four
+    split rules + lowercase + separator split are computed byte-level on
+    the flat utf8 buffer (class runs with boundary masks — no regex, no
+    per-row Python, no per-token objects). The 1-2 byte lookaheads never
+    read across a row edge (the one cross-row artifact, the acronym
+    rule's 2-byte lookahead, is cleared surgically; row edges always
+    split tokens). Rows containing any non-ASCII byte take a per-row
+    `tokenize_py` fallback spliced into the stream — on such text the
+    byte-level class map cannot reproduce unicode lowercasing, and the
+    fallback keeps the tested tokens_col == tokenize_py parity exactly.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    global _NP_TABLES
+    if _NP_TABLES is None:
+        _NP_TABLES = _np_tables()
+    _cls_tbl, _lower_tbl = _NP_TABLES
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    nrows = len(col)
+    empty = (
+        np.zeros(0, dtype=np.uint8),
+        np.zeros(1, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        nrows,
+        np.zeros(0, dtype=np.int64),
+    )
+    if nrows == 0:
+        return empty
+    if col.null_count:
+        null_rows = np.flatnonzero(
+            ~np.asarray(col.is_valid(), dtype=bool)
+        ).astype(np.int64)
+        col = col.fill_null("")
+    else:
+        null_rows = np.zeros(0, dtype=np.int64)
+    off_buf = col.buffers()[1]
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    row_off = np.frombuffer(off_buf, dtype=odt)[
+        col.offset:col.offset + nrows + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    lo = int(row_off[0])
+    buf = data[lo:int(row_off[-1])]
+    row_starts = row_off - lo
+    n = buf.size
+    if n == 0:
+        return empty[:3] + (nrows, null_rows)
+
+    cls = _cls_tbl[buf]
+    alnum = cls != 0
+    b = np.zeros(n, dtype=bool)  # b[i] = token boundary BEFORE byte i
+    if n > 1:
+        c0, c1 = cls[:-1], cls[1:]
+        bnd = (
+            (((c0 == 1) | (c0 == 3)) & (c1 == 2))      # low/digit -> upper
+            | (((c0 == 1) | (c0 == 2)) & (c1 == 3))    # letter -> digit
+            | ((c0 == 3) & ((c1 == 1) | (c1 == 2)))    # digit -> letter
+        )
+        if n > 2:
+            # acronym rule: boundary before the LAST upper of a UU...Ul run
+            acr = (cls[:-2] == 2) & (cls[1:-1] == 2) & (cls[2:] == 1)
+            bnd[:-1] |= acr
+        b[1:] = bnd
+    interior = row_starts[1:-1]
+    interior = interior[(interior > 0) & (interior < n)]
+    if interior.size:
+        # cross-row artifact: the acronym rule writing b[r-1] always
+        # reads cls[r] (the NEXT row's first byte) — recompute b[r-1]
+        # from the pair rules alone, whose operands (r-2, r-1) are
+        # fully in-row; then force the row-edge split itself
+        far = interior[interior >= 2]
+        if far.size:
+            p = far - 2
+            b[far - 1] = (
+                (((cls[p] == 1) | (cls[p] == 3)) & (cls[p + 1] == 2))
+                | (((cls[p] == 1) | (cls[p] == 2)) & (cls[p + 1] == 3))
+                | ((cls[p] == 3) & ((cls[p + 1] == 1) | (cls[p + 1] == 2)))
+            )
+        b[interior] = True  # row edges always split tokens
+    prev_alnum = np.zeros(n, dtype=bool)
+    prev_alnum[1:] = alnum[:-1]
+    next_alnum = np.zeros(n, dtype=bool)
+    next_alnum[:-1] = alnum[1:]
+    b_next = np.zeros(n, dtype=bool)
+    b_next[:-1] = b[1:]
+    s_idx = np.flatnonzero(alnum & (~prev_alnum | b))
+    e_idx = np.flatnonzero(alnum & (~next_alnum | b_next)) + 1
+    tok_rows = np.searchsorted(row_starts, s_idx, side="right") - 1
+    # tokens are maximal alnum runs split at boundaries, so the token
+    # bytes in stream order are EXACTLY the alnum bytes in buffer order
+    values = _lower_tbl[buf[alnum]]
+    val_off = np.zeros(s_idx.size + 1, dtype=np.int64)
+    np.cumsum(e_idx - s_idx, out=val_off[1:])
+
+    # non-ASCII rows: per-row exact fallback, spliced into the stream
+    hi = np.flatnonzero(buf >= 0x80)
+    if hi.size:
+        bad = np.unique(
+            np.searchsorted(row_starts, hi, side="right") - 1
+        )
+        values, val_off, tok_rows = _splice_py_rows(
+            col, values, val_off, tok_rows, bad, nrows
+        )
+    return values, val_off, tok_rows, nrows, null_rows
+
+
+def _splice_py_rows(col, values, val_off, tok_rows, bad, nrows):
+    """Replace `bad` rows' tokens in the (values, val_off, tok_rows)
+    stream with tokenize_py output (exact unicode semantics). O(total
+    bytes) splice; `bad` is expected rare."""
+    import numpy as np
+
+    keep = ~np.isin(tok_rows, bad)
+    # byte-keep mask expanded from token-keep mask
+    lens = np.diff(val_off)
+    byte_keep = np.repeat(keep, lens)
+    py_toks: dict[int, list[bytes]] = {
+        int(r): [
+            t.encode("utf-8") for t in tokenize_py(col[int(r)].as_py())
+        ]
+        for r in bad
+    }
+    seg_vals: list = []
+    seg_lens: list = []
+    seg_rows: list = []
+    kept_rows = tok_rows[keep]
+    kept_lens = lens[keep]
+    kept_bytes = values[byte_keep]
+    kept_byte_off = np.zeros(kept_lens.size + 1, dtype=np.int64)
+    np.cumsum(kept_lens, out=kept_byte_off[1:])
+    bounds = np.searchsorted(kept_rows, np.concatenate([bad, [nrows]]))
+    prev_tok = 0
+    for i, r in enumerate(bad):
+        cut = bounds[i]
+        if cut > prev_tok:
+            seg_vals.append(
+                kept_bytes[kept_byte_off[prev_tok]:kept_byte_off[cut]]
+            )
+            seg_lens.append(kept_lens[prev_tok:cut])
+            seg_rows.append(kept_rows[prev_tok:cut])
+        toks = py_toks[int(r)]
+        if toks:
+            seg_vals.append(
+                np.frombuffer(b"".join(toks), dtype=np.uint8)
+            )
+            seg_lens.append(
+                np.fromiter((len(t) for t in toks), dtype=np.int64,
+                            count=len(toks))
+            )
+            seg_rows.append(np.full(len(toks), int(r), dtype=np.int64))
+        prev_tok = cut
+    if prev_tok < kept_rows.size:
+        seg_vals.append(kept_bytes[kept_byte_off[prev_tok]:])
+        seg_lens.append(kept_lens[prev_tok:])
+        seg_rows.append(kept_rows[prev_tok:])
+    values = (
+        np.concatenate(seg_vals) if seg_vals
+        else np.zeros(0, dtype=np.uint8)
+    )
+    all_lens = (
+        np.concatenate(seg_lens) if seg_lens
+        else np.zeros(0, dtype=np.int64)
+    )
+    tok_rows = (
+        np.concatenate(seg_rows) if seg_rows
+        else np.zeros(0, dtype=np.int64)
+    )
+    val_off = np.zeros(all_lens.size + 1, dtype=np.int64)
+    np.cumsum(all_lens, out=val_off[1:])
+    return values, val_off, tok_rows
+
+
+def tokens_arrow(col):
+    """`tokens_col` as a pa.ListArray(string) over one Arrow batch column
+    — zero-copy assembly from the tokenize_arrow_batch stream (null rows
+    stay null, matching tokens_col's null semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    values, val_off, tok_rows, nrows, null_rows = tokenize_arrow_batch(col)
+    vals = pa.Array.from_buffers(
+        pa.utf8(), int(val_off.size - 1),
+        [None, pa.py_buffer(val_off.astype(np.int32)),
+         pa.py_buffer(values)],
+    )
+    per_row = np.bincount(tok_rows, minlength=nrows).astype(np.int64)
+    list_off = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(per_row, out=list_off[1:])
+    if null_rows.size:
+        # from_arrays: a null at offsets position i nulls list slot i
+        mask = np.zeros(nrows + 1, dtype=bool)
+        mask[null_rows] = True
+        off_arr = pa.array(list_off.astype(np.int32), mask=mask)
+        return pa.ListArray.from_arrays(off_arr, vals)
+    return pa.ListArray.from_arrays(
+        pa.array(list_off.astype(np.int32)), vals
+    )
+
+
 def tokens_sql(col_expr: str) -> str:
     """Same chain as a DuckDB SQL expression producing VARCHAR[].
 

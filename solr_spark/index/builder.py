@@ -760,6 +760,15 @@ def _analyze_docs(
         return t
 
     if not fields:
+        # Round-6 note: swapping this JVM regex chain for the vectorized
+        # Arrow tokenizer (analyzer.tokenize_arrow_batch, a measured 2x
+        # win for the inline phrase operator) was A/B'd here and
+        # REJECTED: in the build the tokenize overlaps the docs write +
+        # sha256 + invert across all cores, so the ~97 executor-CPU-s it
+        # saves (632->669 run-s, 574->477 cpu-s, interleaved same-window
+        # pairs) comes back as Python-boundary wait — wall 29.7 s vs
+        # 30.8 s, a wash — while making the analyze stage opaque to
+        # Catalyst (guide §4.2 column-pruning caveat).
         toks = chain("content")
         # every non-content column is a STORED field (the docs table is
         # the document store): filters — including date-math ranges —

@@ -102,6 +102,91 @@ def _phrase_freq_from_toks_udf(
     return pandas_udf(freq, "int")
 
 
+def _phrase_freq_batches(terms: list[str], slop: int, window: bool):
+    """mapInArrow body: (docid, text) record batches -> (docid,
+    phrase_freq), tokenization AND matching computed with vectorized C
+    kernels over the raw Arrow buffers.
+
+    Replaces the JVM regex tokenize + Arrow->pandas conversion (which
+    boxes every token into a Python str) + per-row Python matcher with
+    one whole-batch pass (guide §4.2): `tokenize_arrow_batch` emits the
+    batch's flat token stream (bytes + offsets + row ids), per-term hits
+    come from a vectorized length+bytes comparison, and the same
+    backward-DP / window algebra as `chain_match_count` runs ONCE over
+    the whole batch in global coordinates g = token_index + row * pad
+    with pad > n - 1 + 2*slop + 1: within one row g-deltas equal token
+    position deltas, across rows they always exceed the largest usable
+    gap, so no chain step or window can cross a row boundary.
+    Bit-identical to the per-row matchers (fuzzed in tests; the DuckDB
+    twins pin the gate semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from solr_spark.analysis.analyzer import tokenize_arrow_batch
+
+    n = len(terms)
+    s1 = slop + 1
+    lo_off, hi_off = -slop, n - 1 + slop
+    pad = n + 2 * slop + 2
+
+    def batches(it):
+        for batch in it:
+            nrows = batch.num_rows
+            docid = batch.column(0)
+            if nrows == 0:
+                continue
+            values, val_off, tok_rows, _, _ = tokenize_arrow_batch(
+                batch.column(1)
+            )
+            ntok = tok_rows.size
+            tok_len = np.diff(val_off)
+            g = np.arange(ntok, dtype=np.int64) + tok_rows * pad
+            hits: dict[str, np.ndarray] = {}
+            for t in terms:
+                if t in hits:
+                    continue
+                tb = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                cand = np.flatnonzero(tok_len == tb.size)
+                if cand.size and tb.size:
+                    mat = values[
+                        val_off[cand][:, None]
+                        + np.arange(tb.size, dtype=np.int64)
+                    ]
+                    cand = cand[(mat == tb).all(axis=1)]
+                hits[t] = g[cand]
+            arrs = [hits[t] for t in terms]
+            if not window:
+                b = arrs[-1]
+                for pj in arrs[-2::-1]:
+                    if b.size == 0:
+                        break
+                    lo = np.searchsorted(b, pj, side="right")
+                    hi = np.searchsorted(b, pj + s1, side="right")
+                    b = pj[hi > lo]
+                surv = b
+            else:
+                anchors = arrs[0]
+                ok = np.ones(anchors.size, dtype=bool)
+                for pj in arrs[1:]:
+                    lo = np.searchsorted(pj, anchors + lo_off, side="left")
+                    hi = np.searchsorted(pj, anchors + hi_off, side="right")
+                    ok &= hi > lo
+                surv = anchors[ok]
+            list_off = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(
+                np.bincount(tok_rows, minlength=nrows), out=list_off[1:]
+            )
+            gstarts = list_off + np.arange(nrows + 1, dtype=np.int64) * pad
+            rows = np.searchsorted(gstarts, surv, side="right") - 1
+            counts = np.bincount(rows, minlength=nrows).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [docid, pa.array(counts, type=pa.int32())],
+                ["docid", "phrase_freq"],
+            )
+
+    return batches
+
+
 def phrase_match(
     docs: DataFrame,
     phrase: str,
@@ -133,23 +218,37 @@ def phrase_match(
     cand = docs
     for t in set(terms):
         cand = cand.where(lowered.contains(t))
-    toks = tokens_col(text_col)
-    d = cand.select(F.col(id_col).cast("long").alias("docid"), toks.alias("_toks"))
     # Round-6 measured REVERT of a JVM-side position-extraction variant
     # (posexplode + isin + collect_list feeding the shared matchers):
     # that shape pays a full-corpus Generate plus a shuffle, while this
     # one has ZERO exchanges before the final sort — the scan-stage
-    # contains() prefilter plus ONE ArrowEval UDF over the candidate
-    # docs' token arrays. Interleaved same-window A/B on the 200k bench
+    # contains() prefilter plus ONE Python-boundary pass over the
+    # candidate docs. Interleaved same-window A/B on the 200k bench
     # corpus ("json parser", n=182,428 identical both ways): this shape
     # best 5.0 s vs 8.1 s for the exploded variant (guide §1.2: the
     # job's distributed shape beats shrinking the Python transfer).
-    freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered, window)
-    return (
-        d.select("docid", freq.cast("int").alias("phrase_freq"))
-        .where(F.col("phrase_freq") > 0)
-        .orderBy("docid")
-    )
+    if ordered or window:
+        # chain / window modes: raw text crosses the boundary and ONE
+        # whole-batch Arrow pass tokenizes (tokenize_arrow_batch) and
+        # matches — no JVM regex tokenize, no per-token boxing (measured
+        # on the bench corpus: the JVM regexp tokenize alone was ~4.9 s
+        # of the 5.4 s line); the exact unordered-sloppy DP
+        # (repeated-term distinctness) keeps the per-row matcher below
+        d = cand.select(
+            F.col(id_col).cast("long").alias("docid"), F.col(text_col)
+        )
+        out = d.mapInArrow(
+            _phrase_freq_batches(terms, slop, window=not ordered),
+            schema="docid long, phrase_freq int",
+        )
+    else:
+        toks = tokens_col(text_col)
+        d = cand.select(
+            F.col(id_col).cast("long").alias("docid"), toks.alias("_toks")
+        )
+        freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered, window)
+        out = d.select("docid", freq.cast("int").alias("phrase_freq"))
+    return out.where(F.col("phrase_freq") > 0).orderBy("docid")
 
 
 def phrase_match_sql(

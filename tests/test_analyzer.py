@@ -52,6 +52,43 @@ def test_python_vs_spark(spark):
         assert row.t == tokenize_py(s), repr(s)
 
 
+def test_python_vs_arrow_batch():
+    """Fourth executable form (round-6): the vectorized Arrow tokenizer
+    used inside mapInArrow bodies — parity incl. unicode-fallback rows,
+    null rows, and sliced (non-zero offset) arrays."""
+    import pyarrow as pa
+
+    from solr_spark.analysis.analyzer import tokens_arrow
+
+    rng = random.Random(11)
+    uni = [
+        "héllo WÖRLD Ünïcode42X", "mixedÉcase2Go", "K kelvin2x",
+        "ascii then ñ", "ÀBÇdé fg",
+    ] + [
+        "".join(rng.choice("aAé0 ñ1._ÉzZ9Qx-") for _ in range(rng.randint(0, 60)))
+        for _ in range(200)
+    ]
+    cases = ALL + uni
+    arr = pa.array(cases, type=pa.string())
+    for a, cs in (
+        (arr, cases),
+        (arr.slice(5), cases[5:]),
+        (arr.slice(3, 40), cases[3:43]),
+    ):
+        for s, toks in zip(cs, tokens_arrow(a).to_pylist()):
+            assert toks == tokenize_py(s), repr(s)
+    # null rows stay null (tokens_col(null) = null)
+    withnull = pa.array(["a B", None, "", "xY9", None], type=pa.string())
+    assert tokens_arrow(withnull).to_pylist() == [
+        ["a", "b"], None, [], ["x", "y", "9"], None,
+    ]
+    # large_string input (Spark useLargeVarTypes)
+    big = pa.array(["camelCase x", "HTTPServer"], type=pa.large_string())
+    assert tokens_arrow(big).to_pylist() == [
+        ["camel", "case", "x"], ["http", "server"],
+    ]
+
+
 @pytest.mark.parametrize(
     "text,expected",
     [

@@ -199,6 +199,55 @@ def test_indexed_phrase_equals_inline(spark, corpus, index, phrase, slop):
     assert a == b
 
 
+def test_inline_vectorized_matcher_equals_per_row(spark):
+    """Round-6: phrase_match's whole-batch Arrow path (tokenize +
+    global-coordinate chain/window DP in _phrase_freq_batches) against
+    the per-row pandas matcher it replaced — same rows, same freqs, on
+    a fuzzed corpus with repeated terms, adjacent matches, unicode
+    (fallback-tokenized) rows and empty docs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.analysis.analyzer import tokens_col
+    from solr_spark.operators.phrase import (
+        _phrase_freq_batches, phrase_freq_col, phrase_match,
+    )
+
+    rng = random.Random(23)
+    vocab = ["json", "parser", "read", "write", "Été", "x2go"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(400)
+    ] + [(400, ""), (401, "json parser json parser"), (402, "Été json parser")]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    for phrase, slop, ordered, window in [
+        ("json parser", 0, True, False),
+        ("json parser read", 2, True, False),
+        ("json json", 0, True, False),
+        ("parser json", 1, False, True),
+        ("ete json", 0, True, False),  # unicode-analyzed term
+    ]:
+        new = phrase_match(
+            docs, phrase, id_col="docid", text_col="content",
+            slop=slop, ordered=ordered, window=window,
+        )
+        from solr_spark.analysis.analyzer import tokenize_py
+
+        terms = tokenize_py(phrase)
+        d = docs.select(
+            F.col("docid"), tokens_col("content").alias("_toks")
+        )
+        freq = phrase_freq_col(F.col("_toks"), terms, slop, ordered, window)
+        old = (
+            d.select("docid", freq.cast("int").alias("phrase_freq"))
+            .where(F.col("phrase_freq") > 0)
+        )
+        a = sorted((r.docid, r.phrase_freq) for r in new.collect())
+        b = sorted((r.docid, r.phrase_freq) for r in old.collect())
+        assert a == b, (phrase, slop, ordered, window, a[:5], b[:5])
+
+
 def test_indexed_phrase_plan_prunes(index):
     """The phrase plan must scan positions partitions only — never the
     corpus — and carry the tid IN pushdown to the parquet scan."""
